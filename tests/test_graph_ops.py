@@ -1,0 +1,147 @@
+"""Edge-table transform / analysis tests (SURVEY.md §2.2-2.4 operators)."""
+
+import numpy as np
+import pytest
+
+from totem_ray.graph import (
+    DegreePartitioner,
+    HashPartitioner,
+    check_symmetry,
+    count_repeated_edges,
+    dedup_edges,
+    degree_histogram,
+    degree_table,
+    edges_from_arrays,
+    partition_stats,
+    permute_ids,
+    repeated_edges,
+    reverse_edges,
+    singleton_count,
+    subgraph,
+    symmetrize,
+    vertex_degrees,
+    add_random_weights,
+    modularity,
+)
+from totem_ray.sources.fixtures import topology_edges
+
+
+def _edges(name, blocks=4):
+    n, e = topology_edges(name)
+    return n, e, edges_from_arrays(e, num_blocks=blocks)
+
+
+def test_degree_table_star():
+    n, e, ds = _edges("star_1000")
+    deg = degree_table(ds).to_pandas().set_index("v")["degree"]
+    assert deg[0] == 999
+    assert (deg.drop(0) == 1).all()
+
+
+def test_vertex_degrees_directed():
+    e = np.array([[0, 1], [0, 2], [3, 0]], dtype=np.uint64)
+    ds = edges_from_arrays(e)
+    df = vertex_degrees(ds).to_pandas().set_index("v")
+    assert df.loc[0, "out_degree"] == 2 and df.loc[0, "in_degree"] == 1
+    assert df.loc[1, "out_degree"] == 0 and df.loc[1, "in_degree"] == 1
+    assert df.loc[3, "out_degree"] == 1 and df.loc[3, "in_degree"] == 0
+
+
+def test_symmetrize_reverse_dedup():
+    e = np.array([[0, 1], [1, 2], [0, 1]], dtype=np.uint64)
+    ds = edges_from_arrays(e)
+    assert symmetrize(ds).count() == 6  # keeps duplicates
+    assert symmetrize(ds, dedup=True).count() == 4
+    rev = reverse_edges(ds).to_pandas()
+    assert sorted(zip(rev["src"], rev["dst"])) == [(1, 0), (1, 0), (2, 1)]
+    assert dedup_edges(ds).count() == 2
+
+
+def test_repeated_edges():
+    e = np.array([[0, 1], [0, 1], [0, 1], [1, 2]], dtype=np.uint64)
+    ds = edges_from_arrays(ds if False else e)
+    rep = repeated_edges(ds).to_pandas()
+    assert len(rep) == 1 and rep.iloc[0]["multiplicity"] == 3
+    assert count_repeated_edges(ds) == 2
+
+
+def test_check_symmetry():
+    n, e, ds = _edges("chain_100")
+    assert check_symmetry(ds).count() == 0
+    bad = edges_from_arrays(np.array([[0, 1]], dtype=np.uint64))
+    assert check_symmetry(bad).count() == 2  # both key rows unbalanced
+
+
+def test_degree_histogram_chain():
+    n, e, ds = _edges("chain_100")
+    h = degree_histogram(ds).to_pandas().set_index("degree")["num_vertices"]
+    assert h[1] == 2 and h[2] == 98
+
+
+def test_singletons():
+    n, e = topology_edges("chain_4_comp_40")
+    ds = edges_from_arrays(e)
+    assert singleton_count(ds, n) == 0
+    assert singleton_count(ds, n + 5) == 5
+
+
+def test_subgraph():
+    n, e, ds = _edges("chain_100")
+    sub = subgraph(ds, np.arange(10, dtype=np.uint64)).to_pandas()
+    # intra-mask edges of vertices 0..9: chain 0-9 symmetrized
+    assert len(sub) == 18
+    assert sub["src"].max() <= 9 and sub["dst"].max() <= 9
+
+
+def test_permute_preserves_structure():
+    n, e, ds = _edges("chain_100")
+    p = permute_ids(ds, seed=7)
+    assert p.count() == len(e)
+    assert check_symmetry(p).count() == 0
+    assert degree_histogram(p).to_pandas().sort_values("degree").values.tolist() == \
+        degree_histogram(ds).to_pandas().sort_values("degree").values.tolist()
+
+
+def test_random_weights_deterministic():
+    n, e, ds = _edges("grid_15")
+    w1 = add_random_weights(ds, seed=3).to_pandas().sort_values(["src", "dst"])
+    w2 = add_random_weights(edges_from_arrays(e, num_blocks=2), seed=3) \
+        .to_pandas().sort_values(["src", "dst"])
+    assert np.allclose(w1["weight"].values, w2["weight"].values)
+    assert (w1["weight"] >= 0).all() and (w1["weight"] <= 1).all()
+
+
+@pytest.mark.parametrize("P", [1, 2, 4, 8])
+def test_hash_partitioner_covers(P):
+    ids = np.arange(1000, dtype=np.uint64)
+    pid = HashPartitioner(P).pid_np(ids)
+    assert pid.min() >= 0 and pid.max() < P
+    if P > 1:
+        assert len(np.unique(pid)) == P
+
+
+def test_degree_partitioner_hubs():
+    n, e, ds = _edges("star_1000")
+    deg = degree_table(ds)
+    part = DegreePartitioner.from_degrees(deg, num_partitions=4, alpha=0.4)
+    # hub 0 carries ~half the edges -> must be selected
+    assert 0 in set(part.hub_ids.tolist())
+    assert part.pid_np(np.array([0], dtype=np.uint64))[0] == 0
+    stats = partition_stats(ds, part)
+    assert stats["total_edges"] == len(e)
+
+
+def test_modularity_two_cliques():
+    # two triangles joined by one edge: strong communities -> Q > 0.3
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    bridge = [(2, 3)]
+    und = np.array(tri1 + tri2 + bridge, dtype=np.uint64)
+    e = np.concatenate([und, und[:, ::-1]])
+    ds = edges_from_arrays(e)
+    import ray.data
+    import pandas as pd
+    labels = ray.data.from_pandas(pd.DataFrame(
+        {"v": np.arange(6, dtype=np.uint64), "label": [0, 0, 0, 1, 1, 1]}))
+    q = modularity(ds, labels)
+    assert 0.3 < q < 0.5

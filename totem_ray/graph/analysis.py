@@ -1,0 +1,121 @@
+"""Graph analysis / validation passes (``analyze summary`` family,
+src/generator/totem_generator.cc:499-571 and the check_* validators
+totem_generator.cc:161-375), as Dataset aggregations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Count, Sum
+
+from totem_ray.graph.edges import degree_table, vertex_degrees
+
+
+def degree_histogram(edges):
+    """(degree, num_vertices) histogram (analyze degreeDist,
+    totem_generator.cc:520-571). Two-level aggregate: per-vertex
+    degree, then count per degree value."""
+    deg = degree_table(edges, alias="degree")
+    return deg.groupby("degree").aggregate(Count(alias_name="num_vertices"))
+
+
+def repeated_edges(edges):
+    """(src, dst, multiplicity) for edges appearing more than once
+    (count_repeated_edges, totem_generator.cc:298-318)."""
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select(["src", "dst"]).group_by(["src", "dst"]) \
+                .aggregate([([], "count_all")]) \
+                .rename_columns(["src", "dst", "_c"])
+
+    part = edges.map_batches(partial, batch_format="pyarrow")
+    counts = part.groupby(["src", "dst"]).aggregate(Sum("_c", alias_name="multiplicity"))
+    return counts.filter(expr="multiplicity > 1")
+
+
+def count_repeated_edges(edges) -> int:
+    """Total surplus multi-edge rows (scalar)."""
+    rep = repeated_edges(edges)
+    agg = rep.aggregate(Sum("multiplicity"), Count(alias_name="n"))
+    total = agg.get("sum(multiplicity)") or 0
+    n = agg.get("n") or 0
+    return int(total - n)
+
+
+def vertex_universe(edges):
+    """Distinct vertex ids touched by any edge — the complement drives
+    singleton removal (graph_remove_singletons,
+    totem_graph.cu:468-484)."""
+    return vertex_degrees(edges).select_columns(["v"])
+
+
+def singleton_count(edges, num_vertices: int) -> int:
+    """Vertices (of a dense 0..n-1 id space) with no in- or out-edges
+    (count_singletons_and_leafs, totem_generator.cc:339-375)."""
+    touched = vertex_universe(edges).count()
+    return int(num_vertices - touched)
+
+
+def check_symmetry(edges):
+    """Rows whose reverse edge is missing or has mismatched
+    multiplicity (check_direction, totem_generator.cc:235-273).
+    Empty result == graph is symmetric. Implemented as a tagged-union
+    self-join: forward rows carry _fwd=1, reversed rows _rev=1; a
+    symmetric graph has equal sums per (src, dst) key."""
+    def tag(flip: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            src, dst = (t["dst"], t["src"]) if flip else (t["src"], t["dst"])
+            n = t.num_rows
+            one = np.ones(n, dtype=np.int64)
+            zero = np.zeros(n, dtype=np.int64)
+            return pa.table({
+                "src": src, "dst": dst,
+                "_fwd": pa.array(zero if flip else one),
+                "_rev": pa.array(one if flip else zero),
+            })
+        return fn
+
+    fwd = edges.map_batches(tag(False), batch_format="pyarrow")
+    rev = edges.map_batches(tag(True), batch_format="pyarrow")
+    both = fwd.union(rev)
+    sums = both.groupby(["src", "dst"]).aggregate(
+        Sum("_fwd", alias_name="fwd"), Sum("_rev", alias_name="rev"))
+    return sums.filter(expr="fwd != rev")
+
+
+def modularity(edges, labels_ds, num_partitions_hint: int = 64):
+    """Newman-Girvan modularity of a vertex labeling
+    (partition_modularity, src/totem/totem_partition.cu:109-140):
+    Q = sum_c [ e_c/m - (deg_c / 2m)^2 ] over the symmetrized edge
+    table. ``labels_ds`` is a Dataset (v, label); broadcast as a
+    sorted lookup (small side) into the edge scan."""
+    lab = labels_ds.to_pandas()
+    order = np.argsort(lab["v"].to_numpy())
+    vs = lab["v"].to_numpy()[order].astype(np.int64)
+    ls = lab["label"].to_numpy()[order]
+    ref = ray.put((vs, ls))
+
+    def fn(t: pa.Table) -> pa.Table:
+        v_sorted, l_sorted = ray.get(ref)
+        s = np.asarray(t["src"])
+        d = np.asarray(t["dst"])
+        ls_ = l_sorted[np.searchsorted(v_sorted, s)]
+        ld_ = l_sorted[np.searchsorted(v_sorted, d)]
+        intra = (ls_ == ld_)
+        lab_u, deg_c = np.unique(ls_, return_counts=True)
+        lab_i, e_c = np.unique(ls_[intra], return_counts=True)
+        out = pa.table({
+            "label": pa.array(np.concatenate([lab_u, lab_i])),
+            "_deg": pa.array(np.concatenate([deg_c, np.zeros_like(e_c)]), type=pa.int64()),
+            "_intra": pa.array(np.concatenate([np.zeros_like(deg_c), e_c]), type=pa.int64()),
+        })
+        return out
+
+    part = edges.map_batches(fn, batch_format="pyarrow")
+    per_label = part.groupby("label").aggregate(
+        Sum("_deg", alias_name="deg"), Sum("_intra", alias_name="intra"))
+    pdf = per_label.to_pandas()
+    m = float(pdf["deg"].sum())  # = directed edge rows = 2m_undirected
+    if m == 0:
+        return 0.0
+    return float((pdf["intra"] / m - (pdf["deg"] / m) ** 2).sum())

@@ -1,0 +1,188 @@
+"""Edge-table transforms — the engine's one true IR.
+
+The edge table (``src: int64, dst: int64`` [+ ``weight: float64``] —
+ids are 64-bit url-hash bit patterns stored signed; see hashing.as_u64)
+replaces the reference's in-memory CSR (graph_t,
+src/totem/totem_graph.h:127-170) as the inter-operator representation;
+CSR exists only inside partition actors (engine/shard.py). Each
+transform here mirrors a reference graph transformation
+(src/generator/totem_generator.cc, src/totem/totem_graph.cu) as a
+stateless vectorized ``map_batches`` / ``groupby`` pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from totem_ray.hashing import as_u64, splitmix64
+
+EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+
+def edges_from_arrays(edges: np.ndarray, num_blocks: int | None = None,
+                      weights: np.ndarray | None = None) -> "ray.data.Dataset":
+    """numpy (m,2) -> edge Dataset (test/fixture helper)."""
+    e = np.ascontiguousarray(edges)
+    e = e.view(np.int64) if e.dtype == np.uint64 else e.astype(np.int64, copy=False)
+    cols = {"src": pa.array(e[:, 0], type=pa.int64()),
+            "dst": pa.array(e[:, 1], type=pa.int64())}
+    if weights is not None:
+        cols["weight"] = pa.array(weights, type=pa.float64())
+    t = pa.table(cols)
+    ds = ray.data.from_arrow(t)
+    if num_blocks:
+        ds = ds.repartition(num_blocks)
+    return ds
+
+
+def symmetrize(edges, dedup: bool = False):
+    """Emit both directions of every edge (``alter undirected``,
+    totem_generator.cc:631-680 — the reference keeps duplicates;
+    pass dedup=True for distinct rows)."""
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in t.column_names:
+            cols[name] = t["dst"] if name == "src" else t["src"] if name == "dst" else t[name]
+        return pa.concat_tables([t, pa.table(cols).select(t.column_names)])
+
+    out = edges.map_batches(fn, batch_format="pyarrow")
+    return dedup_edges(out) if dedup else out
+
+
+def reverse_edges(edges):
+    """Swap src/dst (``alter reverse``, totem_generator.cc:594-628)."""
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {"src": t["dst"], "dst": t["src"]}
+        for name in t.column_names:
+            if name not in ("src", "dst"):
+                cols[name] = t[name]
+        return pa.table(cols)
+
+    return edges.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_edges(edges):
+    """Distinct (src, dst) rows — exact dedup by hash-partitioned
+    groupby (count_repeated_edges dedup pattern,
+    totem_generator.cc:298-318). Per-batch pre-dedup bounds shuffle
+    volume before the groupby."""
+    pre = edges.select_columns(["src", "dst"]).map_batches(
+        lambda t: t.group_by(["src", "dst"]).aggregate([]),
+        batch_format="pyarrow")
+    return pre.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")) \
+              .select_columns(["src", "dst"])
+
+
+def drop_self_loops(edges):
+    return edges.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["src"], t["dst"]))),
+        batch_format="pyarrow")
+
+
+def degree_table(edges, alias: str = "degree"):
+    """Out-degree per src vertex (node_degree, totem_alg.h:294-295).
+
+    Pre-aggregates per batch (partial combine) before the groupby so
+    the shuffle carries one row per (batch, vertex), not per edge —
+    the grooves dense-compression moral
+    (totem_grooves_internal.cc:111-128).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(np.asarray(t["src"]), return_counts=True)
+        return pa.table({"v": pa.array(v, type=pa.int64()),
+                         "_c": pa.array(c, type=pa.int64())})
+
+    part = edges.select_columns(["src"]).map_batches(partial, batch_format="pyarrow")
+    return part.groupby("v").aggregate(Sum("_c", alias_name=alias))
+
+
+def vertex_degrees(edges):
+    """Per-vertex (out_degree, in_degree) over the vertex universe
+    (union of endpoints). In-only vertices appear with out_degree 0."""
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"])
+        d = np.asarray(t["dst"])
+        vs, cs = np.unique(s, return_counts=True)
+        vd, cd = np.unique(d, return_counts=True)
+        v = np.concatenate([vs, vd])
+        return pa.table({
+            "v": pa.array(v, type=pa.int64()),
+            "_out": pa.array(np.concatenate([cs, np.zeros_like(cd)]), type=pa.int64()),
+            "_in": pa.array(np.concatenate([np.zeros_like(cs), cd]), type=pa.int64()),
+        })
+
+    part = edges.select_columns(["src", "dst"]).map_batches(partial, batch_format="pyarrow")
+    return part.groupby("v").aggregate(Sum("_out", alias_name="out_degree"),
+                                       Sum("_in", alias_name="in_degree"))
+
+
+def subgraph(edges, keep_vertices: np.ndarray):
+    """Keep edges whose BOTH endpoints are in the vertex set
+    (get_subgraph, totem_graph.cu:409-466). The set is broadcast once
+    via ``ray.put`` and probed with sorted-array searchsorted — the
+    broadcast-small-side semi-join."""
+    keep_sorted = np.sort(np.asarray(keep_vertices).astype(np.int64, copy=False))
+    ref = ray.put(keep_sorted)
+
+    class Filter:
+        def __init__(self):
+            self.keep = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            s = np.asarray(t["src"])
+            d = np.asarray(t["dst"])
+            idx_s = np.searchsorted(self.keep, s)
+            idx_d = np.searchsorted(self.keep, d)
+            ok_s = (idx_s < len(self.keep)) & (self.keep[np.minimum(idx_s, len(self.keep) - 1)] == s)
+            ok_d = (idx_d < len(self.keep)) & (self.keep[np.minimum(idx_d, len(self.keep) - 1)] == d)
+            return t.filter(pa.array(ok_s & ok_d))
+
+    return edges.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def permute_ids(edges, seed: int = 42):
+    """Hash-permute vertex ids (``alter permute``,
+    totem_generator.cc:143-158,576-592): ids mapped through an
+    injective-whp 64-bit mix instead of a materialized permutation
+    array — no broadcast state, works at any scale."""
+    s = np.uint64(splitmix64(np.array([seed], dtype=np.uint64))[0])
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {"src": pa.array(splitmix64(as_u64(np.asarray(t["src"])) ^ s).view(np.int64), type=pa.int64()),
+                "dst": pa.array(splitmix64(as_u64(np.asarray(t["dst"])) ^ s).view(np.int64), type=pa.int64())}
+        for name in t.column_names:
+            if name not in ("src", "dst"):
+                cols[name] = t[name]
+        return pa.table(cols)
+
+    return edges.map_batches(fn, batch_format="pyarrow")
+
+
+def add_random_weights(edges, seed: int = 42, max_weight: float = 1.0):
+    """Attach deterministic pseudo-random weights in [0, max_weight]
+    (``alter randWeights``, totem_generator.cc:772-784). Weight is a
+    pure function of (src, dst, seed) so the result is independent of
+    partitioning / block boundaries."""
+    s = np.uint64(seed)
+
+    def fn(t: pa.Table) -> pa.Table:
+        src = as_u64(np.asarray(t["src"]))
+        dst = as_u64(np.asarray(t["dst"]))
+        h = splitmix64(splitmix64(src ^ s) ^ dst)
+        w = (h / np.float64(2**64)) * max_weight
+        out = t.select(["src", "dst"]) if "weight" not in t.column_names else t.drop(["weight"])
+        return out.append_column("weight", pa.array(w, type=pa.float64()))
+
+    return edges.map_batches(fn, batch_format="pyarrow")
+
+
+def sort_edges(edges, descending: bool = False):
+    """Global (src, dst) sort (graph_sort_nbrs, totem_graph.cu:923-933
+    — adjacency-sortedness is enforced per-shard at CSR build time in
+    the engine; this global sort exists for export/inspection)."""
+    return edges.sort(["src", "dst"], descending=descending)

@@ -1,0 +1,122 @@
+"""Partitioning strategies — the shuffle-key choice.
+
+Mirrors the reference's partitioning plugin surface (PARTITION_FUNC,
+src/totem/totem_partition.h:216-221) with two strategies:
+
+* ``HashPartitioner`` — stateless hash of the vertex id, replacing
+  Totem's seeded-random labels (partition_random,
+  totem_partition.cu:179-252). Pure function of the id: every task
+  computes the owner with no lookup state.
+* ``DegreePartitioner`` — degree-aware placement, the Ray analog of
+  Totem's alpha edge-share walk over the degree-sorted vertex list
+  (partition_by_asc/dsc_sorted_degree, totem_partition.cu:264-397):
+  the vertices covering an ``alpha`` share of edges (the hubs, for
+  descending order) are pinned to partition 0 — Totem's "big CPU
+  partition" — and the long tail is hash-split across the rest. Only
+  the hub id set is broadcast (small by power-law construction).
+
+Unlike the reference we are not limited to 4 partitions (2-bit pid,
+totem_partition.h:22-29); pid is a full int64 column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from totem_ray.hashing import hash_partition
+
+
+class HashPartitioner:
+    kind = "hash"
+
+    def __init__(self, num_partitions: int, salt: int = 0):
+        self.num_partitions = int(num_partitions)
+        self.salt = salt
+
+    def pid_np(self, ids: np.ndarray) -> np.ndarray:
+        return hash_partition(ids, self.num_partitions, self.salt)
+
+    def describe(self):
+        return {"kind": self.kind, "num_partitions": self.num_partitions,
+                "salt": self.salt}
+
+
+class DegreePartitioner:
+    kind = "degree"
+
+    def __init__(self, num_partitions: int, hub_ids: np.ndarray,
+                 descending: bool = True, salt: int = 0):
+        self.num_partitions = int(num_partitions)
+        self.hub_ids = np.sort(np.asarray(hub_ids).astype(np.int64, copy=False))
+        self.descending = descending
+        self.salt = salt
+
+    @classmethod
+    def from_degrees(cls, degree_ds, num_partitions: int, alpha: float = 0.2,
+                     descending: bool = True, max_hubs: int = 1_000_000,
+                     salt: int = 0):
+        """Build from a (v, degree) Dataset: walk the degree-sorted
+        vertex list until the cumulative degree reaches ``alpha`` of
+        total edges (totem_partition.cu:322-339's edge-budget walk).
+        Streams the sorted Dataset and stops early — only the selected
+        hub ids are materialized."""
+        total = degree_ds.sum("degree")
+        budget = alpha * float(total or 0)
+        hubs = []
+        n_hubs = 0
+        acc = 0.0
+        for batch in degree_ds.sort("degree", descending=descending) \
+                              .iter_batches(batch_size=65536, batch_format="numpy"):
+            deg = batch["degree"].astype(np.float64)
+            take = int(np.searchsorted(np.cumsum(deg), budget - acc, side="left")) + 1
+            take = min(take, len(deg), max_hubs - n_hubs)
+            if take <= 0:
+                break
+            hubs.append(batch["v"][:take])
+            n_hubs += take
+            acc += float(deg[:take].sum())
+            if acc >= budget or n_hubs >= max_hubs:
+                break
+        hub_ids = np.concatenate(hubs) if hubs else np.empty(0, dtype=np.uint64)
+        return cls(num_partitions, hub_ids, descending=descending, salt=salt)
+
+    def pid_np(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids).astype(np.int64, copy=False)
+        if self.num_partitions == 1:
+            return np.zeros(len(ids), dtype=np.int64)
+        if len(self.hub_ids) == 0:
+            is_hub = np.zeros(len(ids), dtype=bool)
+        else:
+            idx = np.searchsorted(self.hub_ids, ids)
+            idx_c = np.minimum(idx, len(self.hub_ids) - 1)
+            is_hub = self.hub_ids[idx_c] == ids
+        rest = hash_partition(ids, self.num_partitions - 1, self.salt) + 1
+        return np.where(is_hub, 0, rest).astype(np.int64)
+
+    def describe(self):
+        return {"kind": self.kind, "num_partitions": self.num_partitions,
+                "num_hubs": int(len(self.hub_ids)),
+                "descending": self.descending, "salt": self.salt}
+
+
+def partition_stats(edges, partitioner) -> dict:
+    """Cut quality: fraction of remote (cross-partition) edges —
+    Totem's rmt_edge metric (print_header,
+    src/benchmark/totem_benchmark_print.cu:71-82)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = partitioner.pid_np(np.asarray(t["src"]))
+        d = partitioner.pid_np(np.asarray(t["dst"]))
+        return pa.table({
+            "_rmt": pa.array([int((s != d).sum())], type=pa.int64()),
+            "_tot": pa.array([t.num_rows], type=pa.int64()),
+        })
+
+    agg = edges.map_batches(fn, batch_format="pyarrow").aggregate(
+        Sum("_rmt", alias_name="rmt"), Sum("_tot", alias_name="tot"))
+    rmt, tot = int(agg["rmt"] or 0), int(agg["tot"] or 0)
+    return {"remote_edges": rmt, "total_edges": tot,
+            "rmt_edge_frac": rmt / tot if tot else 0.0,
+            **partitioner.describe()}

@@ -1,0 +1,94 @@
+"""Stable 64-bit hashing for vertex ids and partition keys.
+
+The reference uses dense ``uint32`` vertex ids (``vid_t``,
+totem_graph.h:64) with partition id packed in the high 2 bits
+(totem_partition.h:22-57). At web scale we keep 64-bit url hashes as
+global ids and derive partition ids with a mix function instead of a
+renumber pass; partition count is not limited to 4.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_U64 = np.uint64
+
+# splitmix64 constants (public domain, Steele et al. / xorshift family)
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    x = x.astype(np.uint64, copy=True)
+    x += _SM_GAMMA
+    x ^= x >> _U64(30)
+    x *= _SM_M1
+    x ^= x >> _U64(27)
+    x *= _SM_M2
+    x ^= x >> _U64(31)
+    return x
+
+
+def as_u64(ids) -> np.ndarray:
+    """Reinterpret an int64 id array as uint64 (no copy when possible).
+
+    Vertex ids are stored as int64 in Arrow tables (native Arrow/DuckDB
+    type — uint64 > 2^63 degrades to pickled-object columns in Ray's
+    aggregate path) but hashed/mixed as uint64 bit patterns.
+    """
+    arr = np.asarray(ids)
+    if arr.dtype == np.uint64:
+        return arr
+    return np.ascontiguousarray(arr, dtype=np.int64).view(np.uint64)
+
+
+def hash_partition(ids: np.ndarray, num_partitions: int, salt: int = 0) -> np.ndarray:
+    """Deterministic partition label for vertex ids.
+
+    Replaces Totem's seeded-random per-vertex partition labels
+    (partition_random, totem_partition.cu:179-252) with a pure hash so
+    that routing is a stateless function of the id — any task anywhere
+    on the cluster computes the same owner without a lookup table.
+    """
+    mixed = splitmix64(as_u64(ids) + _U64(salt & 0xFFFFFFFFFFFFFFFF))
+    return (mixed % _U64(num_partitions)).astype(np.int64)
+
+
+def hash_strings_u64(arr, seed: int = 42) -> np.ndarray:
+    """Stable 64-bit hash of a string column (url -> vertex id).
+
+    Uses polars' vectorized hash (stable within one environment; this
+    repo pins one polars version). Accepts a pyarrow Array/ChunkedArray
+    or a list of python strings; returns uint64 numpy array.
+    """
+    import polars as pl
+
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(arr)
+    else:
+        s = pl.Series(list(arr))
+    if isinstance(s, pl.DataFrame):  # from_arrow of chunked may give df
+        s = s.to_series()
+    return s.hash(seed=seed).to_numpy().astype(np.uint64)
+
+
+def hash_strings_i64(arr, seed: int = 42) -> np.ndarray:
+    """Stable 64-bit string hash as int64 (the edge-table id dtype)."""
+    return hash_strings_u64(arr, seed=seed).view(np.int64)
+
+
+def lineage_hash(*parts: object) -> str:
+    """Deterministic lineage fingerprint for checkpoint manifests.
+
+    Stable across processes (no PYTHONHASHSEED dependence).
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(repr(p).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
