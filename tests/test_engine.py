@@ -1,0 +1,159 @@
+"""BSP engine tests: PageRank + CC parity with numpy oracles and the
+reference's closed-form assertions, across physical plans
+(FIXTURES.md §4 — the moral of the reference's 24-config matrix,
+totem_common_unittest.h:65-241)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from totem_ray.algs import connected_components, pagerank
+from totem_ray.engine.bsp import BspEngine
+from totem_ray.graph.edges import edges_from_arrays
+from totem_ray.graph.partition import DegreePartitioner, HashPartitioner
+from totem_ray.sources.fixtures import topology_edges
+
+
+def np_pagerank_rounds(n, e, rounds=5, d=0.85):
+    rank = np.full(n, 1.0 / n)
+    deg = np.bincount(e[:, 0].astype(int), minlength=n)
+    for r in range(rounds):
+        mail = np.zeros(n)
+        np.add.at(mail, e[:, 1].astype(int), rank[e[:, 0].astype(int)])
+        new = (1 - d) / n + d * mail
+        if r < rounds - 1:
+            stored = new.copy()
+            nz = deg > 0
+            stored[nz] = new[nz] / deg[nz]
+            rank = stored
+        else:
+            rank = new
+    return rank
+
+
+def np_pagerank_converge(n, e, d=0.85, tol=1e-6):
+    rank = np.full(n, 1.0 / n)
+    deg = np.bincount(e[:, 0].astype(int), minlength=n)
+    while True:
+        contrib = np.zeros(n)
+        nz = deg > 0
+        contrib[nz] = rank[nz] / deg[nz]
+        mail = np.zeros(n)
+        np.add.at(mail, e[:, 1].astype(int), contrib[e[:, 0].astype(int)])
+        new = (1 - d) / n + d * mail
+        if np.abs(new - rank).sum() <= tol:
+            return new
+        rank = new
+
+
+def _ranks(out):
+    return out["result"].to_pandas().sort_values("v")["rank"].to_numpy()
+
+
+@pytest.mark.parametrize("P,partkind", [(1, "hash"), (2, "hash"),
+                                        (4, "hash"), (4, "degree"),
+                                        (8, "hash")])
+def test_pagerank_physical_plan_invariance(P, partkind):
+    n, e = topology_edges("star_1000")
+    ds = edges_from_arrays(e, num_blocks=3)
+    if partkind == "degree":
+        from totem_ray.graph.edges import degree_table
+        part = DegreePartitioner.from_degrees(degree_table(ds), P, alpha=0.3)
+    else:
+        part = HashPartitioner(P)
+    out = pagerank(ds, num_partitions=P, partitioner=part, mode="rounds")
+    got = _ranks(out)
+    exp = np_pagerank_rounds(n, e)
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-12)
+    out["engine"].shutdown()
+
+
+@pytest.mark.parametrize("name", ["chain_100", "grid_15", "star_1000"])
+def test_pagerank_convergence_oracle(name):
+    n, e = topology_edges(name)
+    out = pagerank(edges_from_arrays(e, num_blocks=2), num_partitions=3)
+    assert out["converged"]
+    assert np.allclose(_ranks(out), np_pagerank_converge(n, e),
+                       rtol=0, atol=1e-6)
+    out["engine"].shutdown()
+
+
+def test_pagerank_closed_forms():
+    # chain symmetry (totem_page_rank_unittest.cu:97-104)
+    n, e = topology_edges("chain_100")
+    out = pagerank(edges_from_arrays(e), mode="rounds")
+    r = _ranks(out)
+    assert np.allclose(r, r[::-1])
+    out["engine"].shutdown()
+    # complete graph: all equal (:107-115)
+    n, e = topology_edges("complete_300")
+    out = pagerank(edges_from_arrays(e), mode="rounds")
+    r = _ranks(out)
+    assert np.allclose(r, r[0])
+    out["engine"].shutdown()
+    # star: hub strictly greater, spokes equal (:118-127)
+    n, e = topology_edges("star_1000")
+    out = pagerank(edges_from_arrays(e), mode="rounds")
+    df = out["result"].to_pandas().set_index("v")
+    assert df.loc[0, "rank"] > df.drop(0)["rank"].max()
+    spokes = df.drop(0)["rank"].to_numpy()
+    assert np.allclose(spokes, spokes[0])
+    out["engine"].shutdown()
+
+
+def test_pagerank_single_vertex():
+    # single-vertex graph -> rank 1.0 (totem_page_rank_unittest.cu:88-94)
+    n, e = topology_edges("single_node_loop")
+    out = pagerank(edges_from_arrays(e), num_partitions=2)
+    df = out["result"].to_pandas()
+    assert len(df) == 1 and df.iloc[0]["rank"] == 1.0
+
+
+def test_cc_exact_labels():
+    # 4-component chain: labels {0, 10, 20, 31}
+    # (totem_cc_unittest.cu:114-142)
+    n, e = topology_edges("chain_4_comp_40")
+    out = connected_components(edges_from_arrays(e, num_blocks=3),
+                               num_partitions=4)
+    lab = out["result"].to_pandas().sort_values("v")["label"].to_numpy()
+    exp = np.concatenate([np.full(10, 0), np.full(10, 10),
+                          np.full(11, 20), np.full(9, 31)])
+    assert np.array_equal(lab, exp)
+    out["engine"].shutdown()
+
+
+@pytest.mark.parametrize("P", [1, 2, 4])
+def test_cc_chain_single_component(P):
+    n, e = topology_edges("chain_1000")
+    out = connected_components(edges_from_arrays(e), num_partitions=P)
+    lab = out["result"].to_pandas()["label"].to_numpy()
+    assert (lab == 0).all()
+    out["engine"].shutdown()
+
+
+def test_cc_disconnected_self_labels():
+    # edgeless graph -> label[v] = v (totem_cc_unittest.cu:90-100)
+    vs = ray.data.from_pandas(
+        pd.DataFrame({"v": np.arange(1000, dtype=np.int64)}))
+    out = connected_components(
+        edges_from_arrays(np.empty((0, 2), dtype=np.uint64)),
+        vertices=vs, num_partitions=4)
+    df = out["result"].to_pandas().sort_values("v")
+    assert np.array_equal(df["v"].to_numpy(), df["label"].to_numpy())
+    out["engine"].shutdown()
+
+
+def test_engine_reuse_and_degree_kernel():
+    # one engine, two algorithms (engine reuse is a reference design
+    # goal, totem_engine.cuh:6-10); degree kernel mirrors the engine
+    # unit test's toy algorithm (totem_engine_unittest.cu:159-174)
+    n, e = topology_edges("star_1000")
+    eng = BspEngine(4).build(edges_from_arrays(e))
+    out1 = eng.run("degree", {})
+    df = out1["result"].to_pandas().set_index("v")
+    assert df.loc[0, "in_degree"] == 999
+    assert (df.drop(0)["in_degree"] == 1).all()
+    out2 = eng.run("pagerank", {"mode": "rounds"})
+    assert len(out2["result"].to_pandas()) == n
+    eng.shutdown()

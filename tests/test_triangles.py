@@ -1,0 +1,77 @@
+"""Triangle counting / clustering coefficient tests — exact counts vs
+closed forms and a brute-force oracle
+(clustering_coefficient_sorted_neighbours semantics,
+totem_clustering.cu:368-431; cc formula :422-426)."""
+
+import numpy as np
+import pytest
+
+from totem_ray.algs import clustering_coefficient, triangle_counts
+from totem_ray.graph.edges import edges_from_arrays
+from totem_ray.sources.fixtures import topology_edges
+
+
+def brute_triangles(n, e):
+    adj = [set() for _ in range(n)]
+    for s, d in e:
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+    T = np.zeros(n, dtype=np.int64)
+    for v in range(n):
+        for w in adj[v]:
+            if w > v:
+                for u in adj[v] & adj[w]:
+                    if u > w:
+                        T[v] += 1
+                        T[w] += 1
+                        T[u] += 1
+    return T
+
+
+def test_complete_graph():
+    n, e = topology_edges("complete_300")
+    cc = clustering_coefficient(edges_from_arrays(e, num_blocks=4),
+                                num_buckets=8, num_join_partitions=4).to_pandas()
+    assert len(cc) == 300
+    assert (cc["triangles"] == 299 * 298 // 2).all()
+    assert np.allclose(cc["cc"], 1.0)
+
+
+def test_wheel():
+    n, e = topology_edges("wheel_1000")
+    cc = clustering_coefficient(edges_from_arrays(e), num_buckets=8,
+                                num_join_partitions=4).to_pandas().set_index("v")
+    assert cc.loc[0, "triangles"] == 999      # one per rim edge
+    assert (cc.drop(0)["triangles"] == 2).all()
+    assert np.allclose(cc.drop(0)["cc"], 2 / 3)
+
+
+@pytest.mark.parametrize("name", ["chain_1000", "star_1000", "grid_15"])
+def test_triangle_free(name):
+    n, e = topology_edges(name)
+    cc = clustering_coefficient(edges_from_arrays(e), num_buckets=8,
+                                num_join_partitions=4).to_pandas()
+    assert (cc["triangles"] == 0).all()
+    assert (cc["cc"] == 0).all()
+
+
+def test_rmat_brute_force_oracle():
+    n, e = topology_edges("rmat_s8_ef8")
+    T = brute_triangles(n, e)
+    tri = triangle_counts(edges_from_arrays(e, num_blocks=3), num_buckets=8,
+                          num_join_partitions=4).to_pandas().set_index("v")
+    got = np.zeros(n, dtype=np.int64)
+    got[tri.index.to_numpy()] = tri["triangles"].to_numpy()
+    assert np.array_equal(got, T)
+
+
+def test_multigraph_and_self_loops_ignored():
+    # duplicates + self loops must not change counts (simple-graph
+    # semantics; the reference pre-sorts/dedups via alter sortNbrs)
+    tri_e = np.array([[0, 1], [1, 2], [0, 2]], dtype=np.uint64)
+    noisy = np.concatenate([tri_e, tri_e, [[0, 0], [1, 1]]]).astype(np.uint64)
+    cc = clustering_coefficient(edges_from_arrays(noisy), num_buckets=4,
+                                num_join_partitions=2).to_pandas()
+    assert (cc["triangles"] == 1).all()
+    assert np.allclose(cc["cc"], 1.0)

@@ -1,0 +1,231 @@
+"""BspEngine — driver-orchestrated superstep loop over GraphShard actors.
+
+The Ray analog of Totem's engine lifecycle
+(engine_init -> engine_config -> engine_execute,
+src/totem/totem_engine.cu:379-436,214-234):
+
+* ``build`` — route the edge Dataset into P GraphShard actors via a
+  stateless ``map_batches`` router (data flows worker -> actor through
+  the object store, never through the driver), then a two-phase ghost
+  exchange fixes vertex ownership and inbox maps
+  (partition_set_initialize, totem_partition.cu:596-636).
+* ``run``   — per superstep: every shard computes and publishes dense
+  per-target outboxes to the object store; the driver relays only the
+  ObjectRefs; shards apply their inboxes and vote on termination
+  (superstep_execute + engine_report_not_finished,
+  totem_engine.cu:95-195). Per-superstep comp/comm timers mirror
+  print_timing (totem_benchmark_print.cu:85-105).
+* checkpoints — every ``checkpoint_every`` supersteps each shard
+  atomically writes its state vector with a lineage hash; ``run`` with
+  ``resume=True`` restarts from the newest complete superstep (the
+  north rule's resumable-with-lineage requirement; the reference is
+  fail-stop, SURVEY.md §4.1).
+
+Messages deliberately bypass a Dataset groupby: with P shards the
+exchange is a dense P^2 transfer of pre-reduced arrays — exactly
+Totem's Grooves design (totem_grooves.cu:355-414) — which for
+power-law graphs is strictly less data than an all-to-all row shuffle.
+The object store still provides spilling and node-to-node transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from totem_ray.engine.kernels import KERNELS
+from totem_ray.engine.shard import GraphShard
+from totem_ray.graph.partition import HashPartitioner
+from totem_ray.hashing import lineage_hash
+
+
+class BspEngine:
+    def __init__(self, num_partitions: int = 4, partitioner=None,
+                 num_cpus_per_shard: float = 0):
+        """``num_cpus_per_shard=0`` (default) lets shard actors
+        coexist with Dataset tasks without deadlocking the CPU budget
+        (BSP phases are turn-based; each actor still runs on its own
+        worker process). Reserve real CPUs (e.g. 1.0) for dedicated
+        benchmark runs."""
+        self.P = int(num_partitions)
+        self.partitioner = partitioner or HashPartitioner(self.P)
+        assert self.partitioner.num_partitions == self.P
+        shard_cls = ray.remote(num_cpus=num_cpus_per_shard)(GraphShard)
+        self.shards = [shard_cls.remote(p, self.P) for p in range(self.P)]
+        self.total_vertices = 0
+        self.total_edges = 0
+        self.build_info: list[dict] = []
+
+    def shutdown(self):
+        """Kill the shard actors (frees their state + resources)."""
+        for s in self.shards:
+            ray.kill(s, no_restart=True)
+        self.shards = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    # ------------------------------------------------------------------
+    def build(self, edges_ds, vertices_ds=None) -> "BspEngine":
+        """Route edges (and optionally an explicit vertex universe, for
+        graphs with isolated vertices) into the shards and build CSRs."""
+        shards = self.shards
+        partitioner = self.partitioner
+
+        def route_edges(t: pa.Table) -> pa.Table:
+            src = np.asarray(t["src"])
+            dst = np.asarray(t["dst"])
+            pid = partitioner.pid_np(src)
+            order = np.argsort(pid, kind="stable")
+            bounds = np.searchsorted(pid[order], np.arange(self.P + 1))
+            acks = []
+            for p in range(self.P):
+                lo, hi = bounds[p], bounds[p + 1]
+                if hi > lo:
+                    sel = order[lo:hi]
+                    acks.append(shards[p].ingest_edges.remote(src[sel], dst[sel]))
+            ray.get(acks)  # delivery barrier before this block is marked done
+            return pa.table({"routed": pa.array([t.num_rows], type=pa.int64())})
+
+        edges_ds.select_columns(["src", "dst"]) \
+            .map_batches(route_edges, batch_format="pyarrow").count()
+
+        if vertices_ds is not None:
+            def route_verts(t: pa.Table) -> pa.Table:
+                v = np.unique(np.asarray(t[t.column_names[0]]))
+                pid = partitioner.pid_np(v)
+                acks = [shards[p].ingest_vertices.remote(v[pid == p])
+                        for p in np.unique(pid)]
+                ray.get(acks)
+                return pa.table({"routed": pa.array([len(v)], type=pa.int64())})
+
+            vertices_ds.map_batches(route_verts, batch_format="pyarrow").count()
+
+        # two-phase ghost exchange
+        ghosts = ray.get([s.prepare.remote(partitioner) for s in shards])
+        incoming: list[dict[int, np.ndarray]] = [dict() for _ in range(self.P)]
+        for p, g in enumerate(ghosts):
+            for q, ids in g.items():
+                incoming[q][p] = ids
+        self.build_info = ray.get([s.finalize.remote(incoming[p])
+                                   for p, s in enumerate(shards)])
+        self.total_vertices = sum(i["nv"] for i in self.build_info)
+        self.total_edges = sum(i["ne"] for i in self.build_info)
+        return self
+
+    # ------------------------------------------------------------------
+    def run(self, alg: str, params: dict | None = None,
+            max_supersteps: int = 10_000,
+            checkpoint_dir: str | None = None,
+            checkpoint_every: int = 0,
+            resume: bool = False) -> dict[str, Any]:
+        """Execute a kernel's BSP loop. Returns
+        {result: Dataset, iterations, converged, metrics, lineage}."""
+        params = dict(params or {})
+        kernel = KERNELS[alg]
+        if alg == "pagerank" and "total_vertices" not in params:
+            params["total_vertices"] = self.total_vertices
+        lineage = lineage_hash(alg, sorted(params.items()),
+                               self.partitioner.describe(),
+                               self.total_vertices, self.total_edges)
+
+        start_step = 0
+        restored = False
+        if resume and checkpoint_dir:
+            step = self._latest_checkpoint(checkpoint_dir, lineage)
+            if step is not None:
+                ray.get([s.restore.remote(alg, checkpoint_dir, step, **params)
+                         for s in self.shards])
+                start_step = step + 1
+                restored = True
+        if not restored:
+            ray.get([s.k_init.remote(alg, **params) for s in self.shards])
+
+        metrics: list[dict] = []
+        converged = False
+        step = start_step
+        while step < max_supersteps:
+            t0 = time.perf_counter()
+            outs = ray.get([s.k_compute.remote(alg, step) for s in self.shards])
+            t1 = time.perf_counter()
+            applies = []
+            for q, s in enumerate(self.shards):
+                inbox = {p: outs[p][q] for p in range(self.P) if q in outs[p]}
+                applies.append(s.k_apply.remote(alg, inbox, step))
+            stats = ray.get(applies)
+            t2 = time.perf_counter()
+            agg = _agg_stats(stats)
+            m = {"superstep": step, "comp_ms": (t1 - t0) * 1e3,
+                 "apply_ms": (t2 - t1) * 1e3, **agg}
+            if checkpoint_dir and checkpoint_every and \
+                    (step + 1) % checkpoint_every == 0:
+                ray.get([s.checkpoint.remote(alg, checkpoint_dir, step, lineage)
+                         for s in self.shards])
+                self._write_manifest(checkpoint_dir, step, lineage, m)
+                m["checkpointed"] = True
+            metrics.append(m)
+            if kernel.done(agg, step, params):
+                converged = True
+                step += 1
+                break
+            step += 1
+
+        refs = [s.k_result.remote(alg) for s in self.shards]
+        result = ray.data.from_arrow_refs(refs)
+        return {"result": result, "iterations": step,
+                "supersteps_run": step - start_step,
+                "converged": converged, "metrics": metrics,
+                "lineage": lineage, "resumed_from": start_step if restored else None}
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _manifest_path(ckpt_dir: str, step: int) -> str:
+        return os.path.join(ckpt_dir, f"superstep={step}", "MANIFEST.json")
+
+    def _write_manifest(self, ckpt_dir: str, step: int, lineage: str,
+                        metrics: dict):
+        path = self._manifest_path(ckpt_dir, step)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"superstep": step, "lineage": lineage,
+                       "num_partitions": self.P, "metrics": metrics}, f)
+        os.replace(tmp, path)
+
+    def _latest_checkpoint(self, ckpt_dir: str, lineage: str) -> int | None:
+        if not os.path.isdir(ckpt_dir):
+            return None
+        best = None
+        for name in os.listdir(ckpt_dir):
+            if not name.startswith("superstep="):
+                continue
+            step = int(name.split("=", 1)[1])
+            mp = self._manifest_path(ckpt_dir, step)
+            if not os.path.exists(mp):
+                continue  # incomplete checkpoint (shard died mid-write)
+            with open(mp) as f:
+                man = json.load(f)
+            if man.get("lineage") != lineage or man.get("num_partitions") != self.P:
+                continue
+            parts = [f"part-{p:05d}.parquet" for p in range(self.P)]
+            d = os.path.join(ckpt_dir, name)
+            if all(os.path.exists(os.path.join(d, fp)) for fp in parts):
+                best = step if best is None else max(best, step)
+        return best
+
+
+def _agg_stats(stats: list[dict]) -> dict:
+    agg: dict[str, float] = {}
+    for s in stats:
+        for k, v in s.items():
+            agg[k] = agg.get(k, 0) + v
+    return agg

@@ -1,0 +1,498 @@
+"""BSP vertex kernels — the algorithm plugin surface.
+
+Python analog of Totem's ``engine_config_t`` callback bundle
+(ss_kernel / par_kernel / scatter / gather / init / finalize / aggr,
+src/totem/totem_engine.cuh:114-124): a kernel is a class of
+staticmethods over a GraphShard's CSR state. Register new kernels in
+``KERNELS`` — the user-extension surface (SURVEY.md §2.11).
+
+Message discipline: ``compute`` returns one DENSE numpy array per
+remote partition, aligned to the shard's sorted ghost-id list (the
+grooves outbox, totem_grooves.h:39-50); ``apply`` scatters inboxes
+into local state via the precomputed ``inbox_maps`` (the
+engine_scatter_inbox_{add,min} reductions,
+totem_engine_internal.cuh:116-183).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from totem_ray.nputil import group_ordinal as _group_ordinal
+from totem_ray.nputil import group_starts_sizes, slice_offsets
+
+I64MAX = np.iinfo(np.int64).max
+
+
+def _seg_reduce(tgt: dict[str, np.ndarray], values: np.ndarray, op) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce per-edge values (indexed by tgt['src']) into unique dst
+    indices via ufunc.reduceat over the dst-sorted edge group."""
+    dst = tgt["dst"]
+    boundaries = np.flatnonzero(np.diff(dst)) + 1
+    starts = np.concatenate([[0], boundaries])
+    uniq_dst = dst[starts]
+    red = op.reduceat(values, starts)
+    return uniq_dst, red
+
+
+class PageRankKernel:
+    """PageRank, push direction.
+
+    Two modes:
+    * ``mode='rounds'`` — reference parity: exactly ``rounds``
+      supersteps, damping 0.85, init 1/|V|; round 0 pushes the RAW
+      rank (not degree-normalized), intermediate rounds store r/deg
+      (zero-out-degree guarded as in the hybrid,
+      totem_page_rank_hybrid.cu:153-154), the final round stores the
+      unnormalized rank — exactly page_rank_cpu,
+      src/alg/totem_page_rank.cu:351-409 (PAGE_RANK_ROUNDS=5 and
+      damping, src/alg/totem_alg.h:60,70).
+    * ``mode='converge'`` — the north-rule upgrade: standard power
+      iteration (contrib = r/deg every round, no dangling-mass
+      redistribution, same as the reference's math from round 1 on),
+      float64, until the L1 residual sum|r_k - r_{k-1}| <= tol.
+    """
+
+    name = "pagerank"
+
+    @staticmethod
+    def init(sh, st, total_vertices: int = 0, damping: float = 0.85,
+             mode: str = "converge", rounds: int = 5, tol: float = 1e-6):
+        st["N"] = int(total_vertices)
+        st["d"] = float(damping)
+        st["mode"] = mode
+        st["rounds"] = int(rounds)
+        st["tol"] = float(tol)
+        init = 1.0 / st["N"] if st["N"] else 0.0
+        st["rank"] = np.full(sh.nv, init, dtype=np.float64)
+
+    @staticmethod
+    def _push_values(sh, st, superstep: int) -> np.ndarray:
+        if st["mode"] == "rounds":
+            # stored rank is already normalized after round 0
+            return st["rank"]
+        out = np.zeros(sh.nv, dtype=np.float64)
+        nz = sh.out_deg > 0
+        out[nz] = st["rank"][nz] / sh.out_deg[nz]
+        return out
+
+    @classmethod
+    def compute(cls, sh, st, superstep: int):
+        contrib = cls._push_values(sh, st, superstep)
+        acc = np.zeros(sh.nv, dtype=np.float64)
+        outboxes = {}
+        for t, tgt in sh.tgt.items():
+            vals = contrib[tgt["src"]]
+            if t == sh.pid:
+                acc += np.bincount(tgt["dst"], weights=vals, minlength=sh.nv)
+            else:
+                outboxes[t] = np.bincount(tgt["dst"], weights=vals,
+                                          minlength=tgt["size"])
+        st["acc"] = acc
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        acc = st.pop("acc")
+        for p, arr in inboxes.items():
+            np.add.at(acc, sh.inbox_maps[p], arr)  # one dense slot per sender
+        N, d = st["N"], st["d"]
+        r_new = (1.0 - d) / N + d * acc
+        if st["mode"] == "rounds":
+            if superstep < st["rounds"] - 1:
+                stored = r_new.copy()
+                nz = sh.out_deg > 0
+                stored[nz] = r_new[nz] / sh.out_deg[nz]
+            else:
+                stored = r_new
+            st["rank"] = stored
+            return {"residual": float("inf"), "changed": sh.nv}
+        resid = float(np.abs(r_new - st["rank"]).sum())
+        st["rank"] = r_new
+        return {"residual": resid, "changed": sh.nv}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        if st_params.get("mode", "converge") == "rounds":
+            return superstep + 1 >= st_params.get("rounds", 5)
+        return agg["residual"] <= st_params.get("tol", 1e-6)
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "rank": pa.array(st["rank"], type=pa.float64())})
+
+    @staticmethod
+    def state_table(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "rank": pa.array(st["rank"], type=pa.float64())})
+
+    @staticmethod
+    def load_state(sh, st, t: pa.Table):
+        v = np.asarray(t["v"])
+        r = np.asarray(t["rank"], dtype=np.float64)
+        idx = np.searchsorted(sh.verts, v)
+        rank = np.array(st["rank"])
+        rank[idx] = r
+        st["rank"] = rank
+
+
+class ConnectedComponentsKernel:
+    """Hash-min label propagation (cc_hybrid,
+    src/alg/totem_cc_hybrid.cu): label init = the vertex's own global
+    id (:392-396), every superstep min-combines labels across edges
+    (:51-79 local, :239-263 remote scatter with min), terminating when
+    no label changes anywhere (:74-78). Converged labels = minimum
+    vertex id in each (weakly, as-given-adjacency) component — on a
+    symmetrized graph, the connected component (tests pin exact ids,
+    src/test/totem_cc_unittest.cu:114-142).
+
+    Each superstep is a full edge scan with vectorized segmented min
+    (reduceat over dst-sorted edges) instead of the reference's
+    frontier bitmaps — min is idempotent, and the dense per-ghost
+    message arrays already bound message volume to one int per
+    (shard, remote vertex).
+    """
+
+    name = "connected_components"
+
+    @staticmethod
+    def init(sh, st):
+        st["label"] = sh.verts.copy()
+
+    @staticmethod
+    def compute(sh, st, superstep: int):
+        lab = st["label"]
+        cand = np.full(sh.nv, I64MAX, dtype=np.int64)
+        outboxes = {}
+        for t, tgt in sh.tgt.items():
+            vals = lab[tgt["src"]]
+            if t == sh.pid:
+                ud, red = _seg_reduce(tgt, vals, np.minimum) if len(vals) else (None, None)
+                if ud is not None:
+                    np.minimum.at(cand, ud, red)
+            else:
+                box = np.full(tgt["size"], I64MAX, dtype=np.int64)
+                if len(vals):
+                    ud, red = _seg_reduce(tgt, vals, np.minimum)
+                    box[ud] = red
+                outboxes[t] = box
+        st["cand"] = cand
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        cand = st.pop("cand")
+        for p, arr in inboxes.items():
+            np.minimum.at(cand, sh.inbox_maps[p], arr)
+        new = np.minimum(st["label"], cand)
+        changed = int((new != st["label"]).sum())
+        st["label"] = new
+        return {"changed": changed}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return agg["changed"] == 0
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "label": pa.array(st["label"], type=pa.int64())})
+
+    state_table = result
+
+    @staticmethod
+    def load_state(sh, st, t: pa.Table):
+        v = np.asarray(t["v"])
+        lab = np.asarray(t["label"], dtype=np.int64)
+        idx = np.searchsorted(sh.verts, v)
+        cur = np.array(st["label"])
+        cur[idx] = lab
+        st["label"] = cur
+
+
+class LabelPropagationKernel:
+    """Community label propagation (LabelRank-lite, [Xie 2013]) —
+    sparse reformulation of label_propagation_cpu
+    (src/alg/totem_label_propagation.cu:82-217).
+
+    The reference holds a dense |V| x |V| probability matrix
+    (:176-186); at web scale that is infeasible and the matrix is
+    sparse in practice, so state here is a per-shard COO table
+    (vertex -> [(label, prob)...]) with optional per-vertex support
+    cap for scale (``max_support``; None = exact, used for
+    reference-parity fixtures).
+
+    Exact semantics preserved:
+    * init P[v][v] = 1, P[v][nbr] = 1/deg(v) (net effect of
+      :86-98's overwrite order);
+    * round: P'[v][l] = sum_nbr P[nbr][l] / deg(v) (:100-118),
+      neighbor multiplicity counted;
+    * new label = argmax with strict-``>`` scan from label index 0 —
+      i.e. the LOWEST label id achieving the max (:120-145);
+    * per-vertex stability counters; terminate when every counter
+      >= 5 or after 25 rounds (:17-18, :195-215).
+
+    Determinism: contributions are summed in (neighbor-id, then
+    label) order via a lexsort before reduceat, so sums are bitwise
+    identical under every partitioning (the reference's adjacency-
+    order accumulation, guaranteed by sorted CSR neighbors).
+
+    Pull-direction messages: each round a shard exports the state rows
+    of the vertices its peers reference (GROOVES_PULL gather,
+    totem_page_rank_incoming_hybrid.cu:290-294).
+    """
+
+    name = "label_propagation"
+
+    MAX_ITERATIONS = 25          # totem_label_propagation.cu:17
+    STABLE_ROUNDS = 5            # totem_label_propagation.cu:18
+
+    @staticmethod
+    def init(sh, st, max_support: int | None = None,
+             max_iterations: int | None = None):
+        st["max_support"] = max_support
+        st["max_iterations"] = max_iterations or LabelPropagationKernel.MAX_ITERATIONS
+        # init: diag 1 + neighbor slots 1/deg (overwrite order of
+        # totem_label_propagation.cu:86-98: the neighbor slot wins, so
+        # a self-loop vertex gets P[v][v] = 1/deg, not 1). Vectorized:
+        # one (v, nbr_gid) pair per edge, deduped; diag rows added for
+        # vertices whose own id is not among their neighbors.
+        e_v = np.repeat(np.arange(sh.nv, dtype=np.int64), np.diff(sh.adj_indptr))
+        gids = np.empty(sh.ne, dtype=np.int64)
+        for t in range(sh.P):
+            m = sh.adj_owner == t
+            if not m.any():
+                continue
+            src_ids = sh.verts if t == sh.pid else sh.ghosts[t]
+            gids[m] = src_ids[sh.adj_idx[m]]
+        pairs = np.stack([e_v, gids], axis=1)
+        if len(pairs):
+            pairs = np.unique(pairs, axis=0)
+        row_v, row_l = pairs[:, 0], pairs[:, 1]
+        row_p = 1.0 / sh.out_deg[row_v].astype(np.float64)
+        is_self = row_l == sh.verts[row_v]
+        has_self = np.zeros(sh.nv, dtype=bool)
+        has_self[row_v[is_self]] = True
+        diag_v = np.flatnonzero(~has_self).astype(np.int64)
+        row_v = np.concatenate([row_v, diag_v])
+        row_l = np.concatenate([row_l, sh.verts[diag_v]])
+        row_p = np.concatenate([row_p, np.ones(len(diag_v), dtype=np.float64)])
+        order = np.lexsort((row_l, row_v))
+        st["row_v"], st["row_l"], st["row_p"] = \
+            row_v[order], row_l[order], row_p[order]
+        st["label"] = sh.verts.copy()
+        st["stable"] = np.zeros(sh.nv, dtype=np.int64)
+
+    @staticmethod
+    def _vptr(sh, st):
+        return np.searchsorted(st["row_v"], np.arange(sh.nv + 1))
+
+    @classmethod
+    def compute(cls, sh, st, superstep: int):
+        """Export state rows for each peer's ghost list (pull gather)."""
+        vptr = cls._vptr(sh, st)
+        outboxes = {}
+        for p, idx_arr in sh.inbox_maps.items():
+            counts = vptr[idx_arr + 1] - vptr[idx_arr]
+            total = int(counts.sum())
+            starts = vptr[idx_arr]
+            gather = np.repeat(starts, counts) + \
+                slice_offsets(counts) if total else np.empty(0, np.int64)
+            pos = np.repeat(np.arange(len(idx_arr), dtype=np.int64), counts)
+            outboxes[p] = (pos, st["row_l"][gather], st["row_p"][gather])
+        st["_vptr"] = vptr
+        return outboxes
+
+    @classmethod
+    def apply(cls, sh, st, inboxes, superstep: int) -> dict:
+        vptr = st.pop("_vptr")
+        # ghost state tables per owner: (gptr, labels, probs) aligned
+        # to sh.ghosts[q]
+        gstate = {}
+        for q, (pos, labs, probs) in inboxes.items():
+            size = len(sh.ghosts[q])
+            cnt = np.bincount(pos, minlength=size)
+            gptr = np.concatenate([[0], np.cumsum(cnt)])
+            gstate[q] = (gptr.astype(np.int64), labs, probs)
+
+        # expand: one row per (edge, neighbor-state-entry)
+        exp_v, exp_l, exp_p, exp_n = [], [], [], []
+        for t in range(sh.P):
+            m = sh.adj_owner == t
+            if not m.any():
+                continue
+            e_v = np.repeat(np.arange(sh.nv), np.diff(sh.adj_indptr))[m]
+            e_i = sh.adj_idx[m]
+            if t == sh.pid:
+                ptr, labs, probs = vptr, st["row_l"], st["row_p"]
+                nbr_ids = sh.verts[e_i]
+            else:
+                ptr, labs, probs = gstate[t]
+                nbr_ids = sh.ghosts[t][e_i]
+            counts = ptr[e_i + 1] - ptr[e_i]
+            gather = np.repeat(ptr[e_i], counts) + slice_offsets(counts)
+            exp_v.append(np.repeat(e_v, counts))
+            exp_l.append(labs[gather])
+            exp_p.append(probs[gather])
+            exp_n.append(np.repeat(nbr_ids, counts))
+        if exp_v:
+            V = np.concatenate(exp_v)
+            L = np.concatenate(exp_l)
+            Pr = np.concatenate(exp_p)
+            Nb = np.concatenate(exp_n)
+            # deterministic order: (v, label, neighbor-id)
+            order = np.lexsort((Nb, L, V))
+            V, L, Pr = V[order], L[order], Pr[order]
+            key_change = np.flatnonzero((np.diff(V) != 0) | (np.diff(L) != 0)) + 1
+            starts = np.concatenate([[0], key_change])
+            gv = V[starts]
+            gl = L[starts]
+            gp = np.add.reduceat(Pr, starts)
+            deg = sh.out_deg[gv].astype(np.float64)
+            gp = gp / deg
+        else:
+            gv = np.empty(0, np.int64)
+            gl = np.empty(0, np.int64)
+            gp = np.empty(0, np.float64)
+
+        # optional support cap for web scale (documented truncation)
+        cap = st["max_support"]
+        if cap is not None and len(gv):
+            order = np.lexsort((gl, -gp, gv))  # per v: prob desc, label asc
+            gv, gl, gp = gv[order], gl[order], gp[order]
+            pos_in_group = _group_ordinal(gv)
+            keep = pos_in_group < cap
+            gv, gl, gp = gv[keep], gl[keep], gp[keep]
+            order = np.lexsort((gl, gv))
+            gv, gl, gp = gv[order], gl[order], gp[order]
+
+        st["row_v"], st["row_l"], st["row_p"] = gv, gl, gp
+
+        # argmax with strict-> scan => lowest label id at max prob
+        new_label = sh.verts.copy()  # isolated vertices keep own label
+        if len(gv):
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(gv) != 0) + 1])
+            sizes = np.diff(np.concatenate([starts, [len(gv)]]))
+            gmax = np.maximum.reduceat(gp, starts)
+            is_max = gp == np.repeat(gmax, sizes)
+            grp_of_row = np.repeat(np.arange(len(starts)), sizes)
+            _, first_idx = np.unique(grp_of_row[is_max], return_index=True)
+            winners_rows = np.flatnonzero(is_max)[first_idx]
+            new_label[gv[starts]] = gl[winners_rows]
+
+        same = new_label == st["label"]
+        st["stable"] = np.where(same, st["stable"] + 1, 0)
+        st["label"] = new_label
+        not_stable = int((st["stable"] < LabelPropagationKernel.STABLE_ROUNDS).sum())
+        return {"changed": not_stable, "not_stable": not_stable}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        max_it = st_params.get("max_iterations") or LabelPropagationKernel.MAX_ITERATIONS
+        return agg["not_stable"] == 0 or superstep + 1 >= max_it
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "label": pa.array(st["label"], type=pa.int64())})
+
+    @staticmethod
+    def state_table(sh, st) -> pa.Table:
+        vptr = np.searchsorted(st["row_v"], np.arange(sh.nv + 1))
+        return pa.table({
+            "v": pa.array(sh.verts, type=pa.int64()),
+            "label": pa.array(st["label"], type=pa.int64()),
+            "stable": pa.array(st["stable"], type=pa.int64()),
+            "support_l": pa.array([st["row_l"][vptr[i]:vptr[i + 1]].tolist()
+                                   for i in range(sh.nv)],
+                                  type=pa.list_(pa.int64())),
+            "support_p": pa.array([st["row_p"][vptr[i]:vptr[i + 1]].tolist()
+                                   for i in range(sh.nv)],
+                                  type=pa.list_(pa.float64())),
+        })
+
+    @staticmethod
+    def load_state(sh, st, t: pa.Table):
+        v = np.asarray(t["v"])
+        idx = np.searchsorted(sh.verts, v)
+        assert np.array_equal(sh.verts[idx], v)
+        lab = np.array(st["label"])
+        stab = np.array(st["stable"])
+        lab[idx] = np.asarray(t["label"])
+        stab[idx] = np.asarray(t["stable"])
+        st["label"], st["stable"] = lab, stab
+        sup_l = t["support_l"].combine_chunks()
+        sup_p = t["support_p"].combine_chunks()
+        counts = np.asarray([len(sup_l[i]) for i in range(len(sup_l))])
+        row_v = np.repeat(idx, counts)
+        row_l = np.concatenate([np.asarray(sup_l[i], dtype=np.int64)
+                                for i in range(len(sup_l))]) if counts.sum() else np.empty(0, np.int64)
+        row_p = np.concatenate([np.asarray(sup_p[i], dtype=np.float64)
+                                for i in range(len(sup_p))]) if counts.sum() else np.empty(0, np.float64)
+        order = np.lexsort((row_l, row_v))
+        st["row_v"], st["row_l"], st["row_p"] = row_v[order], row_l[order], row_p[order]
+
+
+class DegreeKernel:
+    """Toy in-degree-by-message kernel, mirroring the reference's
+    engine unit-test algorithm (totem_engine_unittest.cu:159-174):
+    every vertex pushes 1 to each neighbor; after one superstep each
+    vertex holds its in-degree. Used to validate the message plumbing.
+    """
+
+    name = "degree"
+
+    @staticmethod
+    def init(sh, st):
+        st["indeg"] = np.zeros(sh.nv, dtype=np.float64)
+
+    @staticmethod
+    def compute(sh, st, superstep: int):
+        ones = np.ones(sh.nv, dtype=np.float64)
+        acc = np.zeros(sh.nv, dtype=np.float64)
+        outboxes = {}
+        for t, tgt in sh.tgt.items():
+            vals = ones[tgt["src"]]
+            if t == sh.pid:
+                acc += np.bincount(tgt["dst"], weights=vals, minlength=sh.nv)
+            else:
+                outboxes[t] = np.bincount(tgt["dst"], weights=vals,
+                                          minlength=tgt["size"])
+        st["acc"] = acc
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        acc = st.pop("acc")
+        for p, arr in inboxes.items():
+            np.add.at(acc, sh.inbox_maps[p], arr)
+        st["indeg"] = acc
+        return {"changed": 0}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return True
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "in_degree": pa.array(st["indeg"].astype(np.int64))})
+
+    state_table = result
+
+    @staticmethod
+    def load_state(sh, st, t):
+        idx = np.searchsorted(sh.verts, np.asarray(t["v"]))
+        st["indeg"][idx] = np.asarray(t["in_degree"], dtype=np.float64)
+
+
+KERNELS = {
+    PageRankKernel.name: PageRankKernel,
+    ConnectedComponentsKernel.name: ConnectedComponentsKernel,
+    LabelPropagationKernel.name: LabelPropagationKernel,
+    DegreeKernel.name: DegreeKernel,
+}

@@ -1,0 +1,208 @@
+"""GraphShard — the stateful partition actor.
+
+One shard owns one graph partition, playing the role of Totem's
+``partition_t`` (src/totem/totem_partition.h:72-122): a local CSR over
+the partition's vertices plus the message plumbing Totem calls Grooves
+(src/totem/totem_grooves.h:39-50). Concretely:
+
+* ``verts``            — sorted global ids owned by this shard
+  (ownership = partitioner.pid_np(id); replaces Totem's dense
+  renumbering + ``id_in_partition`` map, totem_partition.cu:476-490 —
+  local index = ``searchsorted(verts, id)``).
+* per-target edge groups — for every target partition t, the edges
+  whose dst is owned by t, sorted by destination index with reduceat
+  segment boundaries: the vectorized equivalent of Totem's
+  per-remote-partition outbox tables with contiguously renumbered
+  remote neighbors (init_get_rmt_nbrs,
+  totem_grooves_internal.cc:111-150). Message payloads are DENSE
+  arrays aligned to the sorted ghost-id list, so a superstep ships
+  one float per (shard, remote-vertex) pair — the pre-aggregation
+  that tames power-law fan-in (SURVEY.md §7.0).
+* ``inbox_maps[p]``    — local indices of the vertices shard p
+  references, aligned to p's ghost list (the scatter side of
+  engine_scatter_inbox_*, totem_engine_internal.cuh:116-183).
+* src-major adjacency  — (owner, idx) per edge for pull-style kernels
+  (label propagation), mirroring GROOVES_PULL
+  (totem_page_rank_incoming_hybrid.cu:244-294).
+
+The actor builds all of this ONCE (engine reuse across algorithms is
+an explicit reference design goal, totem_engine.cuh:6-10) and then
+runs any registered kernel's supersteps over it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from totem_ray.engine.kernels import KERNELS
+
+I64MAX = np.iinfo(np.int64).max
+
+
+class GraphShard:
+    def __init__(self, pid: int, num_partitions: int):
+        self.pid = pid
+        self.P = num_partitions
+        self._edge_chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self._vert_chunks: list[np.ndarray] = []
+        self.state: dict[str, dict[str, Any]] = {}
+
+    # ------------------------------------------------------------------
+    # build phase
+    # ------------------------------------------------------------------
+    def ingest_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+        self._edge_chunks.append((np.asarray(src, dtype=np.int64),
+                                  np.asarray(dst, dtype=np.int64)))
+        return len(src)
+
+    def ingest_vertices(self, ids: np.ndarray) -> int:
+        self._vert_chunks.append(np.asarray(ids, dtype=np.int64))
+        return len(ids)
+
+    def prepare(self, partitioner) -> dict[int, np.ndarray]:
+        """Phase 1: classify edge destinations by owner; return the
+        sorted unique ghost-id list per remote partition (this shard's
+        outbox registration, grooves_internal.cc:21-109)."""
+        if self._edge_chunks:
+            self._src = np.concatenate([c[0] for c in self._edge_chunks])
+            self._dst = np.concatenate([c[1] for c in self._edge_chunks])
+        else:
+            self._src = np.empty(0, dtype=np.int64)
+            self._dst = np.empty(0, dtype=np.int64)
+        self._edge_chunks = []
+        self._dst_owner = partitioner.pid_np(self._dst) if len(self._dst) \
+            else np.empty(0, dtype=np.int64)
+        ghosts: dict[int, np.ndarray] = {}
+        for q in range(self.P):
+            if q == self.pid:
+                continue
+            ids = np.unique(self._dst[self._dst_owner == q])
+            if len(ids):
+                ghosts[q] = ids
+        self.ghosts = ghosts
+        return ghosts
+
+    def finalize(self, incoming: dict[int, np.ndarray]) -> dict:
+        """Phase 2: fix the owned vertex set (srcs + locally-owned dsts
+        + explicitly routed vertices + vertices other shards reference),
+        build the CSR views and inbox maps."""
+        parts = [self._src]
+        if len(self._dst):
+            parts.append(self._dst[self._dst_owner == self.pid])
+        if self._vert_chunks:
+            parts.extend(self._vert_chunks)
+        parts.extend(incoming.values())
+        self.verts = np.unique(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
+        self.nv = len(self.verts)
+        self.ne = len(self._src)
+        self._vert_chunks = []
+
+        # inbox maps: p's ghost list order -> my local indices
+        self.inbox_maps = {p: np.searchsorted(self.verts, ids)
+                           for p, ids in incoming.items()}
+
+        src_idx = np.searchsorted(self.verts, self._src)
+        self.out_deg = np.bincount(src_idx, minlength=self.nv).astype(np.int64)
+
+        # per-target dst-sorted edge groups (push direction)
+        self.tgt: dict[int, dict[str, np.ndarray]] = {}
+        # src-major adjacency with (owner, idx) codes (pull direction)
+        order_src = np.argsort(src_idx, kind="stable")
+        self.adj_indptr = np.searchsorted(src_idx[order_src],
+                                          np.arange(self.nv + 1))
+        self.adj_owner = self._dst_owner[order_src].astype(np.int32)
+        adj_idx = np.empty(self.ne, dtype=np.int64)
+
+        for t in range(self.P):
+            mask = self._dst_owner == t
+            if not mask.any():
+                continue
+            e_s = src_idx[mask]
+            if t == self.pid:
+                e_d = np.searchsorted(self.verts, self._dst[mask])
+                size = self.nv
+            else:
+                e_d = np.searchsorted(self.ghosts[t], self._dst[mask])
+                size = len(self.ghosts[t])
+            order = np.argsort(e_d, kind="stable")
+            self.tgt[t] = {"src": e_s[order], "dst": e_d[order], "size": size}
+
+        # fill adjacency idx codes in src-major order
+        mask_local = self._dst_owner == self.pid
+        tmp_idx = np.empty(self.ne, dtype=np.int64)
+        if mask_local.any():
+            tmp_idx[mask_local] = np.searchsorted(self.verts, self._dst[mask_local])
+        for q, g in self.ghosts.items():
+            m = self._dst_owner == q
+            tmp_idx[m] = np.searchsorted(g, self._dst[m])
+        adj_idx[:] = tmp_idx[order_src]
+        self.adj_idx = adj_idx
+
+        # free raw edge arrays except what's needed
+        del self._src, self._dst, self._dst_owner
+        return {"pid": self.pid, "nv": self.nv, "ne": self.ne,
+                "ghost_vertices": int(sum(len(g) for g in self.ghosts.values()))}
+
+    # ------------------------------------------------------------------
+    # kernel dispatch (the engine_config callback surface,
+    # totem_engine.cuh:114-124)
+    # ------------------------------------------------------------------
+    def k_init(self, alg: str, **params) -> dict:
+        st: dict[str, Any] = {}
+        KERNELS[alg].init(self, st, **params)
+        self.state[alg] = st
+        return {"pid": self.pid}
+
+    def k_compute(self, alg: str, superstep: int) -> dict[int, Any]:
+        """Compute phase: returns {target_pid: outbox_ref}. Outboxes go
+        straight into the object store (``ray.put``) so the driver only
+        relays references — data moves shard-to-shard."""
+        out = KERNELS[alg].compute(self, self.state[alg], superstep)
+        return {q: ray.put(v) for q, v in out.items()} if out else {}
+
+    def k_apply(self, alg: str, inboxes: dict[int, Any], superstep: int) -> dict:
+        fetched = {p: ray.get(r) for p, r in inboxes.items()}
+        return KERNELS[alg].apply(self, self.state[alg], fetched, superstep)
+
+    def k_result(self, alg: str) -> pa.Table:
+        return KERNELS[alg].result(self, self.state[alg])
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (north rule: resumable with per-partition
+    # lineage; the reference has no equivalent — fail-stop, SURVEY §4.1)
+    # ------------------------------------------------------------------
+    def checkpoint(self, alg: str, ckpt_dir: str, superstep: int,
+                   lineage: str) -> str:
+        import pyarrow.parquet as pq
+
+        t = KERNELS[alg].state_table(self, self.state[alg])
+        t = t.replace_schema_metadata({b"superstep": str(superstep).encode(),
+                                       b"lineage": lineage.encode()})
+        d = os.path.join(ckpt_dir, f"superstep={superstep}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"part-{self.pid:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)  # atomic publish
+        return path
+
+    def restore(self, alg: str, ckpt_dir: str, superstep: int, **params) -> dict:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(ckpt_dir, f"superstep={superstep}",
+                            f"part-{self.pid:05d}.parquet")
+        t = pq.read_table(path)
+        st = self.state.setdefault(alg, {})
+        KERNELS[alg].init(self, st, **params)
+        KERNELS[alg].load_state(self, st, t)
+        return {"pid": self.pid, "superstep": superstep}
+
+    # ------------------------------------------------------------------
+    def info(self) -> dict:
+        return {"pid": self.pid, "nv": self.nv, "ne": self.ne}

@@ -1,0 +1,132 @@
+"""Distributed joins / lookups.
+
+The reference's joins are dense-array hash lookups
+(``id_in_partition``, totem_partition.cu:476-490; ghost renumbering,
+totem_grooves_internal.cc:44-62 — literally a hash-join build side).
+Here:
+
+* ``broadcast_lookup`` — small side broadcast via ``ray.put`` +
+  sorted-array searchsorted per batch (the get_subgraph mask pattern,
+  totem_graph.cu:409-466). No shuffle.
+* ``hash_join`` — both sides large: explicit partitioned hash join.
+  Both inputs get a ``bucket = hash(key) % B`` column, are unioned
+  with a side tag, shuffled ONCE by bucket, and each bucket is merged
+  vectorized (pandas) inside ``map_groups``. This is the portable
+  pattern; Ray's native ``Dataset.join`` (2.49) mis-handles empty
+  blocks, so we keep our own.
+
+Skew note: a hot join key salts into sub-buckets only if the caller
+pre-salts; for graph workloads our keys are (vertex id) or (id pair),
+whose hash distribution is uniform by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from totem_ray.hashing import hash_partition, splitmix64, as_u64
+
+
+def broadcast_lookup(ds, small_df: pd.DataFrame, key: str, on: str,
+                     columns: list[str] | None = None):
+    """Attach columns of a SMALL table (one ray.put, read per actor)
+    to a large Dataset by equality on ``on`` == small[key]."""
+    small = small_df.sort_values(key)
+    keys = small[key].to_numpy()
+    cols = {c: small[c].to_numpy() for c in (columns or
+                                             [c for c in small.columns if c != key])}
+    ref = ray.put((keys, cols))
+
+    class Lookup:
+        def __init__(self):
+            self.keys, self.cols = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = np.asarray(t[on])
+            idx = np.searchsorted(self.keys, v)
+            idx_c = np.minimum(idx, len(self.keys) - 1) if len(self.keys) else idx
+            ok = (len(self.keys) > 0) & (self.keys[idx_c] == v) if len(self.keys) \
+                else np.zeros(len(v), dtype=bool)
+            out = t
+            ok = np.asarray(ok, dtype=bool)
+            for name, arr in self.cols.items():
+                vals = arr[idx_c] if len(self.keys) else np.zeros(len(v), arr.dtype)
+                out = out.append_column(name, pa.array(vals, mask=~ok))
+            return out
+
+    return ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _key_hash(t: pa.Table, on: list[str], num_buckets: int) -> np.ndarray:
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for c in on:
+        h = splitmix64(h ^ as_u64(np.asarray(t[c])))
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def hash_join(left, right, on: list[str] | str, how: str = "inner",
+              num_buckets: int = 64,
+              left_cols: list[str] | None = None,
+              right_cols: list[str] | None = None):
+    """Partitioned hash join of two Datasets on equality of ``on``
+    columns (same names both sides). Non-key column names must be
+    disjoint. ``how`` in {'inner', 'left'}. Pass left_cols/right_cols
+    when a side may be empty (schema unavailable)."""
+    on = [on] if isinstance(on, str) else list(on)
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = left_cols or (lschema.names if lschema else None)
+    rcols = right_cols or (rschema.names if rschema else None)
+    if lcols is None or rcols is None:
+        raise ValueError("empty side with unknown schema: pass "
+                         "left_cols/right_cols explicitly")
+    lval = [c for c in lcols if c not in on]
+    rval = [c for c in rcols if c not in on]
+    clash = set(lval) & set(rval)
+    if clash:
+        raise ValueError(f"non-key column clash: {clash}")
+
+    def tagger(side: int, other_vals: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {c: t[c] for c in t.column_names}
+            for c in other_vals:
+                cols[c] = pa.nulls(t.num_rows)
+            cols["_side"] = pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            cols["_bucket"] = pa.array(_key_hash(t, on, num_buckets))
+            order = on + lval + rval + ["_side", "_bucket"]
+            return pa.table({c: cols[c] for c in order})
+        return fn
+
+    tagged = left.map_batches(tagger(0, rval), batch_format="pyarrow").union(
+        right.map_batches(tagger(1, lval), batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][on + lval]
+        r = df[df["_side"] == 1][on + rval]
+        out = l.merge(r, on=on, how="inner" if how == "inner" else "left")
+        return out
+
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def semi_join_broadcast(ds, keys: np.ndarray, on: str, anti: bool = False):
+    """Semi/anti join against a broadcast key set (frontier/mask
+    pattern)."""
+    ks = np.sort(np.asarray(keys))
+    ref = ray.put(ks)
+
+    class F:
+        def __init__(self):
+            self.ks = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = np.asarray(t[on])
+            idx = np.searchsorted(self.ks, v)
+            idx_c = np.minimum(idx, max(len(self.ks) - 1, 0))
+            ok = (self.ks[idx_c] == v) if len(self.ks) else np.zeros(len(v), bool)
+            return t.filter(pa.array(~ok if anti else ok))
+
+    return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 8))

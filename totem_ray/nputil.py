@@ -1,0 +1,43 @@
+"""Small vectorized numpy helpers shared by kernels and pipelines."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def slice_offsets(counts: np.ndarray) -> np.ndarray:
+    """Per-slice offsets for vectorized slice-gather:
+    [3, 0, 2] -> [0, 1, 2, 0, 1]. Zero counts allowed."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    grp = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total, dtype=np.int64) - starts[grp]
+
+
+def slice_gather(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Indices gathering [starts[i], starts[i]+counts[i]) slices,
+    concatenated."""
+    return np.repeat(np.asarray(starts, dtype=np.int64), counts) + \
+        slice_offsets(counts)
+
+
+def group_starts_sizes(keys_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, sizes) of contiguous equal-key runs in a sorted array."""
+    n = len(keys_sorted)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(keys_sorted) != 0) + 1])
+    sizes = np.diff(np.concatenate([starts, [n]]))
+    return starts, sizes
+
+
+def group_ordinal(keys_sorted: np.ndarray) -> np.ndarray:
+    """Position of each row within its (sorted, contiguous) key group."""
+    n = len(keys_sorted)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    starts, sizes = group_starts_sizes(keys_sorted)
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
