@@ -1,16 +1,21 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one. The
+driver runs both at sf=0.01 and compares row-count + schema +
+order-insensitive value-hash.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The graph under test is the co-purchase part graph derived from
+``lineitem`` (parts linked iff they appear in the same order) — a
+deterministic, SQL-reproducible stand-in for the url-hashed web link
+graph the engine targets (see totem_ray/pipelines/tpch_graph.py).
+Float columns are rounded identically on both sides (different
+summation orders agree to ~1e-15 relative; rounding to 6-8 decimals
+makes the value-hash stable).
+
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +23,583 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
 
+DAMPING = 0.85
+
+_COPURCHASE_SQL = """
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+
+_PAIR_STREAM_SQL = """
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+def _round_col(ds, col: str, digits: int):
+    def fn(t: pa.Table) -> pa.Table:
+        vals = np.round(np.asarray(t[col], dtype=np.float64), digits)
+        i = t.column_names.index(col)
+        return t.set_column(i, col, pa.array(vals, type=pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _run_bsp(sf_dir: str, alg: str, params: dict, num_partitions: int = 4):
+    from totem_ray.engine.bsp import BspEngine
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    eng = BspEngine(num_partitions).build(copurchase_edges(sf_dir))
+    out = eng.run(alg, params)
+    df = out["result"].to_pandas()
+    eng.shutdown()
+    return out, df
+
+
+# ----------------------------------------------------------------------
+# query implementations
+# ----------------------------------------------------------------------
+def q_copurchase_edges(sf_dir: str):
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    return copurchase_edges(sf_dir)
+
+
+def q_copurchase_degree(sf_dir: str):
+    from totem_ray.graph.edges import degree_table
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    return degree_table(copurchase_edges(sf_dir), alias="degree")
+
+
+def q_copurchase_degree_histogram(sf_dir: str):
+    from totem_ray.graph.analysis import degree_histogram
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    return degree_histogram(copurchase_edges(sf_dir))
+
+
+def q_copurchase_repeated_pairs(sf_dir: str):
+    from totem_ray.graph.analysis import repeated_edges
+    from totem_ray.pipelines.tpch_graph import copurchase_pair_stream
+
+    return repeated_edges(copurchase_pair_stream(sf_dir))
+
+
+def q_orders_edges_reversed(sf_dir: str):
+    from totem_ray.graph.edges import reverse_edges
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["o_custkey"].combine_chunks().cast(pa.int64()),
+                         "dst": t["o_orderkey"].combine_chunks().cast(pa.int64())})
+
+    return reverse_edges(orders.map_batches(to_edges, batch_format="pyarrow"))
+
+
+def q_orders_symmetry_violations(sf_dir: str):
+    from totem_ray.graph.analysis import check_symmetry
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["o_custkey"].combine_chunks().cast(pa.int64()),
+                         "dst": t["o_orderkey"].combine_chunks().cast(pa.int64())})
+
+    return check_symmetry(orders.map_batches(to_edges, batch_format="pyarrow"))
+
+
+def q_subgraph_high_degree(sf_dir: str, min_degree: int = 100):
+    from totem_ray.graph.edges import degree_table, subgraph
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir)
+    deg = degree_table(edges, alias="degree").to_pandas()
+    keep = deg[deg["degree"] >= min_degree]["v"].to_numpy()
+    return subgraph(edges, keep)
+
+
+def q_pagerank_5round(sf_dir: str):
+    out, df = _run_bsp(sf_dir, "pagerank", {"mode": "rounds", "rounds": 5,
+                                            "damping": DAMPING})
+    df["rank_r8"] = np.round(df.pop("rank").to_numpy(), 8)
+    return df
+
+
+def q_pagerank_converge(sf_dir: str):
+    out, df = _run_bsp(sf_dir, "pagerank", {"mode": "converge", "tol": 1e-6,
+                                            "damping": DAMPING})
+    df["iterations"] = out["iterations"]
+    return df
+
+
+def q_cc(sf_dir: str):
+    _, df = _run_bsp(sf_dir, "connected_components", {})
+    return df
+
+
+def q_in_degree_kernel(sf_dir: str):
+    _, df = _run_bsp(sf_dir, "degree", {})
+    df["in_degree"] = df["in_degree"].astype(np.int64)
+    return df
+
+
+def q_labelprop(sf_dir: str):
+    _, df = _run_bsp(sf_dir, "label_propagation",
+                     {"max_support": 16, "max_iterations": 8})
+    return df
+
+
+def q_triangles(sf_dir: str):
+    from totem_ray.algs import triangle_counts
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    return triangle_counts(copurchase_edges(sf_dir), num_buckets=32,
+                           num_join_partitions=16)
+
+
+def q_clustering_coefficient(sf_dir: str):
+    from totem_ray.algs import clustering_coefficient
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    cc = clustering_coefficient(copurchase_edges(sf_dir), num_buckets=32,
+                                num_join_partitions=16)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": t["v"],
+            "triangles": t["triangles"],
+            "degree": t["degree"],
+            "cc_r8": pa.array(np.round(np.asarray(t["cc"], dtype=np.float64), 8),
+                              type=pa.float64()),
+        })
+
+    return cc.map_batches(fin, batch_format="pyarrow")
+
+
+def q_tpch_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="n_rows"))
+    return _round_col(out, "sum_qty", 6)
+
+
+def q_doc_token_stats(sf_dir: str):
+    from totem_ray.functions.text import token_stats
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    return token_stats(read_table(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    from totem_ray.functions.dedup import exact_dedup
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    return exact_dedup(read_table(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
+def q_doc_quality(sf_dir: str):
+    from totem_ray.functions.text import quality_scores
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    return quality_scores(read_table(sf_dir, "documents",
+                                     columns=["doc_id", "text"]))
+
+
+def q_doc_lang_id(sf_dir: str):
+    from totem_ray.functions.text import lang_id
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    return lang_id(read_table(sf_dir, "documents",
+                              columns=["doc_id", "text"]))
+
+
+def q_doc_minhash_dedup(sf_dir: str):
+    from totem_ray.functions.dedup import minhash_dedup_groups
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    return minhash_dedup_groups(read_table(sf_dir, "documents",
+                                           columns=["doc_id", "text"]),
+                                tau=0.5)
+
+
+def q_doc_simhash_pairs(sf_dir: str):
+    from totem_ray.functions.dedup import simhash_near_dup_pairs
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    return simhash_near_dup_pairs(read_table(sf_dir, "documents",
+                                             columns=["doc_id", "text"]),
+                                  max_hamming=8)
+
+
+def q_doc_ngram_jaccard(sf_dir: str):
+    from totem_ray.functions.dedup import ngram_jaccard_pairs
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    out = ngram_jaccard_pairs(read_table(sf_dir, "documents",
+                                         columns=["doc_id", "text"]),
+                              tau=0.3)
+    return _round_col(out, "jaccard", 8)
+
+
+def q_emb_near_dup(sf_dir: str):
+    from totem_ray.functions.dedup import embedding_near_dup_pairs
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    emb = read_table(sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, tau=0.25, block_col="label")
+    return pairs.select_columns(["a", "b"])
+
+
+def q_knn_top10(sf_dir: str):
+    from totem_ray.functions.similarity import knn_brute_force
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    emb = read_table(sf_dir, "embeddings")
+    qdf = emb.filter(expr="vec_id < 5").to_pandas()
+    queries = np.stack(qdf["embedding"].to_numpy())
+    out = knn_brute_force(emb, queries, qdf["vec_id"].to_numpy(), k=10)
+    return out[["query_id", "neighbor_id", "knn_rank"]]
+
+
+def q_knn_ivf(sf_dir: str):
+    from totem_ray.functions.similarity import knn_ivf
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    emb = read_table(sf_dir, "embeddings")
+    qdf = emb.filter(expr="vec_id < 5").to_pandas()
+    queries = np.stack(qdf["embedding"].to_numpy())
+    out = knn_ivf(emb, queries, qdf["vec_id"].to_numpy(), k=10,
+                  ncells=8, nprobe=3)
+    return out[["query_id", "neighbor_id", "knn_rank"]]
+
+
+def q_events_hourly(sf_dir: str):
+    from totem_ray.functions.windows import tumbling_window
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = tumbling_window(ev, width_s=3600)
+    out = out.drop_columns(["avg_value"])
+    return _round_col(out, "sum_value", 6)
+
+
+def q_events_sessions(sf_dir: str):
+    from totem_ray.functions.windows import session_windows
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return session_windows(ev, gap_s=1800)
+
+
+def q_events_asof_last_order(sf_dir: str):
+    from totem_ray.functions.windows import as_of_join
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                                   "o_orderdate",
+                                                   "o_totalprice"])
+    events = read_table(sf_dir, "events", columns=["user_id", "ts",
+                                                   "event_id"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["o_custkey"].combine_chunks().cast(pa.int64()),
+                         "o_orderdate": t["o_orderdate"],
+                         "o_orderkey": t["o_orderkey"],
+                         "o_totalprice": t["o_totalprice"]})
+
+    def o_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic tie-break: keep max o_orderkey per (cust, date)
+        df = df.sort_values(["user_id", "o_orderdate", "o_orderkey"],
+                            kind="stable")
+        return df.groupby(["user_id", "o_orderdate"], as_index=False).last()
+
+    ord_d = orders.map_batches(o_prep, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column("_b", pa.array(
+            (np.asarray(t["user_id"]) % 16).astype(np.int64))),
+        batch_format="pyarrow").groupby("_b").map_groups(
+        o_dedup, batch_format="pandas").drop_columns(["_b"])
+    joined = as_of_join(events, ord_d, key="user_id", ts_left="ts",
+                        ts_right="o_orderdate",
+                        value_cols=["o_orderkey", "o_totalprice"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["l_event_id"],
+            "last_orderkey": t["r_o_orderkey"],
+            "last_totalprice": t["r_o_totalprice"],
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def q_multimodal_decode(sf_dir: str):
+    import ray.data
+    from totem_ray.functions.multimodal import (decode_images,
+                                                synthetic_media_table)
+
+    media = ray.data.from_arrow(synthetic_media_table(n=96))
+    imgs = media.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["media_type"], "image")),
+        batch_format="pyarrow")
+    out = decode_images(imgs, batch_size=16)
+    return _round_col(_round_col(_round_col(out, "mean_r", 6),
+                                 "mean_g", 6), "mean_b", 6)
+
+
+# ----------------------------------------------------------------------
+# contract functions
+# ----------------------------------------------------------------------
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: lineitem -> co-purchase link graph
+    -> BSP PageRank to convergence -> (v, rank) Dataset."""
+    sf_dir = "/root/testdata/sf0.001"
+    out, df = _run_bsp(sf_dir, "pagerank", {"mode": "converge", "tol": 1e-6})
+    return df
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "copurchase_edges": q_copurchase_edges,
+        "copurchase_degree": q_copurchase_degree,
+        "copurchase_degree_histogram": q_copurchase_degree_histogram,
+        "copurchase_repeated_pairs": q_copurchase_repeated_pairs,
+        "orders_edges_reversed": q_orders_edges_reversed,
+        "orders_symmetry_violations": q_orders_symmetry_violations,
+        "subgraph_high_degree": q_subgraph_high_degree,
+        "pagerank_copurchase_5round": q_pagerank_5round,
+        "pagerank_copurchase_converge": q_pagerank_converge,
+        "cc_copurchase": q_cc,
+        "in_degree_copurchase": q_in_degree_kernel,
+        "labelprop_copurchase": q_labelprop,
+        "triangles_copurchase": q_triangles,
+        "clustering_coefficient_copurchase": q_clustering_coefficient,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_minhash_dedup": q_doc_minhash_dedup,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "emb_near_dup": q_emb_near_dup,
+        "knn_top10": q_knn_top10,
+        "knn_ivf": q_knn_ivf,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_asof_last_order": q_events_asof_last_order,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "copurchase_edges": f"SELECT src, dst FROM ({_COPURCHASE_SQL})",
+        "copurchase_degree": f"""
+            SELECT src AS v, COUNT(*) AS degree
+            FROM ({_COPURCHASE_SQL}) GROUP BY src
+        """,
+        "copurchase_degree_histogram": f"""
+            WITH deg AS (SELECT src, COUNT(*) AS degree
+                         FROM ({_COPURCHASE_SQL}) GROUP BY src)
+            SELECT degree, COUNT(*) AS num_vertices FROM deg GROUP BY degree
+        """,
+        "copurchase_repeated_pairs": f"""
+            SELECT src, dst, COUNT(*) AS multiplicity
+            FROM ({_PAIR_STREAM_SQL})
+            GROUP BY src, dst HAVING COUNT(*) > 1
+        """,
+        "orders_edges_reversed": """
+            SELECT o_orderkey AS src, o_custkey AS dst FROM orders
+        """,
+        "orders_symmetry_violations": """
+            WITH tagged AS (
+              SELECT o_custkey AS src, o_orderkey AS dst, 1 AS f, 0 AS r
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey AS src, o_custkey AS dst, 0 AS f, 1 AS r
+              FROM orders)
+            SELECT src, dst, SUM(f) AS fwd, SUM(r) AS rev
+            FROM tagged GROUP BY src, dst HAVING SUM(f) <> SUM(r)
+        """,
+        "subgraph_high_degree": f"""
+            WITH e AS ({_COPURCHASE_SQL}),
+            deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+            keep AS (SELECT v FROM deg WHERE d >= 100)
+            SELECT e.src, e.dst FROM e
+            JOIN keep ks ON e.src = ks.v
+            JOIN keep kd ON e.dst = kd.v
+        """,
+        "pagerank_copurchase_5round": f"""
+            WITH e AS ({_COPURCHASE_SQL}),
+            deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+            nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+            p0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS c FROM deg),
+            r1 AS (SELECT e.dst AS v,
+                          (1 - {DAMPING}) / (SELECT n FROM nv)
+                          + {DAMPING} * SUM(p.c) AS r
+                   FROM e JOIN p0 p ON p.v = e.src GROUP BY e.dst),
+            p1 AS (SELECT r1.v, r1.r / deg.d AS c FROM r1
+                   JOIN deg ON deg.v = r1.v),
+            r2 AS (SELECT e.dst AS v,
+                          (1 - {DAMPING}) / (SELECT n FROM nv)
+                          + {DAMPING} * SUM(p.c) AS r
+                   FROM e JOIN p1 p ON p.v = e.src GROUP BY e.dst),
+            p2 AS (SELECT r2.v, r2.r / deg.d AS c FROM r2
+                   JOIN deg ON deg.v = r2.v),
+            r3 AS (SELECT e.dst AS v,
+                          (1 - {DAMPING}) / (SELECT n FROM nv)
+                          + {DAMPING} * SUM(p.c) AS r
+                   FROM e JOIN p2 p ON p.v = e.src GROUP BY e.dst),
+            p3 AS (SELECT r3.v, r3.r / deg.d AS c FROM r3
+                   JOIN deg ON deg.v = r3.v),
+            r4 AS (SELECT e.dst AS v,
+                          (1 - {DAMPING}) / (SELECT n FROM nv)
+                          + {DAMPING} * SUM(p.c) AS r
+                   FROM e JOIN p3 p ON p.v = e.src GROUP BY e.dst),
+            p4 AS (SELECT r4.v, r4.r / deg.d AS c FROM r4
+                   JOIN deg ON deg.v = r4.v),
+            r5 AS (SELECT e.dst AS v,
+                          (1 - {DAMPING}) / (SELECT n FROM nv)
+                          + {DAMPING} * SUM(p.c) AS r
+                   FROM e JOIN p4 p ON p.v = e.src GROUP BY e.dst)
+            SELECT v, ROUND(r, 8) AS rank_r8 FROM r5
+        """,
+        "cc_copurchase": f"""
+            WITH RECURSIVE e AS ({_COPURCHASE_SQL}),
+            verts AS (SELECT DISTINCT src AS v FROM e),
+            walk(v, label) AS (
+              SELECT v, v FROM verts
+              UNION
+              SELECT e.dst, w.label FROM walk w
+              JOIN e ON e.src = w.v WHERE w.label < e.dst
+            )
+            SELECT v, MIN(label) AS label FROM walk GROUP BY v
+        """,
+        "in_degree_copurchase": f"""
+            SELECT dst AS v, COUNT(*) AS in_degree
+            FROM ({_COPURCHASE_SQL}) GROUP BY dst
+        """,
+        "triangles_copurchase": f"""
+            WITH e AS ({_COPURCHASE_SQL}),
+            deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+            o AS (SELECT e.src AS a, e.dst AS b FROM e
+                  JOIN deg ds ON ds.v = e.src JOIN deg dd ON dd.v = e.dst
+                  WHERE ds.d < dd.d OR (ds.d = dd.d AND e.src < e.dst)),
+            oc AS (SELECT LEAST(a, b) AS lo, GREATEST(a, b) AS hi FROM o),
+            tri AS (SELECT w1.a AS u,
+                           LEAST(w1.b, w2.b) AS x,
+                           GREATEST(w1.b, w2.b) AS y
+                    FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.b < w2.b
+                    JOIN oc e2 ON e2.lo = LEAST(w1.b, w2.b)
+                              AND e2.hi = GREATEST(w1.b, w2.b)),
+            credits AS (
+              SELECT u AS v FROM tri
+              UNION ALL SELECT x FROM tri
+              UNION ALL SELECT y FROM tri)
+            SELECT v, COUNT(*) AS triangles FROM credits GROUP BY v
+        """,
+        "clustering_coefficient_copurchase": f"""
+            WITH e AS ({_COPURCHASE_SQL}),
+            deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+            o AS (SELECT e.src AS a, e.dst AS b FROM e
+                  JOIN deg ds ON ds.v = e.src JOIN deg dd ON dd.v = e.dst
+                  WHERE ds.d < dd.d OR (ds.d = dd.d AND e.src < e.dst)),
+            oc AS (SELECT LEAST(a, b) AS lo, GREATEST(a, b) AS hi FROM o),
+            tri AS (SELECT w1.a AS u,
+                           LEAST(w1.b, w2.b) AS x,
+                           GREATEST(w1.b, w2.b) AS y
+                    FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.b < w2.b
+                    JOIN oc e2 ON e2.lo = LEAST(w1.b, w2.b)
+                              AND e2.hi = GREATEST(w1.b, w2.b)),
+            credits AS (
+              SELECT u AS v FROM tri
+              UNION ALL SELECT x FROM tri
+              UNION ALL SELECT y FROM tri),
+            t AS (SELECT v, COUNT(*) AS triangles FROM credits GROUP BY v)
+            SELECT deg.v AS v,
+                   COALESCE(t.triangles, 0) AS triangles,
+                   deg.d AS degree,
+                   ROUND(CASE WHEN COALESCE(t.triangles, 0) > 0 AND deg.d > 1
+                         THEN 2.0 * t.triangles / (deg.d * (deg.d - 1))
+                         ELSE 0.0 END, 8) AS cc_r8
+            FROM deg LEFT JOIN t ON t.v = deg.v
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   length(text) AS n_chars_measured,
+                   length(regexp_extract_all(text, '[.,!?;:]')) AS punct_count
+            FROM documents
+        """,
+        "doc_exact_dedup": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "emb_near_dup": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25
+        """,
+        "events_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            numbered AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts,
+                                         event_id ROWS UNBOUNDED PRECEDING)
+                       AS session_id
+              FROM flagged)
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        "events_asof_last_order": """
+            WITH od AS (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     MAX(o_orderkey) AS o_orderkey,
+                     arg_max(o_totalprice, o_orderkey) AS o_totalprice
+              FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id AS event_id,
+                   od.o_orderkey AS last_orderkey,
+                   od.o_totalprice AS last_totalprice
+            FROM events e ASOF LEFT JOIN od
+              ON e.user_id = od.user_id AND od.o_orderdate <= e.ts
+        """,
+    }

@@ -95,8 +95,12 @@ def triangle_counts(edges, num_buckets: int = 64,
 
     Vertices in no triangle are absent (join back / fill 0 downstream,
     as clustering_coefficient does)."""
-    simple_und = _simple_und if _simple_und is not None else _simple_undirected(edges)
-    oriented = _oriented_edges(simple_und, num_join_partitions)
+    simple_und = _simple_und if _simple_und is not None else \
+        _simple_undirected(edges).materialize()
+    # oriented is consumed by BOTH the wedge stage and the closing
+    # join; materialize once so the upstream dedup+joins don't run
+    # twice (Ray Data re-executes shared lineage per consumer)
+    oriented = _oriented_edges(simple_und, num_join_partitions).materialize()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -177,7 +181,7 @@ def clustering_coefficient(edges, num_buckets: int = 64,
     (totem_clustering.cu:422-426)."""
     import pyarrow.compute as pc
 
-    simple_und = _simple_undirected(edges)
+    simple_und = _simple_undirected(edges).materialize()
     deg = degree_table(simple_und, alias="degree")
     tri = triangle_counts(edges, num_buckets, num_join_partitions,
                           _simple_und=simple_und)

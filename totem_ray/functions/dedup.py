@@ -1,0 +1,441 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+The reference's only dedup is exact repeated-edge counting after sort
+(totem_generator.cc:298-318); the near-dup family here is the
+large-scale training-data extension (MinHash/LSH per Broder '97,
+SimHash per Charikar '02 — public algorithms, from-scratch numpy
+implementations).
+
+Design rules:
+* shingling / signatures are vectorized per batch (explode to token
+  rows, shifted-array k-grams, matrix min-reduce) — no per-doc Python;
+* candidate generation is a (band, bucket) groupby — one shuffle of
+  small signature rows, never of document text;
+* duplicate GROUPS come from running our own BSP connected-components
+  over the candidate-pair edge list (dedup at 100 TB is a graph
+  problem; the label is the minimum doc_id of the cluster).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Min, Sum
+
+from totem_ray.graph.joins import hash_join
+from totem_ray.hashing import as_u64, hash_strings_i64, splitmix64
+from totem_ray.nputil import (composite_group_starts, group_starts_sizes,
+                              pairs_within_groups, slice_offsets)
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+def exact_dedup(docs, id_col: str = "doc_id"):
+    """Survivor ids: min(doc_id) per distinct text (hash-partition +
+    per-group first — SURVEY.md §2.9's exact-dedup pattern). Groups on
+    a 64-bit content fingerprint so the shuffle moves 16 bytes per
+    doc, not the text."""
+    from totem_ray.functions.text import doc_fingerprints
+
+    fps = doc_fingerprints(docs, normalize=False)
+    return fps.groupby("fingerprint") \
+              .aggregate(Min(id_col, alias_name=id_col)) \
+              .select_columns([id_col])
+
+
+# ----------------------------------------------------------------------
+# shingling (shared by minhash / jaccard)
+# ----------------------------------------------------------------------
+def _shingle_rows(t: pa.Table, k: int, id_col: str = "doc_id") -> tuple[np.ndarray, np.ndarray]:
+    """-> (doc_id_row, shingle_hash_row): one row per word k-gram,
+    vectorized via explode + shifted-array combination."""
+    import polars as pl
+
+    df = pl.DataFrame({
+        "doc": pl.from_arrow(t[id_col].combine_chunks()),
+        "tok": pl.from_arrow(pc.utf8_lower(t["text"]).combine_chunks()),
+    }).with_columns(pl.col("tok").str.split(" ").alias("toks")) \
+      .drop("tok").explode("toks") \
+      .filter(pl.col("toks").str.len_chars() > 0)
+    doc = df["doc"].to_numpy()
+    tok_hash = as_u64(hash_strings_i64(df["toks"].to_arrow()))
+    if len(doc) == 0 or k <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    n = len(doc)
+    if n < k:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    h = tok_hash[: n - k + 1].copy()
+    same = doc[: n - k + 1] == doc[k - 1:]
+    for j in range(1, k):
+        h = splitmix64(h) ^ tok_hash[j: n - k + 1 + j]
+    return doc[: n - k + 1][same].astype(np.int64), h[same].view(np.int64)
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+# ----------------------------------------------------------------------
+def minhash_signatures(docs, num_perm: int = 64, shingle_k: int = 3,
+                       id_col: str = "doc_id"):
+    """(doc_id, sig: list<int64>[num_perm]) — one permutation = one
+    seeded splitmix64; signature = column-min over the doc's shingle
+    hashes (matrix min-reduce per batch)."""
+    seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+
+    def fn(t: pa.Table) -> pa.Table:
+        doc, sh = _shingle_rows(t, shingle_k, id_col)
+        ids = np.unique(np.asarray(t[id_col]))
+        sig = np.full((len(ids), num_perm), np.iinfo(np.int64).max,
+                      dtype=np.int64)
+        if len(doc):
+            order = np.argsort(doc, kind="stable")
+            doc_s, sh_s = doc[order], as_u64(sh[order])
+            starts, _ = group_starts_sizes(doc_s)
+            mixed = splitmix64(sh_s[:, None] ^ seeds[None, :]).view(np.int64)
+            mins = np.minimum.reduceat(mixed, starts, axis=0)
+            rows = np.searchsorted(ids, doc_s[starts])
+            sig[rows] = mins
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "sig": pa.array(list(sig), type=pa.list_(pa.int64())),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
+                           shingle_k: int = 3, id_col: str = "doc_id",
+                           max_bucket: int = 2000):
+    """(a, b, jaccard_est) candidate near-dup pairs.
+
+    signatures -> explode to (band_id, band_hash, doc) rows ->
+    groupby(band, hash) buckets -> pairs -> signature join -> estimated
+    Jaccard = matching-minhash fraction. Buckets larger than
+    ``max_bucket`` are truncated (logged via the _truncated column of
+    the bucket stage) — the standard guard against degenerate buckets.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, shingle_k, id_col)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col])
+        sig = np.stack([np.asarray(x) for x in t["sig"].to_pylist()]) \
+            if t.num_rows else np.empty((0, num_perm), np.int64)
+        bh = np.empty((len(ids), bands), dtype=np.int64)
+        for b in range(bands):
+            chunk = as_u64(np.ascontiguousarray(
+                sig[:, b * rows_per_band:(b + 1) * rows_per_band]))
+            h = np.zeros(len(ids), dtype=np.uint64)
+            for j in range(rows_per_band):
+                h = splitmix64(h ^ chunk[:, j])
+            bh[:, b] = h.view(np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, bands), type=pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands), len(ids)), type=pa.int64()),
+            "bhash": pa.array(bh.reshape(-1), type=pa.int64()),
+        })
+
+    band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    def add_g(t: pa.Table) -> pa.Table:
+        g = splitmix64(as_u64(np.asarray(t["bhash"]))
+                       ^ as_u64(np.asarray(t["band"]))) % np.uint64(64)
+        return t.append_column("_g", pa.array(g.astype(np.int64)))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # all (band, bhash) groups of one shuffle bucket, vectorized
+        df = df.sort_values(["band", "bhash", id_col], kind="stable")
+        band = df["band"].to_numpy()
+        bh = df["bhash"].to_numpy()
+        ids = df[id_col].to_numpy()
+        starts, sizes = composite_group_starts(band, bh)
+        ords = np.arange(len(ids)) - np.repeat(starts, sizes)
+        keep = ords < max_bucket                 # truncate huge buckets
+        band, bh, ids = band[keep], bh[keep], ids[keep]
+        starts, sizes = composite_group_starts(band, bh)
+        first, second = pairs_within_groups(starts, sizes)
+        return pd.DataFrame({"a": ids[first], "b": ids[second]})
+
+    pairs = band_rows.map_batches(add_g, batch_format="pyarrow") \
+        .groupby("_g").map_groups(bucket_pairs, batch_format="pandas")
+    # a pair found in multiple bands appears multiple times -> distinct
+    pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")) \
+                 .select_columns(["a", "b"])
+
+    sig_a = _sig_renamed(sigs, id_col, "a", "sig_a")
+    sig_b = _sig_renamed(sigs, id_col, "b", "sig_b")
+    j1 = hash_join(pairs, sig_a, on="a",
+                   left_cols=["a", "b"], right_cols=["a", "sig_a"])
+    j2 = hash_join(j1, sig_b, on="b",
+                   left_cols=["a", "b", "sig_a"], right_cols=["b", "sig_b"])
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"a": [], "b": [], "jaccard_est": []})
+        sa = np.stack(df["sig_a"].to_numpy())
+        sb = np.stack(df["sig_b"].to_numpy())
+        est = (sa == sb).mean(axis=1)
+        return pd.DataFrame({"a": df["a"].to_numpy(),
+                             "b": df["b"].to_numpy(),
+                             "jaccard_est": est})
+
+    return j2.map_batches(estimate, batch_format="pandas")
+
+
+def _sig_renamed(sigs, id_col, new_id, new_sig):
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({new_id: t[id_col], new_sig: t["sig"]})
+
+    return sigs.map_batches(fn, batch_format="pyarrow")
+
+
+def minhash_dedup_groups(docs, tau: float = 0.8, num_perm: int = 64,
+                         bands: int = 16, shingle_k: int = 3,
+                         id_col: str = "doc_id", num_partitions: int = 4):
+    """(doc_id, dup_group): connected components over the >= tau
+    candidate graph, computed with THIS ENGINE's BSP CC kernel —
+    dup_group = min doc_id of the duplicate cluster. Docs with no
+    near-dup get their own id."""
+    from totem_ray.algs import connected_components
+
+    cand = minhash_lsh_candidates(docs, num_perm, bands, shingle_k, id_col)
+    edges = cand.filter(expr=f"jaccard_est >= {tau}")
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["a"].combine_chunks().cast(pa.int64()),
+                         "dst": t["b"].combine_chunks().cast(pa.int64())})
+
+    edge_ds = edges.map_batches(as_edges, batch_format="pyarrow")
+    all_ids = docs.select_columns([id_col])
+    out = connected_components(edge_ds, vertices=all_ids,
+                               num_partitions=num_partitions)
+    res = out["result"]
+    out["engine"].shutdown()
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t["v"], "dup_group": t["label"]})
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+def simhash_signatures(docs, id_col: str = "doc_id"):
+    """(doc_id, simhash: int64) — 64-bit Charikar signature over
+    unigram token hashes (vote per bit, vectorized bit-matrix
+    reduceat)."""
+    def fn(t: pa.Table) -> pa.Table:
+        doc, tok = _shingle_rows(t, 1, id_col)
+        ids = np.unique(np.asarray(t[id_col]))
+        out = np.zeros(len(ids), dtype=np.int64)
+        if len(doc):
+            order = np.argsort(doc, kind="stable")
+            doc_s = doc[order]
+            h = as_u64(tok[order])
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64) * 2 - 1
+            starts, _ = group_starts_sizes(doc_s)
+            votes = np.add.reduceat(bits, starts, axis=0)
+            sig = (votes > 0).astype(np.uint64)
+            packed = np.zeros(sig.shape[0], dtype=np.uint64)
+            for j in range(64):
+                packed |= sig[:, j] << np.uint64(j)
+            rows = np.searchsorted(ids, doc_s[starts])
+            out[rows] = packed.view(np.int64)
+        return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                         "simhash": pa.array(out, type=pa.int64())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1) \
+        if len(x) else np.empty(0, np.int64)
+
+
+def simhash_near_dup_pairs(docs, max_hamming: int = 3,
+                           id_col: str = "doc_id", max_bucket: int = 2000):
+    """(a, b, hamming) pairs with hamming distance <= max_hamming.
+    Candidates blocked on 16-bit signature chunks (two signatures
+    within hamming 3 of each other share at least one of 4 chunks)."""
+    sigs = simhash_signatures(docs, id_col)
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col])
+        h = as_u64(np.asarray(t["simhash"]))
+        rows = []
+        chunk_ids = []
+        for c in range(4):
+            rows.append(((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).view(np.int64))
+            chunk_ids.append(np.full(len(ids), c, dtype=np.int64))
+        return pa.table({
+            id_col: pa.array(np.tile(ids, 4), type=pa.int64()),
+            "sig": pa.array(np.tile(np.asarray(t["simhash"]), 4), type=pa.int64()),
+            "chunk": pa.array(np.concatenate(chunk_ids)),
+            "chash": pa.array(np.concatenate(rows)),
+        })
+
+    chunk_rows = sigs.map_batches(to_chunks, batch_format="pyarrow")
+
+    def add_g(t: pa.Table) -> pa.Table:
+        g = splitmix64(as_u64(np.asarray(t["chash"]))
+                       ^ as_u64(np.asarray(t["chunk"]))) % np.uint64(64)
+        return t.append_column("_g", pa.array(g.astype(np.int64)))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["chunk", "chash", id_col], kind="stable") \
+               .drop_duplicates(["chunk", "chash", id_col])
+        ch = df["chunk"].to_numpy()
+        bh = df["chash"].to_numpy()
+        ids = df[id_col].to_numpy()
+        sig = as_u64(df["sig"].to_numpy())
+        starts, sizes = composite_group_starts(ch, bh)
+        ords = np.arange(len(ids)) - np.repeat(starts, sizes)
+        keep = ords < max_bucket
+        ch, bh, ids, sig = ch[keep], bh[keep], ids[keep], sig[keep]
+        starts, sizes = composite_group_starts(ch, bh)
+        first, second = pairs_within_groups(starts, sizes)
+        ham = _popcount64(sig[first] ^ sig[second]).astype(np.int64)
+        ok = ham <= max_hamming
+        return pd.DataFrame({"a": ids[first][ok], "b": ids[second][ok],
+                             "hamming": ham[ok]})
+
+    pairs = chunk_rows.map_batches(add_g, batch_format="pyarrow") \
+        .groupby("_g").map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+# ----------------------------------------------------------------------
+# exact n-gram Jaccard
+# ----------------------------------------------------------------------
+def ngram_jaccard_pairs(docs, tau: float = 0.5, shingle_k: int = 3,
+                        id_col: str = "doc_id", max_df: int = 1000):
+    """(a, b, jaccard) EXACT word-k-gram Jaccard for pairs sharing at
+    least one shingle. Shingles appearing in more than ``max_df`` docs
+    are dropped (stop-shingle cut — the standard df guard; exact for
+    corpora under the cap)."""
+    def shingle_table(t: pa.Table) -> pa.Table:
+        doc, sh = _shingle_rows(t, shingle_k, id_col)
+        if len(doc):
+            u = np.unique(np.stack([doc, sh], axis=1), axis=0)
+            doc, sh = u[:, 0], u[:, 1]
+        return pa.table({"doc": pa.array(doc, type=pa.int64()),
+                         "sh": pa.array(sh, type=pa.int64())})
+
+    rows = docs.map_batches(shingle_table, batch_format="pyarrow")
+    # per-doc distinct shingle counts
+    doc_counts = rows.groupby("doc").aggregate(Count(alias_name="nsh"))
+
+    def add_g(t: pa.Table) -> pa.Table:
+        g = splitmix64(as_u64(np.asarray(t["sh"]))) % np.uint64(64)
+        return t.append_column("_g", pa.array(g.astype(np.int64)))
+
+    def group_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # all shingle groups of one shuffle bucket, vectorized
+        df = df.sort_values(["sh", "doc"], kind="stable")
+        sh = df["sh"].to_numpy()
+        ids = df["doc"].to_numpy()
+        starts, sizes = group_starts_sizes(sh)
+        # df cut: drop stop-shingles (> max_df docs)
+        ok_grp = sizes <= max_df
+        keep = np.repeat(ok_grp, sizes)
+        sh, ids = sh[keep], ids[keep]
+        starts, sizes = group_starts_sizes(sh)
+        first, second = pairs_within_groups(starts, sizes)
+        return pd.DataFrame({"a": ids[first], "b": ids[second],
+                             "common": np.ones(len(first), dtype=np.int64)})
+
+    pair_partials = rows.map_batches(add_g, batch_format="pyarrow") \
+        .groupby("_g").map_groups(group_pairs, batch_format="pandas")
+    commons = pair_partials.groupby(["a", "b"]).aggregate(
+        Sum("common", alias_name="common"))
+
+    na = _count_renamed(doc_counts, "a", "na")
+    nb = _count_renamed(doc_counts, "b", "nb")
+    j1 = hash_join(commons, na, on="a",
+                   left_cols=["a", "b", "common"], right_cols=["a", "na"])
+    j2 = hash_join(j1, nb, on="b",
+                   left_cols=["a", "b", "common", "na"], right_cols=["b", "nb"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["common"], dtype=np.float64)
+        na_ = np.asarray(t["na"], dtype=np.float64)
+        nb_ = np.asarray(t["nb"], dtype=np.float64)
+        j = c / (na_ + nb_ - c)
+        keep = j >= tau
+        return pa.table({
+            "a": pa.array(np.asarray(t["a"])[keep]),
+            "b": pa.array(np.asarray(t["b"])[keep]),
+            "jaccard": pa.array(j[keep], type=pa.float64()),
+        })
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def _count_renamed(doc_counts, new_id, new_n):
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({new_id: t["doc"], new_n: t["nsh"]})
+
+    return doc_counts.map_batches(fn, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# embedding cosine near-dup
+# ----------------------------------------------------------------------
+def embedding_near_dup_pairs(emb, tau: float = 0.9, block_col: str | None = None,
+                             id_col: str = "vec_id", emb_col: str = "embedding",
+                             lsh_planes: int = 0, seed: int = 42):
+    """(a, b, cos_sim) pairs with cosine >= tau.
+
+    Blocking: either an explicit ``block_col`` (exact within blocks),
+    or random-hyperplane LSH buckets when ``lsh_planes`` > 0 (the
+    scale path — approximate: only same-bucket pairs are compared).
+    With neither, one global block (brute force; small inputs only).
+    """
+    def add_block(t: pa.Table) -> pa.Table:
+        if block_col:
+            blk = np.asarray(t[block_col]).astype(np.int64)
+        elif lsh_planes > 0:
+            x = np.stack([np.asarray(r) for r in t[emb_col].to_pylist()]) \
+                .astype(np.float64)
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((x.shape[1], lsh_planes))
+            bits = (x @ planes) > 0
+            blk = np.zeros(len(x), dtype=np.int64)
+            for j in range(lsh_planes):
+                blk |= bits[:, j].astype(np.int64) << j
+        else:
+            blk = np.zeros(t.num_rows, dtype=np.int64)
+        return pa.table({id_col: t[id_col], emb_col: t[emb_col],
+                         "_blk": pa.array(blk)})
+
+    blocked = emb.map_batches(add_block, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "cos_sim": pd.Series([], dtype=np.float64)})
+        ids = df[id_col].to_numpy()
+        x = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        xn = x / n
+        sims = xn @ xn.T
+        iu = np.triu_indices(len(ids), k=1)
+        s = sims[iu]
+        keep = s >= tau
+        a, b = ids[iu[0]][keep], ids[iu[1]][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi, "cos_sim": s[keep]})
+
+    return blocked.groupby("_blk").map_groups(pairs, batch_format="pandas")

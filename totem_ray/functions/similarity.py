@@ -1,0 +1,146 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(list<float>).
+
+* ``knn_brute_force`` — baseline: broadcast the query matrix
+  (``ray.put`` once), per-batch numpy matmul partial top-k, tiny
+  driver-side final merge. Exact.
+* ``knn_ivf`` — the scale path: IVF coarse quantizer (k-means-lite
+  centroids fit on a driver-side sample), vectors assigned to their
+  nearest centroid ONCE (partitioned layout), queries probe the
+  ``nprobe`` nearest centroid lists only. Approximate; recall grows
+  with nprobe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _as_matrix(col) -> np.ndarray:
+    lst = col.to_pylist()
+    if not lst:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.asarray(lst, dtype=np.float64)
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return x / n
+
+
+def knn_brute_force(emb, queries: np.ndarray, query_ids: np.ndarray,
+                    k: int = 10, id_col: str = "vec_id",
+                    emb_col: str = "embedding",
+                    exclude_self: bool = True) -> pd.DataFrame:
+    """Exact cosine top-k: -> DataFrame (query_id, neighbor_id,
+    cos_sim, knn_rank), rank 1 = nearest."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    ref = ray.put((qn, qids))
+
+    class PartialTopK:
+        def __init__(self):
+            self.qn, self.qids = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col]).astype(np.int64)
+            x = _normalize(_as_matrix(t[emb_col]))
+            sims = self.qn @ x.T                      # (Q, n)
+            if exclude_self:
+                sims[self.qids[:, None] == ids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(self.qids)), kk)
+            cols = idx.reshape(-1)
+            return pa.table({
+                "query_id": pa.array(self.qids[rows]),
+                "neighbor_id": pa.array(ids[cols]),
+                "cos_sim": pa.array(sims[rows, cols], type=pa.float64()),
+            })
+
+    partials = emb.map_batches(PartialTopK, batch_format="pyarrow",
+                               concurrency=(1, 8)).to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g[np.isfinite(g["cos_sim"])]
+        g = g.sort_values(["cos_sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(knn_rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else \
+        pd.DataFrame(columns=["query_id", "neighbor_id", "cos_sim", "knn_rank"])
+
+
+def _kmeans_lite(x: np.ndarray, ncells: int, iters: int = 8,
+                 seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(ncells, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(_normalize(x) @ _normalize(cent).T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def knn_ivf(emb, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+            ncells: int = 16, nprobe: int = 4, sample_n: int = 10_000,
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            exclude_self: bool = True, seed: int = 42) -> pd.DataFrame:
+    """IVF ANN: centroids from a sample, assignment via broadcast
+    centroid matrix, probe only the nprobe closest cells per query."""
+    sample = emb.limit(sample_n).to_pandas()
+    xs = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
+    cent = _normalize(_kmeans_lite(xs, ncells, seed=seed))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    ref = ray.put((cent, qn, qids, probes))
+
+    class ProbeTopK:
+        def __init__(self):
+            self.cent, self.qn, self.qids, self.probes = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col]).astype(np.int64)
+            x = _normalize(_as_matrix(t[emb_col]))
+            cell = np.argmax(x @ self.cent.T, axis=1)
+            outs = []
+            for qi in range(len(self.qids)):
+                m = np.isin(cell, self.probes[qi])
+                if not m.any():
+                    continue
+                sims = x[m] @ self.qn[qi]
+                sub_ids = ids[m]
+                if exclude_self:
+                    sims[sub_ids == self.qids[qi]] = -np.inf
+                kk = min(k, len(sims))
+                idx = np.argpartition(-sims, kk - 1)[:kk]
+                outs.append((np.full(kk, self.qids[qi]), sub_ids[idx], sims[idx]))
+            if not outs:
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 "neighbor_id": pa.array([], type=pa.int64()),
+                                 "cos_sim": pa.array([], type=pa.float64())})
+            q = np.concatenate([o[0] for o in outs])
+            n = np.concatenate([o[1] for o in outs])
+            s = np.concatenate([o[2] for o in outs])
+            return pa.table({"query_id": pa.array(q, type=pa.int64()),
+                             "neighbor_id": pa.array(n, type=pa.int64()),
+                             "cos_sim": pa.array(s, type=pa.float64())})
+
+    partials = emb.map_batches(ProbeTopK, batch_format="pyarrow",
+                               concurrency=(1, 8)).to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g[np.isfinite(g["cos_sim"])]
+        g = g.sort_values(["cos_sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(knn_rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else \
+        pd.DataFrame(columns=["query_id", "neighbor_id", "cos_sim", "knn_rank"])

@@ -34,6 +34,40 @@ def group_starts_sizes(keys_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     return starts, sizes
 
 
+def pairs_within_groups(starts: np.ndarray, sizes: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """All (i, j) row-index pairs with i < j inside each contiguous
+    group [starts[g], starts[g]+sizes[g]). Vectorized; groups of size
+    < 2 contribute nothing."""
+    starts = np.asarray(starts, dtype=np.int64)
+    sizes = np.asarray(sizes, dtype=np.int64)
+    n = int(sizes.sum())
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # ordinal of each row within its group = number of earlier rows it
+    # pairs with (as the 'second' element)
+    ords = slice_offsets(sizes)
+    row_start = np.repeat(starts, sizes)
+    rows = row_start + ords
+    second = np.repeat(rows, ords)
+    first = np.repeat(row_start, ords) + slice_offsets(ords)
+    return first, second
+
+
+def composite_group_starts(*keys_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, sizes) of runs where ALL key arrays are constant
+    (arrays must be sorted by the composite key)."""
+    n = len(keys_sorted[0])
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for k in keys_sorted:
+        change |= np.asarray(k)[1:] != np.asarray(k)[:-1]
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    sizes = np.diff(np.concatenate([starts, [n]]))
+    return starts, sizes
+
+
 def group_ordinal(keys_sorted: np.ndarray) -> np.ndarray:
     """Position of each row within its (sorted, contiguous) key group."""
     n = len(keys_sorted)
