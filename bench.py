@@ -1,0 +1,281 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "extra": {...gteps/iterations/build times...}}
+
+Headline = PageRank-to-convergence GTEPS on the web-scale stand-in
+graph (RMAT s20 ef16, ~1M vertices / ~29M directed deduped edges —
+FIXTURES.md bench tier), with Totem's traversed-edges accounting
+(trv_edges = E x iterations; rate = trv_edges / alg_exec_sec / 1e9,
+src/benchmark/totem_benchmark_print.cu:103,
+totem_benchmark_binary.cu:157-159) — algorithm execution time only,
+build/partition time reported separately (Totem's time_init/time_par
+split).
+
+Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR (default sf0.1).
+``--scaling`` runs the headline at num_cpus 8 and 32 in fresh
+processes and appends the efficiency table to BASELINE.md (the
+two-cluster-size criterion evidenced at two parallelism levels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_DIR = "/tmp/totem_ray_bench"
+RMAT_SCALE = int(os.environ.get("BENCH_RMAT_SCALE", "20"))
+RMAT_EF = 16
+PAGES_SCALE = int(os.environ.get("BENCH_PAGES_SCALE", "14"))
+
+
+def _ensure_repo_on_path():
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
+
+
+def ensure_rmat_edges(scale: int, ef: int) -> str:
+    """Deterministic cached RMAT edge parquet (partitioned files)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(BENCH_DIR, f"rmat_s{scale}_ef{ef}_edges")
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    from totem_ray.sources.fixtures import rmat_edges
+
+    n, e = rmat_edges(scale, ef)
+    os.makedirs(path, exist_ok=True)
+    rows_per_file = 2_000_000
+    for i, lo in enumerate(range(0, len(e), rows_per_file)):
+        chunk = e[lo:lo + rows_per_file]
+        pq.write_table(pa.table({
+            "src": pa.array(chunk[:, 0].view(np.int64), type=pa.int64()),
+            "dst": pa.array(chunk[:, 1].view(np.int64), type=pa.int64()),
+        }), os.path.join(path, f"part-{i:05d}.parquet"))
+    with open(done, "w") as f:
+        f.write(str(len(e)))
+    return path
+
+
+def ensure_pages(scale: int, ef: int = 8) -> str:
+    from totem_ray.sources.fixtures import rmat_edges
+    from totem_ray.sources.pages import write_pages_parquet
+
+    path = os.path.join(BENCH_DIR, f"pages_s{scale}_ef{ef}")
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    n, e = rmat_edges(scale, ef)
+    write_pages_parquet(path, n, e)
+    with open(done, "w") as f:
+        f.write(str(n))
+    return path
+
+
+def bench_headline(ncpu: int) -> dict:
+    """RMAT PageRank to convergence: GTEPS + iterations."""
+    import ray
+    import ray.data
+    from totem_ray.engine.bsp import BspEngine
+
+    edges_path = ensure_rmat_edges(RMAT_SCALE, RMAT_EF)
+    ds = ray.data.read_parquet(edges_path)
+    P = max(4, ncpu)
+    t0 = time.perf_counter()
+    eng = BspEngine(P).build(ds)
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = eng.run("pagerank", {"mode": "converge", "tol": 1e-6},
+                  max_supersteps=200)
+    t_exec = time.perf_counter() - t0
+    iters = out["iterations"]
+    edges = eng.total_edges
+    verts = eng.total_vertices
+    eng.shutdown()
+    gteps = edges * iters / t_exec / 1e9
+    return {"sec": t_exec, "build_sec": t_build, "iterations": iters,
+            "edges": edges, "vertices": verts, "gteps": gteps,
+            "converged": out["converged"], "num_partitions": P}
+
+
+def bench_sf_queries(sf_dir: str, ncpu: int) -> dict:
+    """Per-pipeline wall times over the driver's sf tables."""
+    from totem_ray.algs import triangle_counts
+    from totem_ray.engine.bsp import BspEngine
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    times = {}
+    P = max(4, ncpu // 2)
+
+    t0 = time.perf_counter()
+    eng = BspEngine(P).build(copurchase_edges(sf_dir))
+    times["copurchase_build"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pr = eng.run("pagerank", {"mode": "converge", "tol": 1e-6},
+                 max_supersteps=200)
+    times["copurchase_pagerank"] = time.perf_counter() - t0
+    times["copurchase_pagerank_iters"] = pr["iterations"]
+
+    t0 = time.perf_counter()
+    eng.run("connected_components", {})
+    times["copurchase_cc"] = time.perf_counter() - t0
+    eng.shutdown()
+
+    t0 = time.perf_counter()
+    triangle_counts(copurchase_edges(sf_dir), num_buckets=64,
+                    num_join_partitions=32).count()
+    times["copurchase_triangles"] = time.perf_counter() - t0
+    return times
+
+
+def bench_extraction(ncpu: int) -> dict:
+    """Pages -> text + links throughput (the ingest front-end)."""
+    import ray.data
+    from totem_ray.sources.extract import pages_to_edges, pages_to_text
+
+    pages_path = ensure_pages(PAGES_SCALE)
+    ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
+    t0 = time.perf_counter()
+    n_links = pages_to_edges(ds).count()
+    t_links = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_pages = pages_to_text(ds).count()
+    t_text = time.perf_counter() - t0
+    return {"link_extract_sec": t_links, "text_extract_sec": t_text,
+            "n_links": n_links, "n_pages": n_pages}
+
+
+def bench_dedup(sf_dir: str) -> dict:
+    from totem_ray.functions.dedup import minhash_dedup_groups
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    n = minhash_dedup_groups(docs, tau=0.5).count()
+    return {"minhash_dedup_sec": time.perf_counter() - t0, "n_docs": n}
+
+
+def run_once(headline_only: bool = False) -> dict:
+    _ensure_repo_on_path()
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # warm page cache: one untimed read
+    import pyarrow.parquet as pq
+    edges_path = ensure_rmat_edges(RMAT_SCALE, RMAT_EF)
+    for f in sorted(os.listdir(edges_path)):
+        if f.endswith(".parquet"):
+            pq.read_table(os.path.join(edges_path, f))
+
+    head = bench_headline(ncpu)
+    queries = {"rmat_pagerank": head["sec"],
+               "rmat_pagerank_build": head["build_sec"]}
+    extra = {"headline": head}
+    if not headline_only:
+        q = bench_sf_queries(sf_dir, ncpu)
+        queries.update({k: v for k, v in q.items() if not k.endswith("_iters")})
+        ext = bench_extraction(ncpu)
+        queries["link_extract"] = ext["link_extract_sec"]
+        queries["text_extract"] = ext["text_extract_sec"]
+        dd = bench_dedup(sf_dir)
+        queries["minhash_dedup"] = dd["minhash_dedup_sec"]
+        extra["sf_queries"] = q
+        extra["extraction"] = ext
+        extra["dedup"] = dd
+
+    total = sum(v for v in queries.values())
+    result = {
+        "metric": "pagerank_gteps_and_pipeline_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "extra": {"gteps": round(head["gteps"], 4),
+                  "iterations": head["iterations"],
+                  "edges": head["edges"],
+                  "vertices": head["vertices"],
+                  "rmat_scale": RMAT_SCALE,
+                  **{k: v for k, v in extra.items() if k != "headline"}},
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    """Fresh-process runs at 8 and 32 CPUs on the SAME input; report
+    throughput at both + scaling efficiency, append to BASELINE.md."""
+    _ensure_repo_on_path()
+    ensure_rmat_edges(RMAT_SCALE, RMAT_EF)  # shared input, built once
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              "--headline-only"],
+                             env=env, capture_output=True, text=True,
+                             check=True)
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    g8 = results[8]["extra"]["gteps"]
+    g32 = results[32]["extra"]["gteps"]
+    eff = (g32 / g8) / (32 / 8)
+    summary = {
+        "metric": "pagerank_scaling_efficiency",
+        "gteps_8cpu": g8, "gteps_32cpu": g32,
+        "sec_8cpu": results[8]["queries"]["rmat_pagerank"],
+        "sec_32cpu": results[32]["queries"]["rmat_pagerank"],
+        "iterations": results[32]["extra"]["iterations"],
+        "edges": results[32]["extra"]["edges"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+    _append_baseline(summary)
+
+
+def _append_baseline(s: dict):
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.md")
+    import datetime
+
+    stamp = datetime.datetime.now().isoformat(timespec="seconds")
+    block = f"""
+## Measured scaling (this engine, bench.py --scaling, {stamp})
+
+RMAT s{RMAT_SCALE} ef{RMAT_EF} ({s['edges']:,} directed deduped edges),
+PageRank to convergence (L1 residual <= 1e-6, {s['iterations']} iterations),
+GTEPS = edges x iterations / alg_exec_sec / 1e9 (Totem accounting):
+
+| num_cpus | alg_exec sec | GTEPS |
+|---|---|---|
+| 8 | {s['sec_8cpu']} | {s['gteps_8cpu']} |
+| 32 | {s['sec_32cpu']} | {s['gteps_32cpu']} |
+
+Scaling efficiency (8 -> 32 CPUs, fresh ray.init processes, same
+input): **{s['scaling_efficiency']}** (1.0 = linear).
+"""
+    with open(path, "a") as f:
+        f.write(block)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_once(headline_only="--headline-only" in sys.argv)))

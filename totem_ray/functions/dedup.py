@@ -56,7 +56,7 @@ def exact_dedup(docs, id_col: str = "doc_id"):
 def _shingle_rows(t: pa.Table, k: int, id_col: str = "doc_id") -> tuple[np.ndarray, np.ndarray]:
     """-> (doc_id_row, shingle_hash_row): one row per word k-gram,
     vectorized via explode + shifted-array combination."""
-    import polars as pl
+    from totem_ray._polars_compat import pl
 
     df = pl.DataFrame({
         "doc": pl.from_arrow(t[id_col].combine_chunks()),
@@ -178,7 +178,9 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame({"a": [], "b": [], "jaccard_est": []})
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "jaccard_est": pd.Series([], dtype=np.float64)})
         sa = np.stack(df["sig_a"].to_numpy())
         sb = np.stack(df["sig_b"].to_numpy())
         est = (sa == sb).mean(axis=1)

@@ -60,19 +60,22 @@ def hash_partition(ids: np.ndarray, num_partitions: int, salt: int = 0) -> np.nd
 def hash_strings_u64(arr, seed: int = 42) -> np.ndarray:
     """Stable 64-bit hash of a string column (url -> vertex id).
 
-    Uses polars' vectorized hash (stable within one environment; this
-    repo pins one polars version). Accepts a pyarrow Array/ChunkedArray
-    or a list of python strings; returns uint64 numpy array.
+    pandas' vectorized siphash (hash_array with a fixed key derived
+    from the seed) — stable across processes (no PYTHONHASHSEED
+    dependence), thread-safe, C-speed. Accepts a pyarrow
+    Array/ChunkedArray or a sequence of python strings; returns uint64.
     """
-    import polars as pl
+    import pandas as pd
 
-    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
-        s = pl.from_arrow(arr)
+    if isinstance(arr, pa.ChunkedArray):
+        vals = arr.combine_chunks().to_numpy(zero_copy_only=False)
+    elif isinstance(arr, pa.Array):
+        vals = arr.to_numpy(zero_copy_only=False)
     else:
-        s = pl.Series(list(arr))
-    if isinstance(s, pl.DataFrame):  # from_arrow of chunked may give df
-        s = s.to_series()
-    return s.hash(seed=seed).to_numpy().astype(np.uint64)
+        vals = np.asarray(list(arr), dtype=object)
+    key = f"{seed:016d}"[:16]
+    return pd.util.hash_array(vals, hash_key=key, categorize=False) \
+        .astype(np.uint64)
 
 
 def hash_strings_i64(arr, seed: int = 42) -> np.ndarray:

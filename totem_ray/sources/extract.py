@@ -57,7 +57,7 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
 
 def extract_links_batch(batch: pa.Table) -> pa.Table:
     """map_batches stage: pages -> flat (src_url, dst_url) link rows."""
-    import polars as pl
+    from totem_ray._polars_compat import pl
 
     s = _as_large_string(batch["html"])
     df = pl.DataFrame({
