@@ -343,9 +343,11 @@ def q_events_asof_last_order(sf_dir: str):
                         value_cols=["o_orderkey", "o_totalprice"])
 
     def fin(t: pa.Table) -> pa.Table:
+        # int64 (nulls preserved) so pandas dtypes mirror the DuckDB
+        # oracle's: int64 when fully matched, float64 only with nulls
         return pa.table({
-            "event_id": t["l_event_id"],
-            "last_orderkey": t["r_o_orderkey"],
+            "event_id": t["l_event_id"].combine_chunks().cast(pa.int64()),
+            "last_orderkey": t["r_o_orderkey"].combine_chunks().cast(pa.int64()),
             "last_totalprice": t["r_o_totalprice"],
         })
 
@@ -438,7 +440,8 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT o_orderkey AS src, o_custkey AS dst, 0 AS f, 1 AS r
               FROM orders)
-            SELECT src, dst, SUM(f) AS fwd, SUM(r) AS rev
+            SELECT src, dst, CAST(SUM(f) AS BIGINT) AS fwd,
+                   CAST(SUM(r) AS BIGINT) AS rev
             FROM tagged GROUP BY src, dst HAVING SUM(f) <> SUM(r)
         """,
         "subgraph_high_degree": f"""
@@ -582,9 +585,10 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             numbered AS (
               SELECT user_id, ts,
-                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts,
-                                         event_id ROWS UNBOUNDED PRECEDING)
-                       AS session_id
+                     CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
               FROM flagged)
             SELECT user_id, session_id, COUNT(*) AS n_events,
                    MIN(ts) AS start_ts, MAX(ts) AS end_ts

@@ -26,3 +26,12 @@ actor pools. Reference citations in docstrings are ``file:line`` into
 """
 
 __version__ = "0.1.0"
+
+# Load polars eagerly at package root. The root is the FIRST totem_ray
+# module lock any importer takes, so polars finishes initializing
+# before any submodule import can be mid-flight on another worker
+# thread — without this, two threads deserializing UDFs concurrently
+# can deadlock-break Python's import locks and one of them observes a
+# partially-initialized polars (“module 'polars' has no attribute
+# 'Series'”). See _polars_compat for the retry fallback.
+from totem_ray import _polars_compat as _polars_preload  # noqa: E402,F401

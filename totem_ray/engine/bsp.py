@@ -81,10 +81,12 @@ class BspEngine:
         graphs with isolated vertices) into the shards and build CSRs."""
         shards = self.shards
         partitioner = self.partitioner
+        weighted = "weight" in edges_ds.schema().names
 
         def route_edges(t: pa.Table) -> pa.Table:
             src = np.asarray(t["src"])
             dst = np.asarray(t["dst"])
+            w = np.asarray(t["weight"], dtype=np.float64) if weighted else None
             pid = partitioner.pid_np(src)
             order = np.argsort(pid, kind="stable")
             bounds = np.searchsorted(pid[order], np.arange(self.P + 1))
@@ -93,11 +95,13 @@ class BspEngine:
                 lo, hi = bounds[p], bounds[p + 1]
                 if hi > lo:
                     sel = order[lo:hi]
-                    acks.append(shards[p].ingest_edges.remote(src[sel], dst[sel]))
+                    acks.append(shards[p].ingest_edges.remote(
+                        src[sel], dst[sel], None if w is None else w[sel]))
             ray.get(acks)  # delivery barrier before this block is marked done
             return pa.table({"routed": pa.array([t.num_rows], type=pa.int64())})
 
-        edges_ds.select_columns(["src", "dst"]) \
+        cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
+        edges_ds.select_columns(cols) \
             .map_batches(route_edges, batch_format="pyarrow").count()
 
         if vertices_ds is not None:

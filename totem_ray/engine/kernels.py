@@ -490,9 +490,276 @@ class DegreeKernel:
         st["indeg"][idx] = np.asarray(t["in_degree"], dtype=np.float64)
 
 
+def _seg_min_sparse(dst: np.ndarray, vals: np.ndarray):
+    """dst must be sorted ascending; -> (unique_dst, min val per dst)."""
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(dst)) + 1])
+    return dst[starts], np.minimum.reduceat(vals, starts)
+
+
+class BfsKernel:
+    """Level-synchronous BFS (bfs_hybrid, src/alg/totem_bfs.cu /
+    totem_bfs_hybrid.cu): cost[source]=0, each superstep every frontier
+    vertex offers cost+1 to its neighbors with a min-combine (the 1-bit
+    push messages + visited bitmaps of totem_benchmark_binary.cu:32,
+    totem_bfs_hybrid.cu:58-76 become sparse (dst, level) pairs —
+    message volume tracks the frontier, the engine_report_no_comm
+    optimization). Terminates when the frontier empties. Unreachable
+    vertices report cost -1 (the INF_COST sentinel, totem_alg.h:21-22).
+    """
+
+    name = "bfs"
+
+    @staticmethod
+    def init(sh, st, source: int):
+        st["source"] = int(source)
+        cost = np.full(sh.nv, I64MAX, dtype=np.int64)
+        frontier = np.zeros(sh.nv, dtype=bool)
+        i = np.searchsorted(sh.verts, source)
+        if i < sh.nv and sh.verts[i] == source:
+            cost[i] = 0
+            frontier[i] = True
+        st["cost"], st["frontier"] = cost, frontier
+
+    @staticmethod
+    def compute(sh, st, superstep: int):
+        cost, frontier = st["cost"], st["frontier"]
+        cand_i = np.empty(0, dtype=np.int64)
+        cand_v = np.empty(0, dtype=np.int64)
+        outboxes = {}
+        for t, tgt in sh.tgt.items():
+            m = frontier[tgt["src"]]
+            if not m.any():
+                continue
+            d = tgt["dst"][m]
+            vals = cost[tgt["src"][m]] + 1
+            ud, red = _seg_min_sparse(d, vals)
+            if t == sh.pid:
+                cand_i, cand_v = ud, red
+            else:
+                outboxes[t] = (ud, red)
+        st["cand"] = (cand_i, cand_v)
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        cand_i, cand_v = st.pop("cand")
+        cand = np.full(sh.nv, I64MAX, dtype=np.int64)
+        if len(cand_i):
+            cand[cand_i] = cand_v
+        for p, (ud, red) in inboxes.items():
+            np.minimum.at(cand, sh.inbox_maps[p][ud], red)
+        better = cand < st["cost"]
+        st["cost"] = np.where(better, cand, st["cost"])
+        st["frontier"] = better
+        return {"changed": int(better.sum())}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return agg["changed"] == 0
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        cost = np.where(st["cost"] >= I64MAX, -1, st["cost"])
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "cost": pa.array(cost, type=pa.int64())})
+
+    @staticmethod
+    def state_table(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "cost": pa.array(st["cost"], type=pa.int64()),
+                         "frontier": pa.array(st["frontier"])})
+
+    @staticmethod
+    def load_state(sh, st, t: pa.Table):
+        idx = np.searchsorted(sh.verts, np.asarray(t["v"]))
+        st["cost"][idx] = np.asarray(t["cost"], dtype=np.int64)
+        st["frontier"][idx] = np.asarray(t["frontier"], dtype=bool)
+
+
+class Graph500Kernel:
+    """BFS tree (graph500_hybrid, src/alg/totem_graph500*.cu): like
+    BFS but messages carry (level, parent-id) and the combine is the
+    lexicographic min, so every vertex records its level and the
+    MINIMUM-id parent among its level-1 predecessors (the reference
+    accepts any valid parent; pinning min makes the output
+    deterministic under every partitioning). Root's parent = itself.
+    """
+
+    name = "bfs_tree"
+
+    @staticmethod
+    def init(sh, st, source: int):
+        st["source"] = int(source)
+        cost = np.full(sh.nv, I64MAX, dtype=np.int64)
+        parent = np.full(sh.nv, -1, dtype=np.int64)
+        frontier = np.zeros(sh.nv, dtype=bool)
+        i = np.searchsorted(sh.verts, source)
+        if i < sh.nv and sh.verts[i] == source:
+            cost[i] = 0
+            parent[i] = source
+            frontier[i] = True
+        st["cost"], st["parent"], st["frontier"] = cost, parent, frontier
+
+    @staticmethod
+    def _lexmin_per_dst(d, c, p):
+        order = np.lexsort((p, c, d))
+        d, c, p = d[order], c[order], p[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(d)) + 1])
+        return d[starts], c[starts], p[starts]
+
+    @classmethod
+    def compute(cls, sh, st, superstep: int):
+        cost, frontier = st["cost"], st["frontier"]
+        st["cand"] = (np.empty(0, np.int64),) * 3
+        outboxes = {}
+        for t, tgt in sh.tgt.items():
+            m = frontier[tgt["src"]]
+            if not m.any():
+                continue
+            src_i = tgt["src"][m]
+            trip = cls._lexmin_per_dst(tgt["dst"][m], cost[src_i] + 1,
+                                       sh.verts[src_i])
+            if t == sh.pid:
+                st["cand"] = trip
+            else:
+                outboxes[t] = trip
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        cand_c = np.full(sh.nv, I64MAX, dtype=np.int64)
+        cand_p = np.full(sh.nv, I64MAX, dtype=np.int64)
+        ud, c, p = st.pop("cand")
+        pieces = [(ud, c, p)] + \
+            [(sh.inbox_maps[q][u], cc, pp) for q, (u, cc, pp) in inboxes.items()]
+        for idx, cc, pp in pieces:
+            if not len(idx):
+                continue
+            bc = cand_c[idx]
+            better = (cc < bc) | ((cc == bc) & (pp < cand_p[idx]))
+            # idx may repeat across pieces but not within one (lexmin'd);
+            # sequential per-piece update keeps the min pair
+            cand_c[idx[better]] = cc[better]
+            cand_p[idx[better]] = pp[better]
+        # all same-cost candidates for a vertex arrive in one apply (the
+        # lexmin above already picked the min parent among them), so a
+        # plain < on cost is the full settle rule
+        better = cand_c < st["cost"]
+        st["cost"] = np.where(better, cand_c, st["cost"])
+        st["parent"] = np.where(better, cand_p, st["parent"])
+        st["frontier"] = better
+        return {"changed": int(better.sum())}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return agg["changed"] == 0
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        cost = np.where(st["cost"] >= I64MAX, -1, st["cost"])
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "cost": pa.array(cost, type=pa.int64()),
+                         "parent": pa.array(st["parent"], type=pa.int64())})
+
+    @staticmethod
+    def state_table(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "cost": pa.array(st["cost"], type=pa.int64()),
+                         "parent": pa.array(st["parent"], type=pa.int64()),
+                         "frontier": pa.array(st["frontier"])})
+
+    @staticmethod
+    def load_state(sh, st, t: pa.Table):
+        idx = np.searchsorted(sh.verts, np.asarray(t["v"]))
+        st["cost"][idx] = np.asarray(t["cost"], dtype=np.int64)
+        st["parent"][idx] = np.asarray(t["parent"], dtype=np.int64)
+        st["frontier"][idx] = np.asarray(t["frontier"], dtype=bool)
+
+
+class SsspKernel:
+    """Single-source shortest paths, Bellman-Ford-style frontier
+    relaxation (sssp_hybrid, src/alg/totem_sssp.cu /
+    totem_sssp_hybrid.cu): each superstep every vertex whose distance
+    improved relaxes its out-edges, messages are sparse
+    (dst, dist+weight) pairs with a min-combine (the 33-bit min-scatter
+    messages, totem_benchmark_binary.cu:48-58). Unweighted graphs use
+    weight 1 (totem_graph.h:95). Terminates when no distance improves;
+    unreachable vertices report +inf.
+    """
+
+    name = "sssp"
+
+    @staticmethod
+    def init(sh, st, source: int):
+        st["source"] = int(source)
+        dist = np.full(sh.nv, np.inf, dtype=np.float64)
+        frontier = np.zeros(sh.nv, dtype=bool)
+        i = np.searchsorted(sh.verts, source)
+        if i < sh.nv and sh.verts[i] == source:
+            dist[i] = 0.0
+            frontier[i] = True
+        st["dist"], st["frontier"] = dist, frontier
+
+    @staticmethod
+    def compute(sh, st, superstep: int):
+        dist, frontier = st["dist"], st["frontier"]
+        st["cand"] = (np.empty(0, np.int64), np.empty(0, np.float64))
+        outboxes = {}
+        for t, tgt in sh.tgt.items():
+            m = frontier[tgt["src"]]
+            if not m.any():
+                continue
+            d = tgt["dst"][m]
+            w = tgt["w"][m] if "w" in tgt else 1.0
+            vals = dist[tgt["src"][m]] + w
+            ud, red = _seg_min_sparse(d, vals)
+            if t == sh.pid:
+                st["cand"] = (ud, red)
+            else:
+                outboxes[t] = (ud, red)
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        cand_i, cand_v = st.pop("cand")
+        cand = np.full(sh.nv, np.inf, dtype=np.float64)
+        if len(cand_i):
+            cand[cand_i] = cand_v
+        for p, (ud, red) in inboxes.items():
+            np.minimum.at(cand, sh.inbox_maps[p][ud], red)
+        better = cand < st["dist"]
+        st["dist"] = np.where(better, cand, st["dist"])
+        st["frontier"] = better
+        return {"changed": int(better.sum())}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return agg["changed"] == 0
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "dist": pa.array(st["dist"], type=pa.float64())})
+
+    @staticmethod
+    def state_table(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "dist": pa.array(st["dist"], type=pa.float64()),
+                         "frontier": pa.array(st["frontier"])})
+
+    @staticmethod
+    def load_state(sh, st, t: pa.Table):
+        idx = np.searchsorted(sh.verts, np.asarray(t["v"]))
+        st["dist"][idx] = np.asarray(t["dist"], dtype=np.float64)
+        st["frontier"][idx] = np.asarray(t["frontier"], dtype=bool)
+
+
 KERNELS = {
     PageRankKernel.name: PageRankKernel,
     ConnectedComponentsKernel.name: ConnectedComponentsKernel,
     LabelPropagationKernel.name: LabelPropagationKernel,
     DegreeKernel.name: DegreeKernel,
+    BfsKernel.name: BfsKernel,
+    Graph500Kernel.name: Graph500Kernel,
+    SsspKernel.name: SsspKernel,
 }

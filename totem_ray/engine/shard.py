@@ -55,9 +55,12 @@ class GraphShard:
     # ------------------------------------------------------------------
     # build phase
     # ------------------------------------------------------------------
-    def ingest_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+    def ingest_edges(self, src: np.ndarray, dst: np.ndarray,
+                     w: np.ndarray | None = None) -> int:
         self._edge_chunks.append((np.asarray(src, dtype=np.int64),
-                                  np.asarray(dst, dtype=np.int64)))
+                                  np.asarray(dst, dtype=np.int64),
+                                  None if w is None else
+                                  np.asarray(w, dtype=np.float64)))
         return len(src)
 
     def ingest_vertices(self, ids: np.ndarray) -> int:
@@ -71,9 +74,19 @@ class GraphShard:
         if self._edge_chunks:
             self._src = np.concatenate([c[0] for c in self._edge_chunks])
             self._dst = np.concatenate([c[1] for c in self._edge_chunks])
+            # weighted iff any chunk carried weights (default weight 1,
+            # totem_graph.h:95)
+            if any(c[2] is not None for c in self._edge_chunks):
+                self._w = np.concatenate(
+                    [c[2] if c[2] is not None
+                     else np.ones(len(c[0]), dtype=np.float64)
+                     for c in self._edge_chunks])
+            else:
+                self._w = None
         else:
             self._src = np.empty(0, dtype=np.int64)
             self._dst = np.empty(0, dtype=np.int64)
+            self._w = None
         self._edge_chunks = []
         self._dst_owner = partitioner.pid_np(self._dst) if len(self._dst) \
             else np.empty(0, dtype=np.int64)
@@ -132,6 +145,8 @@ class GraphShard:
                 size = len(self.ghosts[t])
             order = np.argsort(e_d, kind="stable")
             self.tgt[t] = {"src": e_s[order], "dst": e_d[order], "size": size}
+            if self._w is not None:
+                self.tgt[t]["w"] = self._w[mask][order]
 
         # fill adjacency idx codes in src-major order
         mask_local = self._dst_owner == self.pid
@@ -145,7 +160,8 @@ class GraphShard:
         self.adj_idx = adj_idx
 
         # free raw edge arrays except what's needed
-        del self._src, self._dst, self._dst_owner
+        self.weighted = self._w is not None
+        del self._src, self._dst, self._dst_owner, self._w
         return {"pid": self.pid, "nv": self.nv, "ne": self.ne,
                 "ghost_vertices": int(sum(len(g) for g in self.ghosts.values()))}
 

@@ -181,6 +181,86 @@ def add_random_weights(edges, seed: int = 42, max_weight: float = 1.0):
     return edges.map_batches(fn, batch_format="pyarrow")
 
 
+def sort_vertices_by_degree(edges, bucket_bits: int = 12):
+    """Degree-ordered dense relabel (``alter sortVertices``,
+    totem_generator.cc:682-748): new_id 0..V-1 assigned in
+    (out-degree DESC, vertex id ASC) order — the degree-aware id
+    assignment reused for skew handling (SURVEY.md §2.2).
+
+    Distributed-rank construction (no global zip-with-index):
+    vertices are bucketed by the top ``bucket_bits`` bits of the id
+    (order-preserving ranges in signed int64 order), the per
+    (degree, bucket) counts — a small table — come to the driver for a
+    cumulative-offset map, and each (degree, bucket) group sorts by id
+    and adds its offset. Group size is bounded by the degree group /
+    2^bucket_bits, so hub-degree groups stay block-sized at scale.
+
+    Returns Dataset(v, degree, new_id).
+    """
+    from totem_ray.hashing import as_u64  # noqa: F401 (doc symmetry)
+
+    degs = vertex_degrees(edges)  # (v, out_degree, in_degree)
+    shift = 64 - bucket_bits
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"])
+        b = (v >> shift) + (1 << (bucket_bits - 1))  # signed-order-preserving
+        return pa.table({"v": t["v"], "degree": t["out_degree"],
+                         "_b": pa.array(b, type=pa.int64())})
+
+    db = degs.map_batches(add_bucket, batch_format="pyarrow")
+    counts = db.groupby(["degree", "_b"]).aggregate(Count(alias_name="n")) \
+               .to_pandas()
+    counts = counts.sort_values(["degree", "_b"],
+                                ascending=[False, True], kind="stable")
+    offs = np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]])
+    offset_map = {(int(d), int(b)): int(o) for d, b, o in
+                  zip(counts["degree"], counts["_b"], offs)}
+
+    def relabel(df):
+        import pandas as pd
+        key = (int(df["degree"].iloc[0]), int(df["_b"].iloc[0]))
+        df = df.sort_values("v", kind="stable")
+        return pd.DataFrame({
+            "v": df["v"].to_numpy(),
+            "degree": df["degree"].to_numpy(),
+            "new_id": offset_map[key] + np.arange(len(df), dtype=np.int64),
+        })
+
+    return db.groupby(["degree", "_b"]).map_groups(relabel,
+                                                   batch_format="pandas")
+
+
+def remap_vertex_ids(edges, mapping, num_buckets: int = 32):
+    """Apply a (v, new_id) relabel mapping to an edge table via a
+    hash join on each endpoint (map_vertices_by_degree's application
+    step, totem_partition.cu:55-107)."""
+    from totem_ray.graph.joins import hash_join
+
+    m = mapping.select_columns(["v", "new_id"])
+
+    # hash_join joins on equal column names; rename around it
+    def _ren(name_from, name_to):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {name_to if c == name_from else c: t[c]
+                    for c in t.column_names}
+            return pa.table(cols)
+        return fn
+
+    e = edges.select_columns(["src", "dst"])
+    e = e.map_batches(_ren("src", "v"), batch_format="pyarrow")
+    e = hash_join(e, m, on="v", num_buckets=num_buckets)
+    e = e.map_batches(_ren("new_id", "new_src"), batch_format="pyarrow") \
+         .select_columns(["new_src", "dst"]) \
+         .map_batches(_ren("dst", "v"), batch_format="pyarrow")
+    e = hash_join(e, m, on="v", num_buckets=num_buckets)
+    e = e.map_batches(_ren("new_id", "new_dst"), batch_format="pyarrow") \
+         .select_columns(["new_src", "new_dst"])
+    return e.map_batches(
+        lambda t: pa.table({"src": t["new_src"], "dst": t["new_dst"]}),
+        batch_format="pyarrow")
+
+
 def sort_edges(edges, descending: bool = False):
     """Global (src, dst) sort (graph_sort_nbrs, totem_graph.cu:923-933
     — adjacency-sortedness is enforced per-shard at CSR build time in
