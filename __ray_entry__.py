@@ -189,6 +189,59 @@ def q_clustering_coefficient(sf_dir: str):
     return cc.map_batches(fin, batch_format="pyarrow")
 
 
+def q_bfs_copurchase(sf_dir: str):
+    from totem_ray.algs import bfs
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir)
+    src = int(edges.min("src"))
+    out = bfs(edges, source=src, num_partitions=4)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    return df[df["cost"] >= 0].reset_index(drop=True)
+
+
+def q_bfs_tree_copurchase(sf_dir: str):
+    from totem_ray.algs import bfs_tree
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir)
+    src = int(edges.min("src"))
+    out = bfs_tree(edges, source=src, num_partitions=4)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    return df[df["cost"] >= 0].reset_index(drop=True)
+
+
+def q_sssp_copurchase(sf_dir: str):
+    from totem_ray.algs import sssp
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir)
+
+    def add_w(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"])
+        d = np.asarray(t["dst"])
+        w = (1 + (s + d) % 7).astype(np.float64)
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "weight": pa.array(w, type=pa.float64())})
+
+    src = int(edges.min("src"))
+    out = sssp(edges.map_batches(add_w, batch_format="pyarrow"),
+               source=src, num_partitions=4)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    df = df[np.isfinite(df["dist"])].reset_index(drop=True)
+    return df
+
+
+def q_sortvertices_copurchase(sf_dir: str):
+    from totem_ray.graph.edges import sort_vertices_by_degree
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    return sort_vertices_by_degree(copurchase_edges(sf_dir))
+
+
 def q_tpch_pricing_summary(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     from totem_ray.pipelines.tpch_graph import read_table
@@ -395,6 +448,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_copurchase": q_labelprop,
         "triangles_copurchase": q_triangles,
         "clustering_coefficient_copurchase": q_clustering_coefficient,
+        "bfs_copurchase": q_bfs_copurchase,
+        "bfs_tree_copurchase": q_bfs_tree_copurchase,
+        "sssp_copurchase": q_sssp_copurchase,
+        "sortvertices_copurchase": q_sortvertices_copurchase,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "doc_token_stats": q_doc_token_stats,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -546,6 +603,81 @@ def oracle_sql() -> dict[str, str]:
                          THEN 2.0 * t.triangles / (deg.d * (deg.d - 1))
                          ELSE 0.0 END, 8) AS cc_r8
             FROM deg LEFT JOIN t ON t.v = deg.v
+        """,
+        "bfs_copurchase": f"""
+            WITH RECURSIVE e AS ({_COPURCHASE_SQL}),
+            s AS (SELECT MIN(src) AS v FROM e),
+            walk(v, cost) AS (
+              SELECT v, 0 FROM s
+              UNION
+              SELECT e.dst, w.cost + 1 FROM walk w
+              JOIN e ON e.src = w.v WHERE w.cost < 12
+            )
+            SELECT v, CAST(MIN(cost) AS BIGINT) AS cost FROM walk GROUP BY v
+        """,
+        "bfs_tree_copurchase": f"""
+            WITH RECURSIVE e AS ({_COPURCHASE_SQL}),
+            s AS (SELECT MIN(src) AS v FROM e),
+            walk(v, cost) AS (
+              SELECT v, 0 FROM s
+              UNION
+              SELECT e.dst, w.cost + 1 FROM walk w
+              JOIN e ON e.src = w.v WHERE w.cost < 12
+            ),
+            costs AS (SELECT v, CAST(MIN(cost) AS BIGINT) AS cost
+                      FROM walk GROUP BY v),
+            parents AS (
+              SELECT e.dst AS v, MIN(e.src) AS parent
+              FROM e JOIN costs cs ON cs.v = e.src
+                     JOIN costs cd ON cd.v = e.dst
+              WHERE cs.cost = cd.cost - 1 GROUP BY e.dst)
+            SELECT c.v, c.cost,
+                   CASE WHEN c.cost = 0 THEN c.v ELSE p.parent END AS parent
+            FROM costs c LEFT JOIN parents p ON p.v = c.v
+        """,
+        "sssp_copurchase": f"""
+            WITH RECURSIVE e AS (
+              SELECT src, dst, 1 + (src + dst) % 7 AS w
+              FROM ({_COPURCHASE_SQL})),
+            s AS (SELECT MIN(src) AS v FROM e),
+            walk(v, dist) AS (
+              SELECT v, 0 FROM s
+              UNION
+              SELECT e.dst, w.dist + e.w FROM walk w
+              JOIN e ON e.src = w.v WHERE w.dist + e.w < 40
+            )
+            SELECT v, CAST(MIN(dist) AS DOUBLE) AS dist FROM walk GROUP BY v
+        """,
+        "sortvertices_copurchase": f"""
+            WITH e AS ({_COPURCHASE_SQL}),
+            deg AS (SELECT src AS v, COUNT(*) AS degree FROM e GROUP BY src)
+            SELECT v, degree,
+                   ROW_NUMBER() OVER (ORDER BY degree DESC, v ASC) - 1
+                     AS new_id
+            FROM deg
+        """,
+        "doc_ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS ts
+              FROM documents),
+            idx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= 3),
+            grams AS (SELECT DISTINCT doc_id,
+                             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+                      FROM idx),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+                      FROM grams a JOIN grams b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT i.a, i.b,
+                   ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 8)
+                     AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+                         JOIN sizes sb ON sb.doc_id = i.b
+            WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.3
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -145,3 +145,43 @@ def test_modularity_two_cliques():
         {"v": np.arange(6, dtype=np.uint64), "label": [0, 0, 0, 1, 1, 1]}))
     q = modularity(ds, labels)
     assert 0.3 < q < 0.5
+
+
+def test_sort_vertices_by_degree_dense_rank():
+    from totem_ray.graph.edges import sort_vertices_by_degree
+
+    n, e, ds = _edges("star_1000")
+    m = sort_vertices_by_degree(ds).to_pandas()
+    # hub first, then spokes by id; new ids dense 0..n-1
+    assert m.loc[m["v"] == 0, "new_id"].iloc[0] == 0
+    assert sorted(m["new_id"].tolist()) == list(range(n))
+    spokes = m[m["v"] != 0].sort_values("v")
+    assert (spokes["new_id"].to_numpy() == np.arange(1, n)).all()
+
+
+def test_sort_vertices_matches_rownumber_oracle():
+    from totem_ray.graph.edges import sort_vertices_by_degree
+
+    n, e, ds = _edges("grid_15")
+    m = sort_vertices_by_degree(ds).to_pandas()
+    deg = np.bincount(e[:, 0].astype(int), minlength=n)
+    order = np.lexsort((np.arange(n), -deg))  # degree desc, id asc
+    exp = np.empty(n, dtype=np.int64)
+    exp[order] = np.arange(n)
+    got = m.sort_values("v")["new_id"].to_numpy()
+    assert np.array_equal(got, exp)
+
+
+def test_remap_vertex_ids_roundtrip():
+    import ray.data
+    import pandas as pd
+    from totem_ray.graph.edges import remap_vertex_ids, sort_vertices_by_degree
+
+    n, e, ds = _edges("chain_100")
+    mapping = sort_vertices_by_degree(ds)
+    remapped = remap_vertex_ids(ds, mapping).to_pandas()
+    assert len(remapped) == len(e)
+    # degree multiset is invariant under relabeling
+    old_hist = np.sort(np.bincount(e[:, 0].astype(int)))
+    new_hist = np.sort(np.bincount(remapped["src"].to_numpy()))
+    assert np.array_equal(old_hist[old_hist > 0], new_hist[new_hist > 0])

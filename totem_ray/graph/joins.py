@@ -103,9 +103,36 @@ def hash_join(left, right, on: list[str] | str, how: str = "inner",
     tagged = left.map_batches(tagger(0, rval), batch_format="pyarrow").union(
         right.map_batches(tagger(1, lval), batch_format="pyarrow"))
 
+    # the union's null padding degrades column dtypes (int64 -> float64
+    # via NaN); restore each side's original dtypes after slicing
+    def _dtype_map(schema, cols):
+        # schema is a ray.data Schema (names + arrow types)
+        out = {}
+        if schema is None:
+            return out
+        types = dict(zip(schema.names, schema.types))
+        for c in cols:
+            t = types.get(c)
+            if t is not None:
+                try:
+                    out[c] = t.to_pandas_dtype()
+                except (NotImplementedError, AttributeError):
+                    pass
+        return out
+
+    ltypes = _dtype_map(lschema, on + lval)
+    rtypes = _dtype_map(rschema, on + rval)
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["_side"] == 0][on + lval]
         r = df[df["_side"] == 1][on + rval]
+        for side, types in ((l, ltypes), (r, rtypes)):
+            for c, dt in types.items():
+                if side[c].dtype != dt:
+                    try:
+                        side[c] = side[c].astype(dt)
+                    except (ValueError, TypeError):
+                        pass  # genuine nulls in source data — keep as-is
         out = l.merge(r, on=on, how="inner" if how == "inner" else "left")
         return out
 
