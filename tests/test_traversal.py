@@ -141,3 +141,37 @@ def test_bfs_resume(tmp_path):
     got = res["result"].to_pandas().sort_values("v")["cost"].to_numpy()
     assert np.array_equal(got, exp)
     res["engine"].shutdown()
+
+
+def test_st_connectivity():
+    from totem_ray.algs import st_connectivity
+
+    n, e = topology_edges("chain_4_comp_40")
+    r = st_connectivity(edges_from_arrays(e), source=0, target=9,
+                        num_partitions=2)
+    assert r["connected"] and r["cost"] == 9
+    r2 = st_connectivity(edges_from_arrays(e), source=0, target=15,
+                         num_partitions=2)
+    assert not r2["connected"] and r2["cost"] == -1
+
+
+def test_closeness_exact_all_sources():
+    from totem_ray.algs import closeness
+
+    n, e = topology_edges("grid_15")
+    out = closeness(edges_from_arrays(e), sources=list(range(n)),
+                    num_partitions=3)
+    df = out["result"].to_pandas().sort_values("v")
+    out["engine"].shutdown()
+
+    # numpy oracle: all-pairs BFS
+    dist_sum = np.zeros(n)
+    reached = np.zeros(n)
+    for s in range(n):
+        cost = np_bfs(n, e, s)
+        m = cost >= 0
+        dist_sum[m] += cost[m]
+        reached[m] += 1
+    cc = np.where(dist_sum > 0, (reached - 1) / np.maximum(dist_sum, 1), 0.0)
+    assert np.array_equal(df["dist_sum"].to_numpy(), dist_sum.astype(np.int64))
+    assert np.allclose(df["closeness"].to_numpy(), cc)

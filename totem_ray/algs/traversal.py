@@ -49,6 +49,82 @@ def bfs_tree(edges, source: int, num_partitions: int = 4, partitioner=None,
                 checkpoint_every, resume)
 
 
+def st_connectivity(edges, source: int, target: int,
+                    num_partitions: int = 4, partitioner=None,
+                    vertices=None, engine: BspEngine | None = None) -> dict:
+    """s-t connectivity (stcon_cpu/gpu, decl totem_alg.h:281-285):
+    {connected: bool, cost: hop distance or -1}. Implemented as BFS
+    from ``source`` (the reference's bidirectional search is a
+    constant-factor optimization)."""
+    out = bfs(edges, source, num_partitions, partitioner, vertices, engine)
+    row = out["result"].filter(expr=f"v == {int(target)}").take(1)
+    out["engine"].shutdown()
+    cost = int(row[0]["cost"]) if row else -1
+    return {"connected": cost >= 0, "cost": cost}
+
+
+def closeness(edges, sources=None, sample: int = 8,
+              num_partitions: int = 4, partitioner=None, vertices=None,
+              engine: BspEngine | None = None) -> dict:
+    """Closeness centrality (closeness_unweighted_cpu/gpu,
+    src/alg/totem_closeness.cu): cc(v) = (reached(v) - 1) / sum of
+    hop distances from the source set to v.
+
+    The reference runs one BFS per vertex; at scale that is O(V)
+    traversals, so ``sources=None`` uses the ``sample`` smallest
+    vertex ids as a deterministic source sample (pass an explicit id
+    list — e.g. every vertex — for the exact reference semantics).
+    One engine is built once and reused across all per-source BFS
+    runs (engine reuse, totem_engine.cuh:6-10).
+
+    Returns {result: Dataset(v, dist_sum, reached, closeness),
+    sources: [...], engine}.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    if engine is None:
+        engine = BspEngine(num_partitions, partitioner)
+        engine.build(edges, vertices_ds=vertices)
+    if sources is None:
+        first = edges.select_columns(["src"]) \
+            .groupby("src").count().sort("src").limit(sample).take_all()
+        sources = [r["src"] for r in first]
+
+    import numpy as np
+
+    def as_partial(t: pa.Table) -> pa.Table:
+        cost = np.asarray(t["cost"])
+        return pa.table({
+            "v": t["v"],
+            "_d": pa.array(np.maximum(cost, 0), type=pa.int64()),
+            "_r": pa.array((cost >= 0).astype(np.int64), type=pa.int64()),
+        })
+
+    per_source = []
+    for s in sources:
+        out = engine.run("bfs", {"source": int(s)})
+        per_source.append(out["result"].map_batches(
+            as_partial, batch_format="pyarrow"))
+    allp = per_source[0]
+    for p in per_source[1:]:
+        allp = allp.union(p)
+    agg = allp.groupby("v").aggregate(Sum("_d", alias_name="dist_sum"),
+                                      Sum("_r", alias_name="reached"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ds_ = np.asarray(t["dist_sum"], dtype=np.float64)
+        rc = np.asarray(t["reached"], dtype=np.float64)
+        cc = np.where(ds_ > 0, (rc - 1.0) / np.maximum(ds_, 1.0), 0.0)
+        return pa.table({"v": t["v"], "dist_sum": t["dist_sum"],
+                         "reached": t["reached"],
+                         "closeness": pa.array(cc, type=pa.float64())})
+
+    return {"result": agg.map_batches(fin, batch_format="pyarrow"),
+            "sources": list(sources), "engine": engine}
+
+
 def sssp(edges, source: int, num_partitions: int = 4, partitioner=None,
          vertices=None, engine: BspEngine | None = None,
          max_supersteps: int = 100_000, checkpoint_dir: str | None = None,

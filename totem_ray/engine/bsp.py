@@ -158,9 +158,11 @@ class BspEngine:
         metrics: list[dict] = []
         converged = False
         step = start_step
+        prev_agg: dict | None = None
         while step < max_supersteps:
             t0 = time.perf_counter()
-            outs = ray.get([s.k_compute.remote(alg, step) for s in self.shards])
+            outs = ray.get([s.k_compute.remote(alg, step, prev_agg)
+                            for s in self.shards])
             t1 = time.perf_counter()
             applies = []
             for q, s in enumerate(self.shards):
@@ -169,6 +171,7 @@ class BspEngine:
             stats = ray.get(applies)
             t2 = time.perf_counter()
             agg = _agg_stats(stats)
+            prev_agg = agg
             m = {"superstep": step, "comp_ms": (t1 - t0) * 1e3,
                  "apply_ms": (t2 - t1) * 1e3, **agg}
             if checkpoint_dir and checkpoint_every and \

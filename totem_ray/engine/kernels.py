@@ -754,6 +754,107 @@ class SsspKernel:
         st["frontier"][idx] = np.asarray(t["frontier"], dtype=bool)
 
 
+class PCoreKernel:
+    """p-core decomposition (pcore_cpu/gpu, src/alg/totem_pcores.cu —
+    the weighted k-core peel of [Batagelj & Zaversnik 2002]).
+
+    Semantics matched to the reference:
+    * wdeg[v] init = sum of incident edge weights (init_state_kernel;
+      weight 1 when unweighted, totem_graph.h:95);
+    * outer rounds: threshold p = start + round*step; inner cascade:
+      any active vertex with wdeg <= p is deactivated, assigned the
+      CURRENT round number, and its weights are subtracted from its
+      neighbors' wdeg (pcore_kernel, note the <=);
+    * the round advances only when an inner iteration removes nothing
+      (finish_flags[ROUND_INDEX]); processing ends when every vertex
+      is assigned a round.
+
+    One superstep = one inner cascade iteration; the round/threshold
+    bump is driven by the engine's global prev_agg hook (removed == 0
+    last superstep), so all shards advance in lockstep.
+    """
+
+    name = "pcore"
+
+    @staticmethod
+    def init(sh, st, start: int = 0, step: int = 1):
+        st["start"], st["step"] = int(start), int(step)
+        st["thr"] = float(start)
+        st["round"] = 0
+        wdeg = np.zeros(sh.nv, dtype=np.float64)
+        for tgt in sh.tgt.values():
+            w = tgt["w"] if "w" in tgt else np.ones(len(tgt["src"]))
+            wdeg += np.bincount(tgt["src"], weights=w, minlength=sh.nv)
+        st["wdeg"] = wdeg
+        st["active"] = np.ones(sh.nv, dtype=bool)
+        st["out_round"] = np.full(sh.nv, -1, dtype=np.int64)
+
+    @staticmethod
+    def compute(sh, st, superstep: int):
+        prev = getattr(sh, "prev_agg", None)
+        if superstep > 0 and prev is not None and prev.get("removed", 0) == 0:
+            st["thr"] += st["step"]
+            st["round"] += 1
+        newly = st["active"] & (st["wdeg"] <= st["thr"])
+        st["out_round"][newly] = st["round"]
+        st["active"] &= ~newly
+        st["_removed"] = int(newly.sum())
+        outboxes = {}
+        st["cand"] = (np.empty(0, np.int64), np.empty(0, np.float64))
+        for t, tgt in sh.tgt.items():
+            m = newly[tgt["src"]]
+            if not m.any():
+                continue
+            d = tgt["dst"][m]
+            w = tgt["w"][m] if "w" in tgt else np.ones(int(m.sum()))
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(d)) + 1])
+            ud, dec = d[starts], np.add.reduceat(w, starts)
+            if t == sh.pid:
+                st["cand"] = (ud, dec)
+            else:
+                outboxes[t] = (ud, dec)
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        ud, dec = st.pop("cand")
+        if len(ud):
+            np.subtract.at(st["wdeg"], ud, dec)
+        for p, (u, d) in inboxes.items():
+            np.subtract.at(st["wdeg"], sh.inbox_maps[p][u], d)
+        return {"removed": st.pop("_removed"),
+                "active": int(st["active"].sum())}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return agg["active"] == 0
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "round": pa.array(st["out_round"], type=pa.int64())})
+
+    @staticmethod
+    def state_table(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "round": pa.array(st["out_round"], type=pa.int64()),
+                         "wdeg": pa.array(st["wdeg"], type=pa.float64()),
+                         "active": pa.array(st["active"]),
+                         "thr": pa.array(np.full(sh.nv, st["thr"])),
+                         "cur_round": pa.array(
+                             np.full(sh.nv, st["round"], dtype=np.int64))})
+
+    @staticmethod
+    def load_state(sh, st, t: pa.Table):
+        idx = np.searchsorted(sh.verts, np.asarray(t["v"]))
+        st["out_round"][idx] = np.asarray(t["round"], dtype=np.int64)
+        st["wdeg"][idx] = np.asarray(t["wdeg"], dtype=np.float64)
+        st["active"][idx] = np.asarray(t["active"], dtype=bool)
+        if t.num_rows:
+            st["thr"] = float(np.asarray(t["thr"])[0])
+            st["round"] = int(np.asarray(t["cur_round"])[0])
+
+
 KERNELS = {
     PageRankKernel.name: PageRankKernel,
     ConnectedComponentsKernel.name: ConnectedComponentsKernel,
@@ -762,4 +863,5 @@ KERNELS = {
     BfsKernel.name: BfsKernel,
     Graph500Kernel.name: Graph500Kernel,
     SsspKernel.name: SsspKernel,
+    PCoreKernel.name: PCoreKernel,
 }

@@ -175,10 +175,15 @@ class GraphShard:
         self.state[alg] = st
         return {"pid": self.pid}
 
-    def k_compute(self, alg: str, superstep: int) -> dict[int, Any]:
+    def k_compute(self, alg: str, superstep: int,
+                  prev_agg: dict | None = None) -> dict[int, Any]:
         """Compute phase: returns {target_pid: outbox_ref}. Outboxes go
         straight into the object store (``ray.put``) so the driver only
-        relays references — data moves shard-to-shard."""
+        relays references — data moves shard-to-shard. ``prev_agg`` is
+        the previous superstep's GLOBAL reduced stats (Totem's
+        superstep-global ss_kernel hook, totem_engine.cuh:114-124),
+        readable by kernels as ``sh.prev_agg``."""
+        self.prev_agg = prev_agg
         out = KERNELS[alg].compute(self, self.state[alg], superstep)
         return {q: ray.put(v) for q, v in out.items()} if out else {}
 

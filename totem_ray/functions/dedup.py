@@ -101,12 +101,26 @@ def minhash_signatures(docs, num_perm: int = 64, shingle_k: int = 3,
             mins = np.minimum.reduceat(mixed, starts, axis=0)
             rows = np.searchsorted(ids, doc_s[starts])
             sig[rows] = mins
+        # fixed-width binary (num_perm little-endian int64s): survives
+        # every join/shuffle as plain bytes — no list/tensor extension
+        # types in flight
         return pa.table({
             id_col: pa.array(ids, type=pa.int64()),
-            "sig": pa.array(list(sig), type=pa.list_(pa.int64())),
+            "sig": pa.array(
+                [row.tobytes() for row in np.ascontiguousarray(sig)],
+                type=pa.binary(num_perm * 8)),
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _decode_sigs(col, num_perm: int) -> np.ndarray:
+    """binary sig column -> (n, num_perm) int64 matrix."""
+    vals = col.to_pylist() if not isinstance(col, (list, np.ndarray)) else col
+    if not len(vals):
+        return np.empty((0, num_perm), np.int64)
+    return np.frombuffer(b"".join(vals), dtype=np.int64) \
+             .reshape(len(vals), num_perm)
 
 
 def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
@@ -126,8 +140,7 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
 
     def to_bands(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col])
-        sig = np.stack([np.asarray(x) for x in t["sig"].to_pylist()]) \
-            if t.num_rows else np.empty((0, num_perm), np.int64)
+        sig = _decode_sigs(t["sig"], num_perm)
         bh = np.empty((len(ids), bands), dtype=np.int64)
         for b in range(bands):
             chunk = as_u64(np.ascontiguousarray(
@@ -181,8 +194,8 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64),
                                  "jaccard_est": pd.Series([], dtype=np.float64)})
-        sa = np.stack(df["sig_a"].to_numpy())
-        sb = np.stack(df["sig_b"].to_numpy())
+        sa = _decode_sigs(list(df["sig_a"]), num_perm)
+        sb = _decode_sigs(list(df["sig_b"]), num_perm)
         est = (sa == sb).mean(axis=1)
         return pd.DataFrame({"a": df["a"].to_numpy(),
                              "b": df["b"].to_numpy(),

@@ -89,11 +89,23 @@ def hash_join(left, right, on: list[str] | str, how: str = "inner",
     if clash:
         raise ValueError(f"non-key column clash: {clash}")
 
+    _arrow_types = {}
+    for sch in (lschema, rschema):
+        if sch is not None and getattr(sch, "names", None) is not None:
+            _arrow_types.update(dict(zip(sch.names, sch.types)))
+
     def tagger(side: int, other_vals: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             cols = {c: t[c] for c in t.column_names}
             for c in other_vals:
-                cols[c] = pa.nulls(t.num_rows)
+                # typed nulls so blocks concat cleanly with the other
+                # side (untyped null columns crash tensor/list sorts)
+                typ = _arrow_types.get(c)
+                try:
+                    cols[c] = pa.nulls(t.num_rows, type=typ)
+                except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+                        TypeError):
+                    cols[c] = pa.nulls(t.num_rows)
             cols["_side"] = pa.array(np.full(t.num_rows, side, dtype=np.int8))
             cols["_bucket"] = pa.array(_key_hash(t, on, num_buckets))
             order = on + lval + rval + ["_side", "_bucket"]
