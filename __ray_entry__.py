@@ -167,7 +167,7 @@ def q_triangles(sf_dir: str):
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
     return triangle_counts(copurchase_edges(sf_dir), num_buckets=32,
-                           num_join_partitions=16)
+                           num_join_partitions=16, assume_simple=True)
 
 
 def q_clustering_coefficient(sf_dir: str):
@@ -175,7 +175,7 @@ def q_clustering_coefficient(sf_dir: str):
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
     cc = clustering_coefficient(copurchase_edges(sf_dir), num_buckets=32,
-                                num_join_partitions=16)
+                                num_join_partitions=16, assume_simple=True)
 
     def fin(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -30,8 +30,12 @@ import time
 
 BENCH_DIR = "/tmp/totem_ray_bench"
 RMAT_SCALE = int(os.environ.get("BENCH_RMAT_SCALE", "20"))
-RMAT_EF = 16
+RMAT_EF = int(os.environ.get("BENCH_RMAT_EF", "16"))
 PAGES_SCALE = int(os.environ.get("BENCH_PAGES_SCALE", "14"))
+# scaling runs need compute >> per-superstep orchestration floor
+# (~60 ms), i.e. ~10^9 edges
+SCALING_SCALE = int(os.environ.get("BENCH_SCALING_SCALE", "23"))
+SCALING_EF = int(os.environ.get("BENCH_SCALING_EF", "64"))
 
 
 def _ensure_repo_on_path():
@@ -81,20 +85,31 @@ def ensure_pages(scale: int, ef: int = 8) -> str:
     return path
 
 
-def bench_headline(ncpu: int) -> dict:
-    """RMAT PageRank to convergence: GTEPS + iterations."""
+def bench_headline(ncpu: int, scale: int = None, ef: int = None,
+                   num_partitions: int = None) -> dict:
+    """RMAT PageRank to convergence: GTEPS + iterations.
+
+    Runs the pull-direction engine (broadcast contrib vectors — the
+    reference benchmark's page_rank_incoming_hybrid variant): one
+    warm-up run (build caches, worker import), then the timed run.
+    """
     import ray
     import ray.data
     from totem_ray.engine.bsp import BspEngine
 
-    edges_path = ensure_rmat_edges(RMAT_SCALE, RMAT_EF)
-    ds = ray.data.read_parquet(edges_path)
-    P = max(4, ncpu)
+    scale = scale if scale is not None else RMAT_SCALE
+    ef = ef if ef is not None else RMAT_EF
+    edges_path = ensure_rmat_edges(scale, ef)
+    ds = ray.data.read_parquet(edges_path).materialize()
+    P = num_partitions or int(os.environ.get("BENCH_NUM_PARTITIONS", "0")) \
+        or max(4, min(32, ncpu))
     t0 = time.perf_counter()
-    eng = BspEngine(P).build(ds)
+    eng = BspEngine(P).build(ds, route_by="dst")
     t_build = time.perf_counter() - t0
+    eng.run("pagerank_pull", {"mode": "converge", "tol": 1e-6},
+            max_supersteps=200)  # warm-up
     t0 = time.perf_counter()
-    out = eng.run("pagerank", {"mode": "converge", "tol": 1e-6},
+    out = eng.run("pagerank_pull", {"mode": "converge", "tol": 1e-6},
                   max_supersteps=200)
     t_exec = time.perf_counter() - t0
     iters = out["iterations"]
@@ -133,7 +148,7 @@ def bench_sf_queries(sf_dir: str, ncpu: int) -> dict:
 
     t0 = time.perf_counter()
     triangle_counts(copurchase_edges(sf_dir), num_buckets=64,
-                    num_join_partitions=32).count()
+                    num_join_partitions=32, assume_simple=True).count()
     times["copurchase_triangles"] = time.perf_counter() - t0
     return times
 
@@ -221,13 +236,18 @@ def run_once(headline_only: bool = False) -> dict:
 
 
 def run_scaling():
-    """Fresh-process runs at 8 and 32 CPUs on the SAME input; report
+    """Fresh-process runs at 8 and 32 CPUs on the SAME input (RMAT
+    s{SCALING_SCALE} ef{SCALING_EF}, fixed P=32 partitioning — at two
+    cluster sizes the partitioning stays fixed and nodes vary); report
     throughput at both + scaling efficiency, append to BASELINE.md."""
     _ensure_repo_on_path()
-    ensure_rmat_edges(RMAT_SCALE, RMAT_EF)  # shared input, built once
+    ensure_rmat_edges(SCALING_SCALE, SCALING_EF)  # shared input, built once
     results = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_RMAT_SCALE=str(SCALING_SCALE),
+                   BENCH_RMAT_EF=str(SCALING_EF),
+                   BENCH_NUM_PARTITIONS="32")
         out = subprocess.run([sys.executable, os.path.abspath(__file__),
                               "--headline-only"],
                              env=env, capture_output=True, text=True,
@@ -238,6 +258,7 @@ def run_scaling():
     eff = (g32 / g8) / (32 / 8)
     summary = {
         "metric": "pagerank_scaling_efficiency",
+        "scale": SCALING_SCALE, "ef": SCALING_EF,
         "gteps_8cpu": g8, "gteps_32cpu": g32,
         "sec_8cpu": results[8]["queries"]["rmat_pagerank"],
         "sec_32cpu": results[32]["queries"]["rmat_pagerank"],
@@ -258,7 +279,8 @@ def _append_baseline(s: dict):
     block = f"""
 ## Measured scaling (this engine, bench.py --scaling, {stamp})
 
-RMAT s{RMAT_SCALE} ef{RMAT_EF} ({s['edges']:,} directed deduped edges),
+RMAT s{s.get('scale', RMAT_SCALE)} ef{s.get('ef', RMAT_EF)} ({s['edges']:,} directed deduped edges),
+pull-direction engine (pagerank_pull, broadcast contrib vectors), P=32,
 PageRank to convergence (L1 residual <= 1e-6, {s['iterations']} iterations),
 GTEPS = edges x iterations / alg_exec_sec / 1e9 (Totem accounting):
 

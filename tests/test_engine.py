@@ -157,3 +157,22 @@ def test_engine_reuse_and_degree_kernel():
     out2 = eng.run("pagerank", {"mode": "rounds"})
     assert len(out2["result"].to_pandas()) == n
     eng.shutdown()
+
+
+@pytest.mark.parametrize("mode", ["rounds", "converge"])
+def test_pagerank_pull_matches_push(mode):
+    """Pull (broadcast contrib, GROOVES_PULL) and push engines produce
+    identical ranks (the reference runs the incoming/pull variant in
+    its benchmark, totem_benchmark_binary.cu:202-205)."""
+    n, e = topology_edges("rmat_s10_ef8")
+    push = pagerank(edges_from_arrays(e, num_blocks=2), num_partitions=4,
+                    mode=mode)
+    pull = pagerank(edges_from_arrays(e, num_blocks=2), num_partitions=4,
+                    mode=mode, direction="pull")
+    rp = _ranks(push)
+    rq = _ranks(pull)
+    assert np.allclose(rp, rq, rtol=0, atol=1e-12)
+    assert push["result"].to_pandas()["v"].sort_values().equals(
+        pull["result"].to_pandas()["v"].sort_values())
+    push["engine"].shutdown()
+    pull["engine"].shutdown()

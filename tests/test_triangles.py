@@ -75,3 +75,22 @@ def test_multigraph_and_self_loops_ignored():
                                 num_join_partitions=2).to_pandas()
     assert (cc["triangles"] == 1).all()
     assert np.allclose(cc["cc"], 1.0)
+
+
+def test_both_physical_plans_agree():
+    """Broadcast fast path vs distributed join path — same counts
+    (the 24-config matrix moral applied to plan selection)."""
+    from totem_ray.algs.triangles import triangle_counts
+    from totem_ray.graph.edges import edges_from_arrays
+    from totem_ray.sources.fixtures import topology_edges
+
+    n, e = topology_edges("rmat_s10_ef8")
+    fast = triangle_counts(edges_from_arrays(e), num_buckets=8,
+                           num_join_partitions=8).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    join = triangle_counts(edges_from_arrays(e), num_buckets=8,
+                           num_join_partitions=8,
+                           broadcast_max_edges=0).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert fast.equals(join)
+    assert fast["triangles"].sum() > 0

@@ -17,17 +17,22 @@ def pagerank(edges, num_partitions: int = 4, partitioner=None,
              max_supersteps: int = 200,
              vertices=None, engine: BspEngine | None = None,
              checkpoint_dir: str | None = None,
-             checkpoint_every: int = 0, resume: bool = False) -> dict:
+             checkpoint_every: int = 0, resume: bool = False,
+             direction: str = "push") -> dict:
     """Returns {result: Dataset(v, rank), iterations, converged,
     metrics, ...}. ``mode='rounds'`` = reference 5-round parity;
     ``mode='converge'`` = iterate to L1 residual <= tol (north rule).
+    ``direction='pull'`` uses the broadcast-contrib pull engine (the
+    reference benchmark's page_rank_incoming_hybrid variant) — faster
+    for dense power-law graphs; results identical.
 
     Special case mirroring check_special_cases
     (totem_page_rank.cu — single-vertex graph): |V| == 1 -> rank 1.0.
     """
     if engine is None:
         engine = BspEngine(num_partitions, partitioner)
-        engine.build(edges, vertices_ds=vertices)
+        engine.build(edges, vertices_ds=vertices,
+                     route_by="dst" if direction == "pull" else "src")
     if engine.total_vertices == 1:
         import pandas as pd
         import ray.data
@@ -42,7 +47,8 @@ def pagerank(edges, num_partitions: int = 4, partitioner=None,
                 "metrics": [], "lineage": "special-single-vertex",
                 "engine": engine}
     params = {"mode": mode, "damping": damping, "rounds": rounds, "tol": tol}
-    out = engine.run("pagerank", params,
+    alg = "pagerank_pull" if direction == "pull" else "pagerank"
+    out = engine.run(alg, params,
                      max_supersteps=rounds if mode == "rounds" else max_supersteps,
                      checkpoint_dir=checkpoint_dir,
                      checkpoint_every=checkpoint_every, resume=resume)

@@ -58,13 +58,38 @@ def _simple_undirected(edges):
     return dedup_edges(drop_self_loops(symmetrize(edges)))
 
 
-def _oriented_edges(simple_und, num_join_partitions: int):
+def _oriented_edges(simple_und, num_join_partitions: int,
+                    broadcast_max_vertices: int = 50_000_000):
     """Orient each undirected edge toward the higher (degree, id)
     endpoint; keep one row per undirected edge.
 
-    Degrees are attached with two hash joins against the degree table
-    (both sides large => no broadcast; Dataset.join hash-partitions on
-    the key)."""
+    Degree attachment picks a physical plan: a broadcast sorted
+    (v, degree) array when the vertex set fits (16 B/vertex, one
+    object-store copy per node), else two distributed hash joins
+    against the degree table."""
+    deg_ds = degree_table(simple_und, alias="degree")
+    if deg_ds.count() <= broadcast_max_vertices:
+        import ray as _ray
+
+        degp = deg_ds.to_pandas()
+        vs = degp["v"].to_numpy()
+        order = np.argsort(vs)
+        ref = _ray.put((vs[order], degp["degree"].to_numpy()[order]))
+
+        def orient_b(t: pa.Table) -> pa.Table:
+            verts, deg = _ray.get(ref)
+            s = np.asarray(t["src"])
+            d = np.asarray(t["dst"])
+            ds_ = deg[np.searchsorted(verts, s)]
+            dd = deg[np.searchsorted(verts, d)]
+            fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
+            return pa.table({
+                "a": pa.array(s[fwd], type=pa.int64()),
+                "b": pa.array(d[fwd], type=pa.int64()),
+            })
+
+        return simple_und.map_batches(orient_b, batch_format="pyarrow")
+
     deg_s = _rename(degree_table(simple_und, alias="deg_s"), {"v": "src"})
     deg_d = _rename(degree_table(simple_und, alias="deg_d"), {"v": "dst"})
     with_s = hash_join(simple_und, deg_s, on="src",
@@ -88,19 +113,158 @@ def _oriented_edges(simple_und, num_join_partitions: int):
     return with_sd.map_batches(orient, batch_format="pyarrow")
 
 
+def _edge_fingerprints(lo: np.ndarray, hi: np.ndarray):
+    """Two independent 64-bit fingerprints of an undirected edge."""
+    from totem_ray.hashing import as_u64, splitmix64
+
+    ulo, uhi = as_u64(lo), as_u64(hi)
+    h1 = splitmix64(splitmix64(ulo) ^ uhi)
+    h2 = splitmix64(splitmix64(uhi ^ np.uint64(0x9E3779B97F4A7C15)) ^ ulo)
+    return h1, h2
+
+
+def _triangle_counts_broadcast(oriented, num_buckets: int,
+                               wedge_chunk: int = 8_000_000):
+    """Fast path: close wedges inline against a broadcast sorted
+    edge-fingerprint array — no wedge shuffle, no join. Each source
+    bucket generates its wedges in bounded chunks and emits only
+    per-vertex credit partials.
+
+    The membership probe uses a 128-bit fingerprint (two independent
+    64-bit halves, sorted by the first): a false positive needs both
+    halves to collide (~E * wedges / 2^128 — never), and h1-duplicate
+    runs longer than 2 are checked for at build time.
+
+    This is the Ray analog of Totem keeping the whole sorted adjacency
+    resident and merge-intersecting per edge
+    (totem_clustering.cu:368-431): one immutable object-store copy of
+    the edge set per node, wedge scan fully vectorized.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    # collect fingerprints (16 B/edge) — bounded by the caller's
+    # threshold check
+    h1_parts, h2_parts = [], []
+    for b in oriented.iter_batches(batch_format="pyarrow",
+                                   batch_size=2_000_000):
+        a = np.asarray(b["a"])
+        bb = np.asarray(b["b"])
+        lo = np.minimum(a, bb)
+        hi = np.maximum(a, bb)
+        h1, h2 = _edge_fingerprints(lo, hi)
+        h1_parts.append(h1)
+        h2_parts.append(h2)
+    h1 = np.concatenate(h1_parts) if h1_parts else np.empty(0, np.uint64)
+    h2 = np.concatenate(h2_parts) if h2_parts else np.empty(0, np.uint64)
+    order = np.lexsort((h2, h1))
+    h1, h2 = h1[order], h2[order]
+    # h1-duplicate runs: probe checks pos and pos+1; longer runs would
+    # need more — they do not occur (p ~ E^3 / 2^128)
+    if len(h1) > 2:
+        dup2 = (h1[:-2] == h1[1:-1]) & (h1[1:-1] == h1[2:])
+        assert not dup2.any(), "triple h1 collision — use join path"
+    ref1, ref2 = _ray.put(h1), _ray.put(h2)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pa.array(hash_partition(np.asarray(t["a"]), num_buckets)))
+
+    bucketed = oriented.map_batches(add_bucket, batch_format="pyarrow")
+
+    def close_wedges(t: pa.Table) -> pa.Table:
+        eh1: np.ndarray = _ray.get(ref1)
+        eh2: np.ndarray = _ray.get(ref2)
+        a = np.asarray(t["a"])
+        b = np.asarray(t["b"])
+        order = np.argsort(a, kind="stable")
+        a, b = a[order], b[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(a) != 0) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(a)]]))
+        pair_counts = sizes * (sizes - 1) // 2
+        cum = np.concatenate([[0], np.cumsum(pair_counts)])
+        out_v, out_t = [], []
+        g0 = 0
+        while g0 < len(starts):
+            g1 = int(np.searchsorted(cum, cum[g0] + wedge_chunk, "right"))
+            g1 = max(g1 - 1, g0 + 1)
+            rstart = starts[g0]
+            rend = starts[g1] if g1 < len(starts) else len(a)
+            al, bl = a[rstart:rend], b[rstart:rend]
+            lstarts = starts[g0:g1] - rstart
+            lsizes = sizes[g0:g1]
+            # enumerate pairs (first < second) within each source group
+            ords = np.arange(len(al)) - np.repeat(lstarts, lsizes)
+            second = np.repeat(np.arange(len(al)), ords)
+            first = np.repeat(np.repeat(lstarts, lsizes), ords) + \
+                slice_offsets(ords)
+            u = al[second]
+            x = bl[first]
+            y = bl[second]
+            lo = np.minimum(x, y)
+            hi = np.maximum(x, y)
+            wh1, wh2 = _edge_fingerprints(lo, hi)
+            pos = np.searchsorted(eh1, wh1)
+            n = len(eh1)
+            p0 = np.minimum(pos, n - 1) if n else pos
+            hit = np.zeros(len(wh1), dtype=bool)
+            if n:
+                hit = (eh1[p0] == wh1) & (eh2[p0] == wh2)
+                p1 = np.minimum(pos + 1, n - 1)
+                hit |= (eh1[p1] == wh1) & (eh2[p1] == wh2)
+            if hit.any():
+                v = np.concatenate([u[hit], lo[hit], hi[hit]])
+                vu, cnt = np.unique(v, return_counts=True)
+                out_v.append(vu)
+                out_t.append(cnt)
+            g0 = g1
+        if out_v:
+            v = np.concatenate(out_v)
+            c = np.concatenate(out_t)
+            vu, inv = np.unique(v, return_inverse=True)
+            cc = np.bincount(inv, weights=c).astype(np.int64)
+        else:
+            vu = np.empty(0, np.int64)
+            cc = np.empty(0, np.int64)
+        return pa.table({"v": pa.array(vu, type=pa.int64()),
+                         "_t": pa.array(cc, type=pa.int64())})
+
+    partials = bucketed.groupby("bucket").map_groups(
+        close_wedges, batch_format="pyarrow")
+    return partials.groupby("v").aggregate(Sum("_t", alias_name="triangles"))
+
+
 def triangle_counts(edges, num_buckets: int = 64,
                     num_join_partitions: int = 32,
-                    _simple_und=None):
+                    _simple_und=None,
+                    broadcast_max_edges: int = 100_000_000,
+                    assume_simple: bool = False):
     """Dataset (v, triangles) — exact per-vertex triangle counts.
 
+    Two physical plans (platform selection, the
+    totem_attr_t.platform moral): when the oriented edge set fits a
+    broadcast array (< ``broadcast_max_edges``, 16 B/edge in the
+    object store, one copy per node), wedges are closed inline with
+    zero shuffle; otherwise the wedge/edge hash join runs fully
+    distributed.
+
     Vertices in no triangle are absent (join back / fill 0 downstream,
-    as clustering_coefficient does)."""
-    simple_und = _simple_und if _simple_und is not None else \
-        _simple_undirected(edges).materialize()
+    as clustering_coefficient does). Pass ``assume_simple=True`` when
+    the input is already a deduped symmetrized simple graph (skips the
+    symmetrize+dedup pass)."""
+    if _simple_und is not None:
+        simple_und = _simple_und
+    elif assume_simple:
+        simple_und = edges.select_columns(["src", "dst"]).materialize()
+    else:
+        simple_und = _simple_undirected(edges).materialize()
     # oriented is consumed by BOTH the wedge stage and the closing
     # join; materialize once so the upstream dedup+joins don't run
     # twice (Ray Data re-executes shared lineage per consumer)
     oriented = _oriented_edges(simple_und, num_join_partitions).materialize()
+
+    if oriented.count() <= broadcast_max_edges:
+        return _triangle_counts_broadcast(oriented, num_buckets)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -175,13 +339,15 @@ def triangle_counts(edges, num_buckets: int = 64,
 
 
 def clustering_coefficient(edges, num_buckets: int = 64,
-                           num_join_partitions: int = 32):
+                           num_join_partitions: int = 32,
+                           assume_simple: bool = False):
     """Dataset (v, triangles, degree, cc) over ALL vertices of the
     simple graph; cc = 2T/(d(d-1)), 0 if T=0 or d<2
     (totem_clustering.cu:422-426)."""
     import pyarrow.compute as pc
 
-    simple_und = _simple_undirected(edges).materialize()
+    simple_und = (edges.select_columns(["src", "dst"]) if assume_simple
+                  else _simple_undirected(edges)).materialize()
     deg = degree_table(simple_und, alias="degree")
     tri = triangle_counts(edges, num_buckets, num_join_partitions,
                           _simple_und=simple_und)

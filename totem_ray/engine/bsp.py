@@ -48,17 +48,21 @@ from totem_ray.hashing import lineage_hash
 
 class BspEngine:
     def __init__(self, num_partitions: int = 4, partitioner=None,
-                 num_cpus_per_shard: float = 0):
+                 num_cpus_per_shard: float = 0, group_size: int = 8):
         """``num_cpus_per_shard=0`` (default) lets shard actors
         coexist with Dataset tasks without deadlocking the CPU budget
         (BSP phases are turn-based; each actor still runs on its own
         worker process). Reserve real CPUs (e.g. 1.0) for dedicated
-        benchmark runs."""
+        benchmark runs. ``group_size`` = shards per destination
+        bundle (one message object per target node at multi-node
+        scale; see GraphShard.k_compute)."""
         self.P = int(num_partitions)
+        self.group_size = max(1, int(group_size))
         self.partitioner = partitioner or HashPartitioner(self.P)
         assert self.partitioner.num_partitions == self.P
         shard_cls = ray.remote(num_cpus=num_cpus_per_shard)(GraphShard)
-        self.shards = [shard_cls.remote(p, self.P) for p in range(self.P)]
+        self.shards = [shard_cls.remote(p, self.P, self.group_size)
+                       for p in range(self.P)]
         self.total_vertices = 0
         self.total_edges = 0
         self.build_info: list[dict] = []
@@ -76,18 +80,26 @@ class BspEngine:
         self.shutdown()
 
     # ------------------------------------------------------------------
-    def build(self, edges_ds, vertices_ds=None) -> "BspEngine":
+    def build(self, edges_ds, vertices_ds=None,
+              route_by: str = "src") -> "BspEngine":
         """Route edges (and optionally an explicit vertex universe, for
-        graphs with isolated vertices) into the shards and build CSRs."""
+        graphs with isolated vertices) into the shards and build CSRs.
+
+        ``route_by='src'`` (default) builds the push-mode structures
+        every kernel uses; ``route_by='dst'`` builds the pull-mode
+        in-edge groups (GROOVES_PULL) used by ``pagerank_pull``.
+        """
+        self.mode = route_by
         shards = self.shards
         partitioner = self.partitioner
         weighted = "weight" in edges_ds.schema().names
+        key = "src" if route_by == "src" else "dst"
 
         def route_edges(t: pa.Table) -> pa.Table:
             src = np.asarray(t["src"])
             dst = np.asarray(t["dst"])
             w = np.asarray(t["weight"], dtype=np.float64) if weighted else None
-            pid = partitioner.pid_np(src)
+            pid = partitioner.pid_np(src if key == "src" else dst)
             order = np.argsort(pid, kind="stable")
             bounds = np.searchsorted(pid[order], np.arange(self.P + 1))
             acks = []
@@ -115,6 +127,31 @@ class BspEngine:
 
             vertices_ds.map_batches(route_verts, batch_format="pyarrow").count()
 
+        if route_by == "dst":
+            # three-phase pull exchange: (1) requesters announce the
+            # src ids they reference per owner (+ counts for global
+            # out-degrees), (2) owners fix vertex order and reply with
+            # index arrays, (3) requesters adopt the indices
+            announced = ray.get([s.prepare_pull.remote(partitioner)
+                                 for s in shards])
+            incoming_p: list[dict] = [dict() for _ in range(self.P)]
+            for q, by_owner in enumerate(announced):
+                for p, payload in by_owner.items():
+                    incoming_p[p][q] = payload
+            infos = ray.get([s.finalize_pull.remote(incoming_p[p])
+                             for p, s in enumerate(shards)])
+            idx_for: list[dict[int, np.ndarray]] = [dict()
+                                                    for _ in range(self.P)]
+            for p, info in enumerate(infos):
+                for q, idx in info.pop("replies").items():
+                    idx_for[q][p] = idx
+            ray.get([s.adopt_pull_indices.remote(idx_for[q])
+                     for q, s in enumerate(shards)])
+            self.build_info = infos
+            self.total_vertices = sum(i["nv"] for i in infos)
+            self.total_edges = sum(i["ne"] for i in infos)
+            return self
+
         # two-phase ghost exchange
         ghosts = ray.get([s.prepare.remote(partitioner) for s in shards])
         incoming: list[dict[int, np.ndarray]] = [dict() for _ in range(self.P)]
@@ -137,7 +174,8 @@ class BspEngine:
         {result: Dataset, iterations, converged, metrics, lineage}."""
         params = dict(params or {})
         kernel = KERNELS[alg]
-        if alg == "pagerank" and "total_vertices" not in params:
+        if alg in ("pagerank", "pagerank_pull") and \
+                "total_vertices" not in params:
             params["total_vertices"] = self.total_vertices
         lineage = lineage_hash(alg, sorted(params.items()),
                                self.partitioner.describe(),
@@ -157,6 +195,54 @@ class BspEngine:
 
         metrics: list[dict] = []
         converged = False
+
+        # Fused path: one RPC round per superstep (apply k-1 + compute
+        # k in one call). Needs no per-superstep checkpoint barrier and
+        # no global prev-agg hook; otherwise fall back to two-phase.
+        fused = not (checkpoint_dir and checkpoint_every) and \
+            not getattr(kernel, "needs_global_hook", False)
+
+        def _inbox_for(outs, q):
+            g = q // self.group_size
+            return {p: outs[p][g] for p in range(self.P) if g in outs[p]}
+
+        if fused:
+            prev_inboxes = [None] * self.P
+            step = start_step
+            while step < max_supersteps:
+                t0 = time.perf_counter()
+                res = ray.get([s.k_step.remote(alg, step, prev_inboxes[q])
+                               for q, s in enumerate(self.shards)])
+                t1 = time.perf_counter()
+                if step > start_step:
+                    agg = _agg_stats([r[1] for r in res])
+                    metrics.append({"superstep": step - 1,
+                                    "step_ms": (t1 - t0) * 1e3, **agg})
+                    if kernel.done(agg, step - 1, params):
+                        converged = True
+                        break
+                outs = [r[0] for r in res]
+                prev_inboxes = [_inbox_for(outs, q) for q in range(self.P)]
+                step += 1
+            if not converged:
+                # absorb the final computed superstep's messages
+                t0 = time.perf_counter()
+                stats = ray.get([
+                    s.k_apply.remote(alg, prev_inboxes[q], step - 1)
+                    for q, s in enumerate(self.shards)])
+                agg = _agg_stats(stats)
+                metrics.append({"superstep": step - 1,
+                                "step_ms": (time.perf_counter() - t0) * 1e3,
+                                **agg})
+                converged = kernel.done(agg, step - 1, params)
+            refs = [s.k_result.remote(alg) for s in self.shards]
+            result = ray.data.from_arrow_refs(refs)
+            return {"result": result, "iterations": step,
+                    "supersteps_run": step - start_step,
+                    "converged": converged, "metrics": metrics,
+                    "lineage": lineage,
+                    "resumed_from": start_step if restored else None}
+
         step = start_step
         prev_agg: dict | None = None
         while step < max_supersteps:
@@ -166,8 +252,7 @@ class BspEngine:
             t1 = time.perf_counter()
             applies = []
             for q, s in enumerate(self.shards):
-                inbox = {p: outs[p][q] for p in range(self.P) if q in outs[p]}
-                applies.append(s.k_apply.remote(alg, inbox, step))
+                applies.append(s.k_apply.remote(alg, _inbox_for(outs, q), step))
             stats = ray.get(applies)
             t2 = time.perf_counter()
             agg = _agg_stats(stats)

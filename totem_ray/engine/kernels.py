@@ -140,6 +140,73 @@ class PageRankKernel:
         st["rank"] = rank
 
 
+class PageRankPullKernel:
+    """PageRank, pull direction — the variant the reference benchmark
+    actually runs (page_rank_incoming_hybrid,
+    src/benchmark/totem_benchmark_binary.cu:202-205, GROOVES_PULL).
+
+    Requires an engine built with ``route_by='dst'``: each superstep a
+    shard publishes ONE contrib vector over its own vertices
+    (broadcast_outbox) and gathers from the P vectors through its
+    precomputed in-edge (owner, index) groups — per-superstep message
+    volume is V floats total instead of P*V dense ghost slots, and
+    co-located readers share each vector zero-copy. Math identical to
+    PageRankKernel (same modes, same normalized-intermediate trick).
+    """
+
+    name = "pagerank_pull"
+    broadcast_outbox = True
+
+    init = None  # bound below (same params/behavior as push)
+
+    @staticmethod
+    def compute(sh, st, superstep: int) -> np.ndarray:
+        if st["mode"] == "rounds":
+            return st["rank"]  # already normalized after round 0
+        out = np.zeros(sh.nv, dtype=np.float64)
+        nz = sh.pull_out_deg > 0
+        out[nz] = st["rank"][nz] / sh.pull_out_deg[nz]
+        return out
+
+    @classmethod
+    def apply(cls, sh, st, inboxes, superstep: int) -> dict:
+        acc = np.zeros(sh.nv, dtype=np.float64)
+        for p, grp in sh.pull_src.items():
+            vec = inboxes.get(p)
+            if vec is None:
+                # self-edges when the broadcast skipped own group:
+                # recompute the pre-apply contrib locally
+                vec = cls.compute(sh, st, superstep)
+            acc += np.bincount(grp["dst"], weights=vec[grp["sidx"]],
+                               minlength=sh.nv)
+        N, d = st["N"], st["d"]
+        r_new = (1.0 - d) / N + d * acc
+        if st["mode"] == "rounds":
+            if superstep < st["rounds"] - 1:
+                stored = r_new.copy()
+                nz = sh.pull_out_deg > 0
+                stored[nz] = r_new[nz] / sh.pull_out_deg[nz]
+            else:
+                stored = r_new
+            st["rank"] = stored
+            return {"residual": float("inf"), "changed": sh.nv}
+        resid = float(np.abs(r_new - st["rank"]).sum())
+        st["rank"] = r_new
+        return {"residual": resid, "changed": sh.nv}
+
+    done = None  # bound below
+    result = None
+    state_table = None
+    load_state = None
+
+
+PageRankPullKernel.init = PageRankKernel.init
+PageRankPullKernel.done = PageRankKernel.done
+PageRankPullKernel.result = PageRankKernel.result
+PageRankPullKernel.state_table = PageRankKernel.state_table
+PageRankPullKernel.load_state = PageRankKernel.load_state
+
+
 class ConnectedComponentsKernel:
     """Hash-min label propagation (cc_hybrid,
     src/alg/totem_cc_hybrid.cu): label init = the vertex's own global
@@ -775,6 +842,9 @@ class PCoreKernel:
     """
 
     name = "pcore"
+    needs_global_hook = True  # threshold bump needs the GLOBAL
+    # removed-count of the immediately previous superstep — the engine
+    # must run the two-phase loop (no fused pipelining)
 
     @staticmethod
     def init(sh, st, start: int = 0, step: int = 1):
@@ -857,6 +927,7 @@ class PCoreKernel:
 
 KERNELS = {
     PageRankKernel.name: PageRankKernel,
+    PageRankPullKernel.name: PageRankPullKernel,
     ConnectedComponentsKernel.name: ConnectedComponentsKernel,
     LabelPropagationKernel.name: LabelPropagationKernel,
     DegreeKernel.name: DegreeKernel,

@@ -45,9 +45,15 @@ I64MAX = np.iinfo(np.int64).max
 
 
 class GraphShard:
-    def __init__(self, pid: int, num_partitions: int):
+    def __init__(self, pid: int, num_partitions: int, group_size: int = 8):
         self.pid = pid
         self.P = num_partitions
+        # destination groups: outboxes for one group ship as ONE
+        # object-store bundle (the per-remote-NODE grooves table — at
+        # multi-node scale a group = the shards co-located on one
+        # node, so a bundle is exactly the bytes that node receives;
+        # locally it cuts ray.put round-trips from P-1 to P/group)
+        self.group_size = max(1, int(group_size))
         self._edge_chunks: list[tuple[np.ndarray, np.ndarray]] = []
         self._vert_chunks: list[np.ndarray] = []
         self.state: dict[str, dict[str, Any]] = {}
@@ -166,6 +172,96 @@ class GraphShard:
                 "ghost_vertices": int(sum(len(g) for g in self.ghosts.values()))}
 
     # ------------------------------------------------------------------
+    # pull-mode build (GROOVES_PULL, the message structure of
+    # page_rank_incoming_hybrid, totem_page_rank_incoming_hybrid.cu:
+    # 244-294): edges are routed by DST owner; each superstep a shard
+    # publishes ONE dense contrib vector over its own vertices and
+    # every shard gathers from the P vectors it needs — per-superstep
+    # message volume is V floats total (not P*V ghost slots), and
+    # co-located readers share the object zero-copy.
+    # ------------------------------------------------------------------
+    def prepare_pull(self, partitioner) -> dict[int, tuple]:
+        """Phase 1 (pull): classify edge SOURCES by owner; return per
+        remote owner (sorted unique src ids, local edge counts per id)
+        — the counts let owners reconstruct global out-degrees."""
+        if self._edge_chunks:
+            self._src = np.concatenate([c[0] for c in self._edge_chunks])
+            self._dst = np.concatenate([c[1] for c in self._edge_chunks])
+        else:
+            self._src = np.empty(0, dtype=np.int64)
+            self._dst = np.empty(0, dtype=np.int64)
+        self._edge_chunks = []
+        self._src_owner = partitioner.pid_np(self._src) if len(self._src) \
+            else np.empty(0, dtype=np.int64)
+        self.pid_fn = partitioner.pid_np
+        out: dict[int, tuple] = {}
+        for p in range(self.P):
+            m = self._src_owner == p
+            if p == self.pid or not m.any():
+                continue
+            ids, counts = np.unique(self._src[m], return_counts=True)
+            out[p] = (ids, counts)
+        return out
+
+    def finalize_pull(self, incoming: dict[int, tuple]) -> dict:
+        """Phase 2 (pull): fix the owned vertex set, accumulate global
+        out-degrees, and return per-requester index arrays into this
+        shard's vertex order (so requesters can address the contrib
+        vector directly)."""
+        parts = [self._dst]
+        m_own = self._src_owner == self.pid
+        parts.append(self._src[m_own])
+        if self._vert_chunks:
+            parts.extend(self._vert_chunks)
+        parts.extend(ids for ids, _ in incoming.values())
+        self.verts = np.unique(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
+        # only vertices THIS shard owns (dst-routing may deposit
+        # remote-owned dsts here — they belong to their owner)
+        own = self.pid_fn(self.verts) == self.pid
+        self.verts = self.verts[own]
+        self.nv = len(self.verts)
+        self.ne = len(self._src)
+
+        out_deg = np.zeros(self.nv, dtype=np.int64)
+        if m_own.any():
+            ids, counts = np.unique(self._src[m_own], return_counts=True)
+            keep = self.pid_fn(ids) == self.pid
+            np.add.at(out_deg, np.searchsorted(self.verts, ids[keep]),
+                      counts[keep])
+        replies: dict[int, np.ndarray] = {}
+        for q, (ids, counts) in incoming.items():
+            idx = np.searchsorted(self.verts, ids)
+            np.add.at(out_deg, idx, counts)
+            replies[q] = idx
+        self.pull_out_deg = out_deg
+        self._vert_chunks = []
+        return {"pid": self.pid, "nv": self.nv, "ne": self.ne,
+                "replies": replies}
+
+    def adopt_pull_indices(self, idx_by_owner: dict[int, np.ndarray]) -> dict:
+        """Phase 3 (pull): build per-source-owner in-edge groups
+        (src index into the OWNER's vertex order, dst local index)."""
+        # dst may be owned by a peer? No: edges were routed by dst
+        # owner, so every local dst is owned here.
+        dst_local = np.searchsorted(self.verts, self._dst)
+        self.pull_src: dict[int, dict[str, np.ndarray]] = {}
+        for p in range(self.P):
+            m = self._src_owner == p
+            if not m.any():
+                continue
+            if p == self.pid:
+                sidx = np.searchsorted(self.verts, self._src[m])
+            else:
+                ghost_ids = np.unique(self._src[m])
+                pos = np.searchsorted(ghost_ids, self._src[m])
+                sidx = idx_by_owner[p][pos]
+            self.pull_src[p] = {"sidx": sidx, "dst": dst_local[m]}
+        self.weighted = False
+        del self._src, self._dst, self._src_owner
+        return {"pid": self.pid}
+
+    # ------------------------------------------------------------------
     # kernel dispatch (the engine_config callback surface,
     # totem_engine.cuh:114-124)
     # ------------------------------------------------------------------
@@ -177,18 +273,57 @@ class GraphShard:
 
     def k_compute(self, alg: str, superstep: int,
                   prev_agg: dict | None = None) -> dict[int, Any]:
-        """Compute phase: returns {target_pid: outbox_ref}. Outboxes go
-        straight into the object store (``ray.put``) so the driver only
-        relays references — data moves shard-to-shard. ``prev_agg`` is
-        the previous superstep's GLOBAL reduced stats (Totem's
-        superstep-global ss_kernel hook, totem_engine.cuh:114-124),
-        readable by kernels as ``sh.prev_agg``."""
+        """Compute phase: returns {target_group: bundle_ref} where a
+        bundle is {target_pid: outbox} for one destination group.
+        Bundles go straight into the object store (``ray.put``) so the
+        driver only relays references — data moves shard-to-shard.
+        ``prev_agg`` is the previous superstep's GLOBAL reduced stats
+        (Totem's superstep-global ss_kernel hook,
+        totem_engine.cuh:114-124), readable by kernels as
+        ``sh.prev_agg``."""
         self.prev_agg = prev_agg
-        out = KERNELS[alg].compute(self, self.state[alg], superstep)
-        return {q: ray.put(v) for q, v in out.items()} if out else {}
+        kernel = KERNELS[alg]
+        out = kernel.compute(self, self.state[alg], superstep)
+        if out is None or (isinstance(out, dict) and not out):
+            return {}
+        if getattr(kernel, "broadcast_outbox", False):
+            # ONE object read by every shard (pull-mode contrib vector)
+            ref = ray.put(out)
+            ngroups = (self.P + self.group_size - 1) // self.group_size
+            return {g: ref for g in range(ngroups)}
+        bundles: dict[int, dict[int, Any]] = {}
+        for q, v in out.items():
+            bundles.setdefault(q // self.group_size, {})[q] = v
+        return {g: ray.put(b) for g, b in bundles.items()}
+
+    def k_step(self, alg: str, superstep: int,
+               inboxes: dict[int, Any] | None,
+               prev_agg: dict | None = None):
+        """Fused superstep: apply the PREVIOUS superstep's inboxes,
+        then compute this superstep's outboxes — one RPC round per
+        superstep instead of two (the apply of step k-1 and the
+        compute of step k have no barrier between them for kernels
+        without the global hook). Returns (outbox_refs, apply_stats |
+        None)."""
+        stats = None
+        if inboxes is not None:
+            stats = self.k_apply(alg, inboxes, superstep - 1)
+        refs = self.k_compute(alg, superstep, prev_agg)
+        return refs, stats
 
     def k_apply(self, alg: str, inboxes: dict[int, Any], superstep: int) -> dict:
-        fetched = {p: ray.get(r) for p, r in inboxes.items()}
+        """``inboxes`` = {sender_pid: bundle_ref of THIS shard's
+        group}. One batched get (sequential gets would serialize on
+        RPC latency), then each bundle is sliced to this shard's
+        entry — bundles live in shared plasma memory, so co-located
+        shards reading the same bundle do not copy it."""
+        keys = list(inboxes.keys())
+        vals = ray.get([inboxes[k] for k in keys]) if keys else []
+        if getattr(KERNELS[alg], "broadcast_outbox", False):
+            fetched = dict(zip(keys, vals))
+        else:
+            fetched = {p: b[self.pid] for p, b in zip(keys, vals)
+                       if self.pid in b}
         return KERNELS[alg].apply(self, self.state[alg], fetched, superstep)
 
     def k_result(self, alg: str) -> pa.Table:

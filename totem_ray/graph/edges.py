@@ -66,16 +66,34 @@ def reverse_edges(edges):
     return edges.map_batches(fn, batch_format="pyarrow")
 
 
-def dedup_edges(edges):
+def dedup_edges(edges, num_buckets: int = 64):
     """Distinct (src, dst) rows — exact dedup by hash-partitioned
-    groupby (count_repeated_edges dedup pattern,
+    per-bucket unique (count_repeated_edges dedup pattern,
     totem_generator.cc:298-318). Per-batch pre-dedup bounds shuffle
-    volume before the groupby."""
-    pre = edges.select_columns(["src", "dst"]).map_batches(
-        lambda t: t.group_by(["src", "dst"]).aggregate([]),
-        batch_format="pyarrow")
-    return pre.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")) \
-              .select_columns(["src", "dst"])
+    volume; the shuffle key is a single small-cardinality int (a
+    composite-key groupby would sort on both 64-bit columns)."""
+    from totem_ray.hashing import as_u64, splitmix64
+
+    def pre(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"])
+        d = np.asarray(t["dst"])
+        u = np.unique(np.stack([s, d], axis=1), axis=0)
+        b = (splitmix64(splitmix64(as_u64(u[:, 0])) ^ as_u64(u[:, 1]))
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"src": pa.array(u[:, 0], type=pa.int64()),
+                         "dst": pa.array(u[:, 1], type=pa.int64()),
+                         "_b": pa.array(b)})
+
+    def uniq(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"])
+        d = np.asarray(t["dst"])
+        u = np.unique(np.stack([s, d], axis=1), axis=0)
+        return pa.table({"src": pa.array(u[:, 0], type=pa.int64()),
+                         "dst": pa.array(u[:, 1], type=pa.int64())})
+
+    return edges.select_columns(["src", "dst"]) \
+        .map_batches(pre, batch_format="pyarrow") \
+        .groupby("_b").map_groups(uniq, batch_format="pyarrow")
 
 
 def drop_self_loops(edges):
