@@ -235,6 +235,40 @@ def q_sssp_copurchase(sf_dir: str):
     return df
 
 
+def q_graph_summary(sf_dir: str):
+    from totem_ray.graph.analysis import graph_summary
+    from totem_ray.pipelines.tpch_graph import copurchase_pair_stream
+
+    return graph_summary(copurchase_pair_stream(sf_dir))
+
+
+def q_pcore_copurchase(sf_dir: str):
+    from totem_ray.algs import pcore
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    out = pcore(copurchase_edges(sf_dir), num_partitions=4)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    return df
+
+
+def q_closeness_copurchase(sf_dir: str):
+    from totem_ray.algs import closeness
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir)
+    srcs = sorted(r["v"] for r in
+                  edges.select_columns(["src"]).groupby("src").count()
+                  .map_batches(lambda t: pa.table({"v": t["src"]}),
+                               batch_format="pyarrow")
+                  .sort("v").limit(4).take_all())
+    out = closeness(edges, sources=srcs, num_partitions=4)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    df["closeness_r8"] = np.round(df.pop("closeness").to_numpy(), 8)
+    return df
+
+
 def q_sortvertices_copurchase(sf_dir: str):
     from totem_ray.graph.edges import sort_vertices_by_degree
     from totem_ray.pipelines.tpch_graph import copurchase_edges
@@ -451,6 +485,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_copurchase": q_bfs_copurchase,
         "bfs_tree_copurchase": q_bfs_tree_copurchase,
         "sssp_copurchase": q_sssp_copurchase,
+        "graph_summary_pairs": q_graph_summary,
+        "pcore_copurchase": q_pcore_copurchase,
+        "closeness_copurchase": q_closeness_copurchase,
         "sortvertices_copurchase": q_sortvertices_copurchase,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "doc_token_stats": q_doc_token_stats,
@@ -647,6 +684,49 @@ def oracle_sql() -> dict[str, str]:
               JOIN e ON e.src = w.v WHERE w.dist + e.w < 40
             )
             SELECT v, CAST(MIN(dist) AS DOUBLE) AS dist FROM walk GROUP BY v
+        """,
+        "graph_summary_pairs": f"""
+            WITH e AS ({_PAIR_STREAM_SQL}),
+            dup AS (SELECT src, dst FROM e GROUP BY src, dst
+                    HAVING COUNT(*) > 1),
+            tagged AS (
+              SELECT src, dst, 1 AS f, 0 AS r FROM e
+              UNION ALL SELECT dst, src, 0, 1 FROM e),
+            asym AS (SELECT src, dst FROM tagged GROUP BY src, dst
+                     HAVING SUM(f) <> SUM(r)),
+            verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM verts)
+                     AS n_vertices,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+                    WHERE src = dst) AS n_self_loops,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM dup)
+                     AS n_duplicate_pairs,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM asym)
+                     AS n_asymmetric_pairs
+        """,
+        "closeness_copurchase": f"""
+            WITH RECURSIVE e AS ({_COPURCHASE_SQL}),
+            srcs AS (SELECT DISTINCT src AS v FROM e ORDER BY v LIMIT 4),
+            walk(s, v, cost) AS (
+              SELECT v, v, 0 FROM srcs
+              UNION
+              SELECT w.s, e.dst, w.cost + 1 FROM walk w
+              JOIN e ON e.src = w.v WHERE w.cost < 12
+            ),
+            costs AS (SELECT s, v, MIN(cost) AS c FROM walk GROUP BY s, v),
+            agg AS (SELECT v, CAST(SUM(c) AS BIGINT) AS dist_sum,
+                           CAST(COUNT(*) AS BIGINT) AS reached
+                    FROM costs GROUP BY v),
+            verts AS (SELECT DISTINCT src AS v FROM e)
+            SELECT verts.v,
+                   COALESCE(agg.dist_sum, 0) AS dist_sum,
+                   COALESCE(agg.reached, 0) AS reached,
+                   ROUND(CASE WHEN COALESCE(agg.dist_sum, 0) > 0
+                         THEN (agg.reached - 1.0)
+                              / GREATEST(agg.dist_sum, 1)
+                         ELSE 0.0 END, 8) AS closeness_r8
+            FROM verts LEFT JOIN agg ON agg.v = verts.v
         """,
         "sortvertices_copurchase": f"""
             WITH e AS ({_COPURCHASE_SQL}),

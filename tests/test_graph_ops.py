@@ -185,3 +185,37 @@ def test_remap_vertex_ids_roundtrip():
     old_hist = np.sort(np.bincount(e[:, 0].astype(int)))
     new_hist = np.sort(np.bincount(remapped["src"].to_numpy()))
     assert np.array_equal(old_hist[old_hist > 0], new_hist[new_hist > 0])
+
+
+def test_create_bidirectional_residual():
+    from totem_ray.graph.edges import create_bidirectional
+
+    # directed edges with weights; (1->2) has no reverse, (3<->4) both
+    e = np.array([[1, 2], [3, 4], [4, 3]], dtype=np.uint64)
+    w = np.array([5.0, 7.0, 2.0])
+    ds = edges_from_arrays(e, weights=w)
+    out = create_bidirectional(ds).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    assert len(out) == 4
+    rev = out[(out["src"] == 2) & (out["dst"] == 1)]
+    assert len(rev) == 1 and rev["weight"].iloc[0] == 0.0 \
+        and bool(rev["is_reverse"].iloc[0])
+    both = out[(out["src"] == 3) & (out["dst"] == 4)]
+    assert both["weight"].iloc[0] == 7.0 and not bool(both["is_reverse"].iloc[0])
+
+
+def test_remove_singletons_and_counts():
+    import pandas as pd
+    import ray.data
+    from totem_ray.graph.edges import (count_singletons_and_leafs,
+                                       remove_singletons)
+
+    # 0->1, 1->0, 2->3 (3 is a leaf); 4,5 singletons
+    e = np.array([[0, 1], [1, 0], [2, 3]], dtype=np.uint64)
+    ds = edges_from_arrays(e)
+    verts = ray.data.from_pandas(pd.DataFrame(
+        {"v": np.arange(6, dtype=np.int64)}))
+    kept = remove_singletons(ds, verts).to_pandas()["v"].tolist()
+    assert sorted(kept) == [0, 1, 2, 3]
+    c = count_singletons_and_leafs(ds, num_vertices=6)
+    assert c == {"singletons": 2, "leafs": 1, "vertices": 6}

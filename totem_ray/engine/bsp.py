@@ -174,6 +174,13 @@ class BspEngine:
         {result: Dataset, iterations, converged, metrics, lineage}."""
         params = dict(params or {})
         kernel = KERNELS[alg]
+        mode = getattr(self, "mode", "src")
+        if getattr(kernel, "broadcast_outbox", False) and mode != "dst":
+            raise ValueError(f"{alg} needs a pull-built engine: "
+                             "build(..., route_by='dst')")
+        if not getattr(kernel, "broadcast_outbox", False) and mode == "dst":
+            raise ValueError(f"{alg} needs a push-built engine: "
+                             "build(..., route_by='src')")
         if alg in ("pagerank", "pagerank_pull") and \
                 "total_vertices" not in params:
             params["total_vertices"] = self.total_vertices

@@ -119,3 +119,32 @@ def modularity(edges, labels_ds, num_partitions_hint: int = 64):
     if m == 0:
         return 0.0
     return float((pdf["intra"] / m - (pdf["deg"] / m) ** 2).sum())
+
+
+def graph_summary(edges) -> "pa.Table":
+    """One-row summary (analyze summary, totem_generator.cc:499-518):
+    edge count, distinct vertices, self loops, duplicate (src,dst)
+    pairs, asymmetric pair count. All counts from vectorized per-batch
+    partials + one small reduce per statistic."""
+    from totem_ray.graph.edges import drop_self_loops
+
+    n_edges = edges.count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"])
+        d = np.asarray(t["dst"])
+        return pa.table({"n_self": pa.array([int((s == d).sum())],
+                                            type=pa.int64())})
+
+    n_self = int(edges.map_batches(partial, batch_format="pyarrow")
+                 .sum("n_self") or 0)
+    n_vertices = vertex_universe(edges).count()
+    dup_pairs = repeated_edges(edges).count()
+    n_asym = check_symmetry(edges).count()
+    return pa.table({
+        "n_edges": pa.array([n_edges], type=pa.int64()),
+        "n_vertices": pa.array([n_vertices], type=pa.int64()),
+        "n_self_loops": pa.array([n_self], type=pa.int64()),
+        "n_duplicate_pairs": pa.array([dup_pairs], type=pa.int64()),
+        "n_asymmetric_pairs": pa.array([n_asym], type=pa.int64()),
+    })

@@ -199,6 +199,94 @@ def add_random_weights(edges, seed: int = 42, max_weight: float = 1.0):
     return edges.map_batches(fn, batch_format="pyarrow")
 
 
+def create_bidirectional(edges):
+    """Max-flow residual-graph transform (graph_create_bidirectional,
+    totem_graph.cu:486-585): for every edge (u, v, w) ensure the
+    reverse edge exists; added reverse edges get weight 0. Existing
+    reverse edges keep their weight. Output columns (src, dst, weight,
+    is_reverse) — is_reverse marks the residual (added) rows, playing
+    the role of the reference's reverse-edge index."""
+    from totem_ray.hashing import as_u64, splitmix64
+
+    has_w = "weight" in (edges.schema().names or [])
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"])
+        d = np.asarray(t["dst"])
+        w = np.asarray(t["weight"], dtype=np.float64) if has_w \
+            else np.ones(len(s), dtype=np.float64)
+        b = (splitmix64(splitmix64(as_u64(np.minimum(s, d)))
+                        ^ as_u64(np.maximum(s, d)))
+             % np.uint64(64)).astype(np.int64)
+        return pa.table({"src": pa.array(s, type=pa.int64()),
+                         "dst": pa.array(d, type=pa.int64()),
+                         "weight": pa.array(w, type=pa.float64()),
+                         "_b": pa.array(b)})
+
+    def residual(t: pa.Table) -> pa.Table:
+        # one bucket holds every edge of each unordered pair
+        s = np.asarray(t["src"])
+        d = np.asarray(t["dst"])
+        w = np.asarray(t["weight"], dtype=np.float64)
+        have = set(zip(s.tolist(), d.tolist()))
+        need = [(dd, ss) for ss, dd in have if (dd, ss) not in have]
+        ns = np.array([p[0] for p in need], dtype=np.int64)
+        nd = np.array([p[1] for p in need], dtype=np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([s, ns]), type=pa.int64()),
+            "dst": pa.array(np.concatenate([d, nd]), type=pa.int64()),
+            "weight": pa.array(np.concatenate([w, np.zeros(len(ns))]),
+                               type=pa.float64()),
+            "is_reverse": pa.array(np.concatenate(
+                [np.zeros(len(s), dtype=bool),
+                 np.ones(len(ns), dtype=bool)])),
+        })
+
+    return edges.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(residual, batch_format="pyarrow")
+
+
+def remove_singletons(edges, vertices):
+    """Drop vertices with no in- or out-edges from a vertex Dataset
+    (graph_remove_singletons, totem_graph.cu:468-484): semi-join of
+    the vertex universe against distinct edge endpoints. Returns the
+    surviving vertex Dataset (the edge table is unchanged by
+    construction — singletons have no edges)."""
+    from totem_ray.graph.analysis import vertex_universe
+    from totem_ray.graph.joins import semi_join_broadcast
+
+    endpoints = vertex_universe(edges).to_pandas()["v"].to_numpy()
+    col = vertices.schema().names[0]
+    return semi_join_broadcast(vertices, endpoints, on=col)
+
+
+def count_singletons_and_leafs(edges, num_vertices: int | None = None,
+                               vertices=None) -> dict:
+    """Singleton (no edges at all) and leaf (in-edges only, no
+    out-edges) counts (count_singletons_and_leafs,
+    totem_generator.cc:339-375). The universe is 0..num_vertices-1 or
+    an explicit vertex Dataset."""
+    degs = vertex_degrees(edges)
+    touched = degs.count()
+
+    def leaf_partial(t: pa.Table) -> pa.Table:
+        out_d = np.asarray(t["out_degree"])
+        in_d = np.asarray(t["in_degree"])
+        n = int(((out_d == 0) & (in_d > 0)).sum())
+        return pa.table({"n": pa.array([n], type=pa.int64())})
+
+    leafs = int(degs.map_batches(leaf_partial, batch_format="pyarrow")
+                .sum("n") or 0)
+    if vertices is not None:
+        total = vertices.count()
+    elif num_vertices is not None:
+        total = int(num_vertices)
+    else:
+        total = touched
+    return {"singletons": total - touched, "leafs": leafs,
+            "vertices": total}
+
+
 def sort_vertices_by_degree(edges, bucket_bits: int = 12):
     """Degree-ordered dense relabel (``alter sortVertices``,
     totem_generator.cc:682-748): new_id 0..V-1 assigned in
