@@ -70,6 +70,55 @@ def ensure_rmat_edges(scale: int, ef: int) -> str:
     return path
 
 
+def ensure_rmat_edges_distributed(scale: int, ef: int,
+                                  num_blocks: int = 128) -> str:
+    """Deterministic cached RMAT edge parquet, generated IN PARALLEL
+    (one independently-seeded chunk per block via map_batches — the
+    scale path: single-process generation of 10^9 edges takes ~45 min,
+    this takes ~2). Directed, self-loops rejected, no global dedup
+    (multi-edges are fine for a throughput benchmark; accounting uses
+    the actual edge count)."""
+    import ray
+    import ray.data
+    import pyarrow as pa
+
+    path = os.path.join(BENCH_DIR, f"rmat_s{scale}_ef{ef}_dist")
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    from totem_ray.sources.fixtures import rmat_chunk
+
+    own_ray = not ray.is_initialized()
+    if own_ray:
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32),
+                 include_dashboard=False, logging_level="ERROR")
+    m = (ef << scale)
+    per = m // num_blocks
+
+    def gen(batch) -> "pa.Table":
+        import numpy as np
+        outs, outd = [], []
+        for bid in np.asarray(batch["id"]):
+            s, d = rmat_chunk(scale, per, seed=1985 * 1_000_003 + int(bid))
+            outs.append(s)
+            outd.append(d)
+        s = np.concatenate(outs)
+        d = np.concatenate(outd)
+        return pa.table({"src": pa.array(s.view(np.int64), type=pa.int64()),
+                         "dst": pa.array(d.view(np.int64), type=pa.int64())})
+
+    os.makedirs(path, exist_ok=True)
+    ray.data.range(num_blocks, override_num_blocks=num_blocks) \
+        .map_batches(gen, batch_size=1, batch_format="pyarrow") \
+        .write_parquet(path)
+    with open(done, "w") as f:
+        f.write(str(m))
+    if own_ray:
+        ray.shutdown()
+    return path
+
+
 def ensure_pages(scale: int, ef: int = 8) -> str:
     from totem_ray.sources.fixtures import rmat_edges
     from totem_ray.sources.pages import write_pages_parquet
@@ -99,7 +148,10 @@ def bench_headline(ncpu: int, scale: int = None, ef: int = None,
 
     scale = scale if scale is not None else RMAT_SCALE
     ef = ef if ef is not None else RMAT_EF
-    edges_path = ensure_rmat_edges(scale, ef)
+    if os.environ.get("BENCH_DIST_EDGES"):
+        edges_path = ensure_rmat_edges_distributed(scale, ef)
+    else:
+        edges_path = ensure_rmat_edges(scale, ef)
     ds = ray.data.read_parquet(edges_path).materialize()
     P = num_partitions or int(os.environ.get("BENCH_NUM_PARTITIONS", "0")) \
         or max(4, min(32, ncpu))
@@ -193,9 +245,13 @@ def run_once(headline_only: bool = False) -> dict:
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    # warm page cache: one untimed read
+    # warm page cache: one untimed read (same path selection as
+    # bench_headline — the distributed artifact when BENCH_DIST_EDGES)
     import pyarrow.parquet as pq
-    edges_path = ensure_rmat_edges(RMAT_SCALE, RMAT_EF)
+    if os.environ.get("BENCH_DIST_EDGES"):
+        edges_path = ensure_rmat_edges_distributed(RMAT_SCALE, RMAT_EF)
+    else:
+        edges_path = ensure_rmat_edges(RMAT_SCALE, RMAT_EF)
     for f in sorted(os.listdir(edges_path)):
         if f.endswith(".parquet"):
             pq.read_table(os.path.join(edges_path, f))
@@ -241,13 +297,15 @@ def run_scaling():
     cluster sizes the partitioning stays fixed and nodes vary); report
     throughput at both + scaling efficiency, append to BASELINE.md."""
     _ensure_repo_on_path()
-    ensure_rmat_edges(SCALING_SCALE, SCALING_EF)  # shared input, built once
+    # shared input, generated once in parallel
+    ensure_rmat_edges_distributed(SCALING_SCALE, SCALING_EF)
     results = {}
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_RMAT_SCALE=str(SCALING_SCALE),
                    BENCH_RMAT_EF=str(SCALING_EF),
-                   BENCH_NUM_PARTITIONS="32")
+                   BENCH_NUM_PARTITIONS="32",
+                   BENCH_DIST_EDGES="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__),
                               "--headline-only"],
                              env=env, capture_output=True, text=True,

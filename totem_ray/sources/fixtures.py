@@ -86,6 +86,29 @@ def disconnected(n: int):
     return n, np.empty((0, 2), dtype=np.uint64)
 
 
+def rmat_chunk(scale: int, m: int, seed: int,
+               a: float = 0.57, b: float = 0.19, c: float = 0.19):
+    """One independently-seeded chunk of ``m`` RMAT edge draws
+    (directed, self-loops rejected, ids NOT permuted). Building block
+    for distributed generation: a full graph is the union of chunks
+    with distinct seeds — deterministic in (scale, per-chunk m, seed
+    schedule)."""
+    rng = np.random.default_rng(seed)
+    src = np.zeros(m, dtype=np.uint64)
+    dst = np.zeros(m, dtype=np.uint64)
+    for _ in range(scale):
+        r = rng.random(m)
+        src_bit = (r >= a + b).astype(np.uint64)
+        r2 = rng.random(m)
+        dst_bit = np.where(src_bit == 0, (r >= a).astype(np.uint64),
+                           (r2 >= c / max(c + (1 - a - b - c), 1e-12))
+                           .astype(np.uint64))
+        src = (src << np.uint64(1)) | src_bit
+        dst = (dst << np.uint64(1)) | dst_bit
+    keep = src != dst
+    return src[keep], dst[keep]
+
+
 def rmat_edges(scale: int, edge_factor: int = 16, seed: int = SEED,
                a: float = 0.57, b: float = 0.19, c: float = 0.19,
                symmetrize: bool = True, dedup: bool = True):
