@@ -269,6 +269,21 @@ def q_closeness_copurchase(sf_dir: str):
     return df
 
 
+def q_betweenness_copurchase(sf_dir: str):
+    from totem_ray.algs import betweenness
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir)
+    srcs = sorted(r["src"] for r in
+                  edges.select_columns(["src"]).groupby("src").count()
+                  .sort("src").limit(4).take_all())
+    out = betweenness(edges, sources=srcs, num_partitions=4)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    df["betweenness_r6"] = np.round(df.pop("betweenness").to_numpy(), 6)
+    return df
+
+
 def q_sortvertices_copurchase(sf_dir: str):
     from totem_ray.graph.edges import sort_vertices_by_degree
     from totem_ray.pipelines.tpch_graph import copurchase_edges
@@ -488,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_summary_pairs": q_graph_summary,
         "pcore_copurchase": q_pcore_copurchase,
         "closeness_copurchase": q_closeness_copurchase,
+        "betweenness_copurchase": q_betweenness_copurchase,
         "sortvertices_copurchase": q_sortvertices_copurchase,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "doc_token_stats": q_doc_token_stats,

@@ -5,3 +5,4 @@ from totem_ray.algs.triangles import triangle_counts, clustering_coefficient  # 
 from totem_ray.algs.traversal import (bfs, bfs_tree, closeness,  # noqa: F401
                                       sssp, st_connectivity)
 from totem_ray.algs.pcore import pcore  # noqa: F401
+from totem_ray.algs.betweenness import betweenness  # noqa: F401

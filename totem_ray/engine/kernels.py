@@ -821,6 +821,167 @@ class SsspKernel:
         st["frontier"][idx] = np.asarray(t["frontier"], dtype=bool)
 
 
+class BfsSigmaKernel:
+    """Brandes forward pass (betweenness_hybrid forward BFS,
+    src/alg/totem_betweenness.cu / _hybrid.cu): level-synchronous BFS
+    that also counts shortest paths — sigma[v] = number of shortest
+    s-v paths. Level-sync means every predecessor contribution to a
+    newly-reached vertex arrives in the same superstep, so the
+    combine is (uniform candidate level, SUM of sender sigmas).
+    """
+
+    name = "bfs_sigma"
+
+    @staticmethod
+    def init(sh, st, source: int):
+        st["source"] = int(source)
+        cost = np.full(sh.nv, I64MAX, dtype=np.int64)
+        sigma = np.zeros(sh.nv, dtype=np.float64)
+        frontier = np.zeros(sh.nv, dtype=bool)
+        i = np.searchsorted(sh.verts, source)
+        if i < sh.nv and sh.verts[i] == source:
+            cost[i] = 0
+            sigma[i] = 1.0
+            frontier[i] = True
+        st["cost"], st["sigma"], st["frontier"] = cost, sigma, frontier
+
+    @staticmethod
+    def compute(sh, st, superstep: int):
+        frontier, sigma = st["frontier"], st["sigma"]
+        st["cand"] = (np.empty(0, np.int64), np.empty(0, np.float64))
+        outboxes = {}
+        for t, tgt in sh.tgt.items():
+            m = frontier[tgt["src"]]
+            if not m.any():
+                continue
+            d = tgt["dst"][m]
+            vals = sigma[tgt["src"][m]]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(d)) + 1])
+            ud, ssum = d[starts], np.add.reduceat(vals, starts)
+            if t == sh.pid:
+                st["cand"] = (ud, ssum)
+            else:
+                outboxes[t] = (ud, ssum)
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        ud, ssum = st.pop("cand")
+        acc = np.zeros(sh.nv, dtype=np.float64)
+        if len(ud):
+            np.add.at(acc, ud, ssum)
+        for p, (u, s) in inboxes.items():
+            np.add.at(acc, sh.inbox_maps[p][u], s)
+        newly = (st["cost"] == I64MAX) & (acc > 0)
+        st["cost"][newly] = superstep + 1
+        st["sigma"][newly] = acc[newly]
+        st["frontier"] = newly
+        return {"changed": int(newly.sum()),
+                "max_level": int(superstep + 1) if newly.any() else 0}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return agg["changed"] == 0
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        cost = np.where(st["cost"] >= I64MAX, -1, st["cost"])
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "cost": pa.array(cost, type=pa.int64()),
+                         "sigma": pa.array(st["sigma"], type=pa.float64())})
+
+    @staticmethod
+    def state_table(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "cost": pa.array(st["cost"], type=pa.int64()),
+                         "sigma": pa.array(st["sigma"], type=pa.float64()),
+                         "frontier": pa.array(st["frontier"])})
+
+    @staticmethod
+    def load_state(sh, st, t: pa.Table):
+        idx = np.searchsorted(sh.verts, np.asarray(t["v"]))
+        st["cost"][idx] = np.asarray(t["cost"], dtype=np.int64)
+        st["sigma"][idx] = np.asarray(t["sigma"], dtype=np.float64)
+        st["frontier"][idx] = np.asarray(t["frontier"], dtype=bool)
+
+
+class BrandesBackKernel:
+    """Brandes backward dependency accumulation (the pull/backward
+    engine configs of totem_betweenness_hybrid.cu:1003-1040): walks
+    levels max_level..1; every vertex v at the current level sends
+    m_v = (1 + delta_v) / sigma_v to all neighbors; a receiver u at
+    level-1 accumulates delta_u += sigma_u * sum(m). Reads the
+    forward pass's (cost, sigma) straight from the shard's retained
+    bfs_sigma state (engine reuse). delta over the symmetrized
+    adjacency == dependency over predecessors (only level-1 receivers
+    accumulate).
+    """
+
+    name = "brandes_back"
+
+    @staticmethod
+    def init(sh, st, max_level: int):
+        fwd = sh.state["bfs_sigma"]
+        st["cost"] = fwd["cost"]
+        st["sigma"] = fwd["sigma"]
+        st["delta"] = np.zeros(sh.nv, dtype=np.float64)
+        st["max_level"] = int(max_level)
+
+    @staticmethod
+    def compute(sh, st, superstep: int):
+        level = st["max_level"] - superstep
+        at_level = st["cost"] == level
+        st["cand"] = (np.empty(0, np.int64), np.empty(0, np.float64))
+        outboxes = {}
+        if level < 1:
+            return outboxes
+        msg = np.zeros(sh.nv, dtype=np.float64)
+        nz = at_level & (st["sigma"] > 0)
+        msg[nz] = (1.0 + st["delta"][nz]) / st["sigma"][nz]
+        for t, tgt in sh.tgt.items():
+            m = nz[tgt["src"]]
+            if not m.any():
+                continue
+            d = tgt["dst"][m]
+            vals = msg[tgt["src"][m]]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(d)) + 1])
+            ud, s = d[starts], np.add.reduceat(vals, starts)
+            if t == sh.pid:
+                st["cand"] = (ud, s)
+            else:
+                outboxes[t] = (ud, s)
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        level = st["max_level"] - superstep
+        ud, s = st.pop("cand")
+        acc = np.zeros(sh.nv, dtype=np.float64)
+        if len(ud):
+            np.add.at(acc, ud, s)
+        for p, (u, vv) in inboxes.items():
+            np.add.at(acc, sh.inbox_maps[p][u], vv)
+        recv = st["cost"] == level - 1
+        st["delta"][recv] += st["sigma"][recv] * acc[recv]
+        return {"changed": 1 if level > 1 else 0}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return agg["changed"] == 0
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "delta": pa.array(st["delta"], type=pa.float64())})
+
+    state_table = result
+
+    @staticmethod
+    def load_state(sh, st, t: pa.Table):
+        idx = np.searchsorted(sh.verts, np.asarray(t["v"]))
+        st["delta"][idx] = np.asarray(t["delta"], dtype=np.float64)
+
+
 class PCoreKernel:
     """p-core decomposition (pcore_cpu/gpu, src/alg/totem_pcores.cu —
     the weighted k-core peel of [Batagelj & Zaversnik 2002]).
@@ -935,4 +1096,6 @@ KERNELS = {
     Graph500Kernel.name: Graph500Kernel,
     SsspKernel.name: SsspKernel,
     PCoreKernel.name: PCoreKernel,
+    BfsSigmaKernel.name: BfsSigmaKernel,
+    BrandesBackKernel.name: BrandesBackKernel,
 }
