@@ -132,6 +132,19 @@ def test_cc_chain_single_component(P):
     out["engine"].shutdown()
 
 
+def test_cc_frontier_shrinks_star():
+    # frontier discipline (totem_cc_hybrid.cu:51-79): after the star's
+    # spokes adopt the hub-propagated min label, nothing re-sends —
+    # per-superstep changed counts must collapse, not stay at O(V)
+    n, e = topology_edges("star_1000")
+    out = connected_components(edges_from_arrays(e), num_partitions=4)
+    changed = [m["changed"] for m in out["metrics"]]
+    assert changed[-1] == 0
+    # every superstep after the first touches far fewer than V vertices
+    assert all(c < n / 2 for c in changed[1:])
+    out["engine"].shutdown()
+
+
 def test_cc_disconnected_self_labels():
     # edgeless graph -> label[v] = v (totem_cc_unittest.cu:90-100)
     vs = ray.data.from_pandas(

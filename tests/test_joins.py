@@ -1,0 +1,74 @@
+"""hash_join / broadcast_lookup correctness, incl. 64-bit id fidelity.
+
+The engine's vertex ids are 64-bit url-hash bit patterns (splitmix64
+of the url, totem_ray/sources/extract.py), so join keys and payloads
+routinely exceed 2^53 — the float64-exact integer range. These tests
+pin the Arrow-native merge path: no pandas, no float64 round-trip.
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from totem_ray.graph.joins import hash_join, broadcast_lookup
+
+BIG = 4611686018427400249  # > 2^53; float64 would round to ...0192
+
+
+def test_hash_join_preserves_large_int64_keys_and_payloads():
+    keys = [1, 2, BIG, BIG + 1, BIG + 7]  # BIG and BIG+1 collide in f64
+    l = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "lv": pa.array([BIG + i for i in range(5)], pa.int64()),
+    }))
+    r = rd.from_arrow(pa.table({
+        "k": pa.array([2, BIG, BIG + 1, 999], pa.int64()),
+        "rv": pa.array([20, 30, 31, 99], pa.int64()),
+    }))
+    out = hash_join(l, r, on="k").to_pandas().sort_values("k")
+    assert out["k"].tolist() == [2, BIG, BIG + 1]
+    assert out["rv"].tolist() == [20, 30, 31]
+    assert out["lv"].dtype == np.int64 and out["k"].dtype == np.int64
+
+
+def test_hash_join_left_nulls_stay_typed():
+    l = rd.from_arrow(pa.table({"k": pa.array([1, BIG], pa.int64()),
+                                "lv": pa.array([5, 6], pa.int64())}))
+    r = rd.from_arrow(pa.table({"k": pa.array([BIG], pa.int64()),
+                                "rv": pa.array([b"\x00" * 8], pa.binary())}))
+    out = hash_join(l, r, on="k", how="left").to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, BIG]
+    assert out["rv"].tolist()[1] == b"\x00" * 8 and out["rv"].tolist()[0] is None
+
+
+def test_hash_join_duplicate_keys_cartesian_within_key():
+    l = rd.from_arrow(pa.table({"k": pa.array([7, 7, 8], pa.int64()),
+                                "lv": pa.array([1, 2, 3], pa.int64())}))
+    r = rd.from_arrow(pa.table({"k": pa.array([7, 7], pa.int64()),
+                                "rv": pa.array([10, 20], pa.int64())}))
+    out = hash_join(l, r, on="k").to_pandas()
+    assert len(out) == 4
+    assert sorted(zip(out["lv"], out["rv"])) == [(1, 10), (1, 20),
+                                                 (2, 10), (2, 20)]
+
+
+def test_hash_join_fixed_size_binary_payload():
+    # minhash signatures ride joins as fixed_size_binary — must survive
+    sig = pa.array([b"a" * 16, b"b" * 16], pa.binary(16))
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                "sig_a": sig}))
+    r = rd.from_arrow(pa.table({"k": pa.array([2], pa.int64()),
+                                "rv": pa.array([9], pa.int64())}))
+    out = hash_join(l, r, on="k").to_pandas()
+    assert out["sig_a"].tolist() == [b"b" * 16]
+
+
+def test_broadcast_lookup_large_ids():
+    import pandas as pd
+    ds = rd.from_arrow(pa.table({"v": pa.array([BIG, BIG + 1, 3], pa.int64())}))
+    small = pd.DataFrame({"v": np.array([BIG + 1, BIG], dtype=np.int64),
+                          "tag": np.array([11, 10], dtype=np.int64)})
+    out = broadcast_lookup(ds, small, key="v", on="v").to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert out["v"].tolist() == [3, BIG, BIG + 1]
+    assert out["tag"].tolist()[1:] == [10, 11]

@@ -45,6 +45,27 @@ from totem_ray.engine.shard import GraphShard
 from totem_ray.graph.partition import HashPartitioner
 from totem_ray.hashing import lineage_hash
 
+# Per-worker-process chunk sequence for idempotent ingestion: Ray Data
+# may re-execute a map task (fault tolerance / object reconstruction),
+# which would re-deliver the same edge chunks. A retry replays the same
+# blocks in the same order under the same task id, so (task_id, seq)
+# is a stable identity the shards dedupe on. The counter resets when a
+# new task starts on this worker (one task at a time per process).
+_INGEST_SEQ = {"task": None, "n": 0}
+
+
+def _chunk_key() -> str:
+    try:
+        tid = ray.get_runtime_context().get_task_id() or "driver"
+    except Exception:
+        tid = "driver"
+    if _INGEST_SEQ["task"] != tid:
+        _INGEST_SEQ["task"] = tid
+        _INGEST_SEQ["n"] = 0
+    key = f"{tid}:{_INGEST_SEQ['n']}"
+    _INGEST_SEQ["n"] += 1
+    return key
+
 
 class BspEngine:
     def __init__(self, num_partitions: int = 4, partitioner=None,
@@ -102,13 +123,15 @@ class BspEngine:
             pid = partitioner.pid_np(src if key == "src" else dst)
             order = np.argsort(pid, kind="stable")
             bounds = np.searchsorted(pid[order], np.arange(self.P + 1))
+            ck = _chunk_key()
             acks = []
             for p in range(self.P):
                 lo, hi = bounds[p], bounds[p + 1]
                 if hi > lo:
                     sel = order[lo:hi]
                     acks.append(shards[p].ingest_edges.remote(
-                        src[sel], dst[sel], None if w is None else w[sel]))
+                        src[sel], dst[sel], None if w is None else w[sel],
+                        chunk_key=ck))
             ray.get(acks)  # delivery barrier before this block is marked done
             return pa.table({"routed": pa.array([t.num_rows], type=pa.int64())})
 
@@ -120,7 +143,9 @@ class BspEngine:
             def route_verts(t: pa.Table) -> pa.Table:
                 v = np.unique(np.asarray(t[t.column_names[0]]))
                 pid = partitioner.pid_np(v)
-                acks = [shards[p].ingest_vertices.remote(v[pid == p])
+                ck = _chunk_key()
+                acks = [shards[p].ingest_vertices.remote(v[pid == p],
+                                                         chunk_key=ck)
                         for p in np.unique(pid)]
                 ray.get(acks)
                 return pa.table({"routed": pa.array([len(v)], type=pa.int64())})
@@ -231,7 +256,7 @@ class BspEngine:
                 outs = [r[0] for r in res]
                 prev_inboxes = [_inbox_for(outs, q) for q in range(self.P)]
                 step += 1
-            if not converged:
+            if not converged and step > start_step:
                 # absorb the final computed superstep's messages
                 t0 = time.perf_counter()
                 stats = ray.get([

@@ -27,17 +27,6 @@ from totem_ray.nputil import group_starts_sizes, slice_offsets
 I64MAX = np.iinfo(np.int64).max
 
 
-def _seg_reduce(tgt: dict[str, np.ndarray], values: np.ndarray, op) -> tuple[np.ndarray, np.ndarray]:
-    """Reduce per-edge values (indexed by tgt['src']) into unique dst
-    indices via ufunc.reduceat over the dst-sorted edge group."""
-    dst = tgt["dst"]
-    boundaries = np.flatnonzero(np.diff(dst)) + 1
-    starts = np.concatenate([[0], boundaries])
-    uniq_dst = dst[starts]
-    red = op.reduceat(values, starts)
-    return uniq_dst, red
-
-
 class PageRankKernel:
     """PageRank, push direction.
 
@@ -217,11 +206,12 @@ class ConnectedComponentsKernel:
     symmetrized graph, the connected component (tests pin exact ids,
     src/test/totem_cc_unittest.cu:114-142).
 
-    Each superstep is a full edge scan with vectorized segmented min
-    (reduceat over dst-sorted edges) instead of the reference's
-    frontier bitmaps — min is idempotent, and the dense per-ghost
-    message arrays already bound message volume to one int per
-    (shard, remote vertex).
+    Frontier discipline mirrors the reference's updated-bitmap
+    (totem_cc_hybrid.cu:51-79): only vertices whose label CHANGED in
+    the previous superstep re-send (min is monotone, so a neighbor has
+    already absorbed every label version an unchanged sender could
+    offer). Messages are sparse (dst, min-label) pairs, so per-
+    superstep volume tracks the shrinking frontier instead of O(E).
     """
 
     name = "connected_components"
@@ -229,36 +219,38 @@ class ConnectedComponentsKernel:
     @staticmethod
     def init(sh, st):
         st["label"] = sh.verts.copy()
+        st["frontier"] = np.ones(sh.nv, dtype=bool)
 
     @staticmethod
     def compute(sh, st, superstep: int):
-        lab = st["label"]
-        cand = np.full(sh.nv, I64MAX, dtype=np.int64)
+        lab, frontier = st["label"], st["frontier"]
+        st["cand"] = (np.empty(0, np.int64), np.empty(0, np.int64))
         outboxes = {}
         for t, tgt in sh.tgt.items():
-            vals = lab[tgt["src"]]
+            m = frontier[tgt["src"]]
+            if not m.any():
+                continue
+            d = tgt["dst"][m]
+            vals = lab[tgt["src"][m]]
+            ud, red = _seg_min_sparse(d, vals)
             if t == sh.pid:
-                ud, red = _seg_reduce(tgt, vals, np.minimum) if len(vals) else (None, None)
-                if ud is not None:
-                    np.minimum.at(cand, ud, red)
+                st["cand"] = (ud, red)
             else:
-                box = np.full(tgt["size"], I64MAX, dtype=np.int64)
-                if len(vals):
-                    ud, red = _seg_reduce(tgt, vals, np.minimum)
-                    box[ud] = red
-                outboxes[t] = box
-        st["cand"] = cand
+                outboxes[t] = (ud, red)
         return outboxes
 
     @staticmethod
     def apply(sh, st, inboxes, superstep: int) -> dict:
-        cand = st.pop("cand")
-        for p, arr in inboxes.items():
-            np.minimum.at(cand, sh.inbox_maps[p], arr)
-        new = np.minimum(st["label"], cand)
-        changed = int((new != st["label"]).sum())
-        st["label"] = new
-        return {"changed": changed}
+        cand_i, cand_v = st.pop("cand")
+        cand = np.full(sh.nv, I64MAX, dtype=np.int64)
+        if len(cand_i):
+            cand[cand_i] = cand_v
+        for p, (ud, red) in inboxes.items():
+            np.minimum.at(cand, sh.inbox_maps[p][ud], red)
+        better = cand < st["label"]
+        st["label"] = np.where(better, cand, st["label"])
+        st["frontier"] = better
+        return {"changed": int(better.sum())}
 
     @staticmethod
     def done(agg: dict, superstep: int, st_params: dict) -> bool:
@@ -269,7 +261,11 @@ class ConnectedComponentsKernel:
         return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
                          "label": pa.array(st["label"], type=pa.int64())})
 
-    state_table = result
+    @staticmethod
+    def state_table(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "label": pa.array(st["label"], type=pa.int64()),
+                         "frontier": pa.array(st["frontier"])})
 
     @staticmethod
     def load_state(sh, st, t: pa.Table):
@@ -279,6 +275,10 @@ class ConnectedComponentsKernel:
         cur = np.array(st["label"])
         cur[idx] = lab
         st["label"] = cur
+        if "frontier" in t.column_names:
+            fr = np.zeros(sh.nv, dtype=bool)
+            fr[idx] = np.asarray(t["frontier"], dtype=bool)
+            st["frontier"] = fr
 
 
 class LabelPropagationKernel:

@@ -56,20 +56,36 @@ class GraphShard:
         self.group_size = max(1, int(group_size))
         self._edge_chunks: list[tuple[np.ndarray, np.ndarray]] = []
         self._vert_chunks: list[np.ndarray] = []
+        self._seen_chunks: set[str] = set()
         self.state: dict[str, dict[str, Any]] = {}
 
     # ------------------------------------------------------------------
     # build phase
     # ------------------------------------------------------------------
     def ingest_edges(self, src: np.ndarray, dst: np.ndarray,
-                     w: np.ndarray | None = None) -> int:
+                     w: np.ndarray | None = None,
+                     chunk_key: str | None = None) -> int:
+        """``chunk_key`` makes delivery idempotent: Ray Data may retry
+        the routing map task (fault tolerance), re-sending the same
+        chunk; duplicates are dropped here rather than corrupting the
+        CSR with doubled edges."""
+        if chunk_key is not None:
+            if chunk_key in self._seen_chunks:
+                return 0
+            self._seen_chunks.add(chunk_key)
         self._edge_chunks.append((np.asarray(src, dtype=np.int64),
                                   np.asarray(dst, dtype=np.int64),
                                   None if w is None else
                                   np.asarray(w, dtype=np.float64)))
         return len(src)
 
-    def ingest_vertices(self, ids: np.ndarray) -> int:
+    def ingest_vertices(self, ids: np.ndarray,
+                        chunk_key: str | None = None) -> int:
+        if chunk_key is not None:
+            vk = "v:" + chunk_key
+            if vk in self._seen_chunks:
+                return 0
+            self._seen_chunks.add(vk)
         self._vert_chunks.append(np.asarray(ids, dtype=np.int64))
         return len(ids)
 
@@ -94,6 +110,7 @@ class GraphShard:
             self._dst = np.empty(0, dtype=np.int64)
             self._w = None
         self._edge_chunks = []
+        self._seen_chunks.clear()
         self._dst_owner = partitioner.pid_np(self._dst) if len(self._dst) \
             else np.empty(0, dtype=np.int64)
         ghosts: dict[int, np.ndarray] = {}
@@ -191,6 +208,7 @@ class GraphShard:
             self._src = np.empty(0, dtype=np.int64)
             self._dst = np.empty(0, dtype=np.int64)
         self._edge_chunks = []
+        self._seen_chunks.clear()
         self._src_owner = partitioner.pid_np(self._src) if len(self._src) \
             else np.empty(0, dtype=np.int64)
         self.pid_fn = partitioner.pid_np

@@ -387,7 +387,6 @@ def ngram_jaccard_pairs(docs, tau: float = 0.5, shingle_k: int = 3,
         nb_ = np.asarray(t["nb"], dtype=np.float64)
         j = c / (na_ + nb_ - c)
         keep = j >= tau
-        # ids ride through the pandas join as float64 — restore int64
         return pa.table({
             "a": pa.array(np.asarray(t["a"])[keep].astype(np.int64)),
             "b": pa.array(np.asarray(t["b"])[keep].astype(np.int64)),

@@ -363,7 +363,6 @@ def remap_vertex_ids(edges, mapping, num_buckets: int = 32):
     e = e.map_batches(_ren("new_id", "new_dst"), batch_format="pyarrow") \
          .select_columns(["new_src", "new_dst"])
     def _fin(t: pa.Table) -> pa.Table:
-        # ids ride through the pandas join as float64 — restore int64
         return pa.table({
             "src": t["new_src"].combine_chunks().cast(pa.int64()),
             "dst": t["new_dst"].combine_chunks().cast(pa.int64()),

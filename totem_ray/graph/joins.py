@@ -11,9 +11,11 @@ Here:
 * ``hash_join`` — both sides large: explicit partitioned hash join.
   Both inputs get a ``bucket = hash(key) % B`` column, are unioned
   with a side tag, shuffled ONCE by bucket, and each bucket is merged
-  vectorized (pandas) inside ``map_groups``. This is the portable
-  pattern; Ray's native ``Dataset.join`` (2.49) mis-handles empty
-  blocks, so we keep our own.
+  with ``pyarrow.Table.join`` inside ``map_groups`` (zero pandas:
+  int64 keys never degrade to float64, so 64-bit url-hash ids above
+  2^53 survive bit-exactly). This is the portable pattern; Ray's
+  native ``Dataset.join`` (2.49) mis-handles empty blocks, so we
+  keep our own.
 
 Skew note: a hot join key salts into sub-buckets only if the caller
 pre-salts; for graph workloads our keys are (vertex id) or (id pair),
@@ -25,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from totem_ray.hashing import hash_partition, splitmix64, as_u64
@@ -115,40 +118,33 @@ def hash_join(left, right, on: list[str] | str, how: str = "inner",
     tagged = left.map_batches(tagger(0, rval), batch_format="pyarrow").union(
         right.map_batches(tagger(1, lval), batch_format="pyarrow"))
 
-    # the union's null padding degrades column dtypes (int64 -> float64
-    # via NaN); restore each side's original dtypes after slicing
-    def _dtype_map(schema, cols):
-        # schema is a ray.data Schema (names + arrow types)
-        out = {}
-        if schema is None:
-            return out
-        types = dict(zip(schema.names, schema.types))
-        for c in cols:
-            t = types.get(c)
-            if t is not None:
-                try:
-                    out[c] = t.to_pandas_dtype()
-                except (NotImplementedError, AttributeError):
-                    pass
-        return out
+    out_cols = on + lval + rval
+    join_type = "inner" if how == "inner" else "left outer"
+    known_types = dict(_arrow_types)
 
-    ltypes = _dtype_map(lschema, on + lval)
-    rtypes = _dtype_map(rschema, on + rval)
+    def merge(t: pa.Table) -> pa.Table:
+        # all-null padding columns come through as type `null`, which
+        # Acero rejects as join payload; they carry no data, so drop
+        # them for the join and re-append typed nulls after.
+        null_cols = {f.name for f in t.schema if pa.types.is_null(f.type)}
+        if any(c in null_cols for c in on):
+            # key column entirely null => no matches possible
+            fields = {f.name: known_types.get(f.name, f.type)
+                      for f in t.schema}
+            return pa.table({c: pa.array([], type=fields[c])
+                             for c in out_cols})
+        lmask = pc.equal(t["_side"], 0)
+        l = t.filter(lmask).select(
+            on + [c for c in lval if c not in null_cols]).combine_chunks()
+        r = t.filter(pc.invert(lmask)).select(
+            on + [c for c in rval if c not in null_cols]).combine_chunks()
+        joined = l.join(r, keys=on, join_type=join_type)
+        for c in null_cols - set(on):
+            joined = joined.append_column(
+                c, pa.nulls(joined.num_rows, known_types.get(c)))
+        return joined.select(out_cols)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["_side"] == 0][on + lval]
-        r = df[df["_side"] == 1][on + rval]
-        for side, types in ((l, ltypes), (r, rtypes)):
-            for c, dt in types.items():
-                if side[c].dtype != dt:
-                    try:
-                        side[c] = side[c].astype(dt)
-                    except (ValueError, TypeError):
-                        pass  # genuine nulls in source data — keep as-is
-        out = l.merge(r, on=on, how="inner" if how == "inner" else "left")
-        return out
-
-    return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def semi_join_broadcast(ds, keys: np.ndarray, on: str, anti: bool = False):
