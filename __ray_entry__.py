@@ -27,6 +27,22 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+_KNN_SQL = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    sims AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]),
+               CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS knn_rank
+    FROM sims
+    QUALIFY knn_rank <= 10
+"""
+
 DAMPING = 0.85
 
 _COPURCHASE_SQL = """
@@ -126,8 +142,12 @@ def q_subgraph_high_degree(sf_dir: str, min_degree: int = 100):
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
     edges = copurchase_edges(sf_dir)
-    deg = degree_table(edges, alias="degree").to_pandas()
-    keep = deg[deg["degree"] >= min_degree]["v"].to_numpy()
+    # filter DISTRIBUTED; only the small keep set reaches the driver
+    # (it is the broadcast side of the semi-join inside subgraph)
+    keep_rows = degree_table(edges, alias="degree") \
+        .filter(expr=f"degree >= {min_degree}") \
+        .select_columns(["v"]).take_all()
+    keep = np.array([r["v"] for r in keep_rows], dtype=np.int64)
     return subgraph(edges, keep)
 
 
@@ -141,7 +161,8 @@ def q_pagerank_5round(sf_dir: str):
 def q_pagerank_converge(sf_dir: str):
     out, df = _run_bsp(sf_dir, "pagerank", {"mode": "converge", "tol": 1e-6,
                                             "damping": DAMPING})
-    df["iterations"] = out["iterations"]
+    df["rank_r8"] = np.round(df.pop("rank").to_numpy(), 8)
+    df["iterations"] = np.int64(out["iterations"])
     return df
 
 
@@ -284,6 +305,71 @@ def q_betweenness_copurchase(sf_dir: str):
     return df
 
 
+def q_stress_copurchase(sf_dir: str):
+    from totem_ray.algs import stress
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir)
+    srcs = sorted(r["src"] for r in
+                  edges.select_columns(["src"]).groupby("src").count()
+                  .sort("src").limit(4).take_all())
+    out = stress(edges, sources=srcs, num_partitions=4)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    return df
+
+
+def q_bfs_dirop_copurchase(sf_dir: str):
+    from totem_ray.algs import bfs_stepwise
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir)
+    src = int(edges.min("src"))
+    out = bfs_stepwise(edges, source=src, num_partitions=4)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    return df[df["cost"] >= 0].reset_index(drop=True)
+
+
+def q_apsp_copurchase(sf_dir: str):
+    from totem_ray.algs import apsp
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir)
+    srcs = sorted(r["src"] for r in
+                  edges.select_columns(["src"]).groupby("src").count()
+                  .sort("src").limit(4).take_all())
+    out = apsp(edges, sources=srcs, num_partitions=4)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    return df
+
+
+def q_maxflow_chain(sf_dir: str):
+    """Push-relabel max flow over a deterministic chain network built
+    from the 20 smallest part vertices (capacity 1 + (u+v) % 7):
+    the max flow is the chain's bottleneck capacity — SQL-checkable.
+    Full-strength verification (reference DIMACS fixtures, random
+    networks vs Edmonds-Karp) lives in tests/test_maxflow.py."""
+    from totem_ray.algs import maxflow
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir)
+    vs = sorted(r["src"] for r in
+                edges.select_columns(["src"]).groupby("src").count()
+                .sort("src").limit(20).take_all())
+    import ray.data
+    u = np.array(vs[:-1], dtype=np.int64)
+    v = np.array(vs[1:], dtype=np.int64)
+    w = (1 + (u + v) % 7).astype(np.float64)
+    chain = ray.data.from_arrow(pa.table({
+        "src": pa.array(u), "dst": pa.array(v),
+        "weight": pa.array(w, type=pa.float64())}))
+    out = maxflow(chain, source=vs[0], sink=vs[-1], num_partitions=4)
+    out["engine"].shutdown()
+    return pd.DataFrame({"max_flow": [out["max_flow"]]})
+
+
 def q_sortvertices_copurchase(sf_dir: str):
     from totem_ray.graph.edges import sort_vertices_by_degree
     from totem_ray.pipelines.tpch_graph import copurchase_edges
@@ -353,6 +439,84 @@ def q_doc_simhash_pairs(sf_dir: str):
                                   max_hamming=8)
 
 
+_CLONE_OFFSET = 1_000_000
+
+
+def _docs_with_clones(docs, mod: int = 10):
+    """Append a byte-identical clone (doc_id + _CLONE_OFFSET) of every
+    ``mod``-th document — a deterministic near-dup fixture that lets
+    SQL verify the minhash/simhash pipelines end-to-end."""
+    def clone(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"])
+        m = ids % mod == 0
+        return pa.table({
+            "doc_id": pa.array(ids[m] + _CLONE_OFFSET, type=pa.int64()),
+            "text": t["text"].filter(pa.array(m)),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).union(
+        docs.map_batches(clone, batch_format="pyarrow"))
+
+
+def q_doc_minhash_clone_dedup(sf_dir: str):
+    """Clone fixture through the FULL minhash pipeline (shingle ->
+    signatures -> banded LSH -> candidate pairs -> BSP CC groups):
+    every clone must land in its original's dup group."""
+    from totem_ray.functions.dedup import minhash_dedup_groups
+    from totem_ray.graph.joins import hash_join
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    groups = minhash_dedup_groups(_docs_with_clones(docs), tau=0.5)
+
+    def orig_sel(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"])
+        m = (ids < _CLONE_OFFSET) & (ids % 10 == 0)
+        return pa.table({"doc_id": pa.array(ids[m], type=pa.int64()),
+                         "g1": t["dup_group"].filter(pa.array(m))})
+
+    def clone_sel(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"])
+        m = ids >= _CLONE_OFFSET
+        return pa.table({"doc_id": pa.array(ids[m] - _CLONE_OFFSET,
+                                            type=pa.int64()),
+                         "g2": t["dup_group"].filter(pa.array(m))})
+
+    j = hash_join(groups.map_batches(orig_sel, batch_format="pyarrow"),
+                  groups.map_batches(clone_sel, batch_format="pyarrow"),
+                  on="doc_id")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "same_group": pa.array(np.asarray(t["g1"]) == np.asarray(t["g2"])),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+def q_doc_simhash_clone_pairs(sf_dir: str):
+    """Clone fixture through the FULL simhash pipeline: every
+    (original, clone) pair must surface with hamming distance 0."""
+    from totem_ray.functions.dedup import simhash_near_dup_pairs
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = simhash_near_dup_pairs(_docs_with_clones(docs), max_hamming=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"])
+        b = np.asarray(t["b"])
+        m = (b - a == _CLONE_OFFSET) & (a % 10 == 0)
+        return pa.table({
+            "doc_id": pa.array(a[m], type=pa.int64()),
+            "hamming": t["hamming"].filter(pa.array(m)).combine_chunks()
+                        .cast(pa.int64()),
+        })
+
+    return pairs.map_batches(fin, batch_format="pyarrow")
+
+
 def q_doc_ngram_jaccard(sf_dir: str):
     from totem_ray.functions.dedup import ngram_jaccard_pairs
     from totem_ray.pipelines.tpch_graph import read_table
@@ -392,6 +556,22 @@ def q_knn_ivf(sf_dir: str):
     queries = np.stack(qdf["embedding"].to_numpy())
     out = knn_ivf(emb, queries, qdf["vec_id"].to_numpy(), k=10,
                   ncells=8, nprobe=3)
+    return out[["query_id", "neighbor_id", "knn_rank"]]
+
+
+def q_knn_ivf_full_probe(sf_dir: str):
+    """IVF with nprobe == ncells (probe every cell): exercises the
+    full IVF path (centroid fit, assignment, probe, per-cell top-k,
+    merge) while remaining EXACT — must reproduce brute-force top-k,
+    so the same SQL oracle applies."""
+    from totem_ray.functions.similarity import knn_ivf
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    emb = read_table(sf_dir, "embeddings")
+    qdf = emb.filter(expr="vec_id < 5").to_pandas()
+    queries = np.stack(qdf["embedding"].to_numpy())
+    out = knn_ivf(emb, queries, qdf["vec_id"].to_numpy(), k=10,
+                  ncells=8, nprobe=8)
     return out[["query_id", "neighbor_id", "knn_rank"]]
 
 
@@ -504,6 +684,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pcore_copurchase": q_pcore_copurchase,
         "closeness_copurchase": q_closeness_copurchase,
         "betweenness_copurchase": q_betweenness_copurchase,
+        "stress_copurchase": q_stress_copurchase,
+        "bfs_dirop_copurchase": q_bfs_dirop_copurchase,
+        "apsp_copurchase": q_apsp_copurchase,
+        "maxflow_chain": q_maxflow_chain,
         "sortvertices_copurchase": q_sortvertices_copurchase,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "doc_token_stats": q_doc_token_stats,
@@ -511,16 +695,177 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_minhash_dedup": q_doc_minhash_dedup,
+        "doc_minhash_clone_dedup": q_doc_minhash_clone_dedup,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_simhash_clone_pairs": q_doc_simhash_clone_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "emb_near_dup": q_emb_near_dup,
         "knn_top10": q_knn_top10,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_asof_last_order": q_events_asof_last_order,
         "multimodal_decode": q_multimodal_decode,
     }
+
+
+def _pagerank_converge_sql(tol: float = 1e-6, max_iters: int = 120) -> str:
+    """Unrolled power iteration replicating the converge-mode BSP
+    kernel (contrib = r/deg each round, residual = L1 delta, stop at
+    the first update whose residual <= tol; iterations = that update's
+    1-based index — totem_ray/engine/kernels.py PageRankKernel)."""
+    parts = [f"WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),",
+             "deg AS MATERIALIZED (SELECT src AS v,"
+             " CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),",
+             "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n"
+             " FROM deg),",
+             "r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nv) AS r"
+             " FROM deg),"]
+    for k in range(max_iters):
+        parts.append(
+            f"r{k + 1} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"(1 - {DAMPING}) / (SELECT n FROM nv) + {DAMPING} * "
+            f"SUM(p.r / deg.d) AS r "
+            f"FROM e JOIN r{k} p ON p.v = e.src "
+            f"JOIN deg ON deg.v = e.src GROUP BY e.dst),")
+        parts.append(
+            f"resid{k} AS MATERIALIZED (SELECT SUM(ABS(a.r - b.r)) AS s "
+            f"FROM r{k + 1} a JOIN r{k} b ON a.v = b.v),")
+    resid_rows = " UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT s FROM resid{k}) AS s"
+        for k in range(max_iters))
+    rank_rows = " UNION ALL ".join(
+        f"SELECT {k + 1} AS k, v, r FROM r{k + 1}"
+        for k in range(max_iters))
+    parts.append(f"resids AS ({resid_rows}),")
+    parts.append(f"allr AS ({rank_rows}),")
+    parts.append(f"stop AS (SELECT MIN(k) AS m FROM resids"
+                 f" WHERE s <= {tol})")
+    parts.append(
+        "SELECT v, ROUND(r, 8) AS rank_r8, "
+        "CAST((SELECT m + 1 FROM stop) AS BIGINT) AS iterations "
+        "FROM allr WHERE k = (SELECT m + 1 FROM stop)")
+    return "\n".join(parts)
+
+
+def _centrality_sql(kind: str, num_sources: int = 4,
+                    max_level: int = 15) -> str:
+    """Unrolled per-source centrality (forward sigma-BFS + backward
+    level sweep) from the ``num_sources`` smallest vertex ids.
+
+    ``kind='betweenness'``: Brandes — delta(v) = sigma(v) *
+    sum((1+delta(w))/sigma(w)) over successors, scaled V/num_sources
+    (BfsSigmaKernel / BrandesBackKernel transcription).
+    ``kind='stress'``: delta(v) = sum(1+delta(w)); contribution =
+    sigma(v)*delta(v), unscaled (StressBackKernel,
+    src/alg/totem_stress.cu:376-396)."""
+    L = max_level
+    p = [f"WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),",
+         "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),",
+         f"srcs AS (SELECT v FROM verts ORDER BY v LIMIT {num_sources}),",
+         "vis0 AS MATERIALIZED (SELECT v AS s, v, 0 AS lvl,"
+         " CAST(1 AS DOUBLE) AS sigma FROM srcs),"]
+    for k in range(L):
+        p.append(
+            f"f{k + 1} AS MATERIALIZED (SELECT f.s, e.dst AS v, "
+            f"SUM(f.sigma) AS sigma FROM vis{k} f "
+            f"JOIN e ON e.src = f.v AND f.lvl = {k} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM vis{k} w "
+            f"WHERE w.s = f.s AND w.v = e.dst) "
+            f"GROUP BY f.s, e.dst),")
+        p.append(
+            f"vis{k + 1} AS MATERIALIZED (SELECT * FROM vis{k} "
+            f"UNION ALL SELECT s, v, {k + 1}, sigma FROM f{k + 1}),")
+    p.append(f"vis AS MATERIALIZED (SELECT * FROM vis{L}),")
+    # backward: delta at the deepest unrolled level is 0 (no successors)
+    p.append(f"d{L} AS MATERIALIZED (SELECT s, v, CAST(0 AS DOUBLE)"
+             f" AS delta FROM vis WHERE lvl = {L}),")
+    if kind == "betweenness":
+        msg = "SUM((1 + d.delta) / u.sigma)"
+        recv = "r.sigma * COALESCE(agg.acc, 0)"
+    else:
+        msg = "SUM(1 + d.delta)"
+        recv = "COALESCE(agg.acc, 0)"
+    for lvl in range(L, 0, -1):
+        p.append(
+            f"d{lvl - 1} AS MATERIALIZED ("
+            f"SELECT r.s, r.v, {recv} AS delta "
+            f"FROM vis r LEFT JOIN ("
+            f"SELECT u.s, e.dst AS v, {msg} AS acc "
+            f"FROM vis u JOIN d{lvl} d ON d.s = u.s AND d.v = u.v "
+            f"JOIN e ON e.src = u.v WHERE u.lvl = {lvl} "
+            f"GROUP BY u.s, e.dst) agg "
+            f"ON agg.s = r.s AND agg.v = r.v "
+            f"WHERE r.lvl = {lvl - 1}),")
+    alld = " UNION ALL ".join(f"SELECT s, v, delta FROM d{k}"
+                              for k in range(L + 1))
+    p.append(f"alld AS ({alld}),")
+    if kind == "betweenness":
+        p.append("perv AS (SELECT v, SUM(delta) AS bsum FROM alld"
+                 " WHERE v <> s GROUP BY v),")
+        p.append(f"sc AS (SELECT CAST(COUNT(*) AS DOUBLE) / {num_sources}"
+                 f" AS scale FROM verts)")
+        p.append("SELECT verts.v, ROUND(COALESCE(perv.bsum, 0) *"
+                 " (SELECT scale FROM sc), 6) AS betweenness_r6"
+                 " FROM verts LEFT JOIN perv ON perv.v = verts.v")
+    else:
+        # stress contribution = sigma * delta per (s, v), source excluded
+        p.append("perv AS (SELECT a.v, SUM(u.sigma * a.delta) AS ssum"
+                 " FROM alld a JOIN vis u ON u.s = a.s AND u.v = a.v"
+                 " WHERE a.v <> a.s GROUP BY a.v)")
+        p.append("SELECT verts.v, COALESCE(perv.ssum, 0) AS stress"
+                 " FROM verts LEFT JOIN perv ON perv.v = verts.v")
+    return "\n".join(p)
+
+
+def _labelprop_sql(rounds: int = 8, cap: int = 16) -> str:
+    """Unrolled LabelRank-lite transcription of LabelPropagationKernel
+    (totem_ray/engine/kernels.py): per round P'[v][l] =
+    sum_nbr P[nbr][l] / deg(v) summed in ascending neighbor order
+    (list_sum over an ordered list reproduces the kernel's reduceat
+    summation bitwise), truncated to the top-``cap`` (prob desc, label
+    asc) entries per vertex; label = lowest label at max prob; stops
+    at the first round where every vertex's label has been unchanged
+    for 5 consecutive rounds, else after ``rounds`` rounds."""
+    p = [f"WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),",
+         "deg AS MATERIALIZED (SELECT src AS v,"
+         " CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),",
+         "s0 AS MATERIALIZED ("
+         "SELECT e.src AS v, e.dst AS l, 1.0 / deg.d AS p"
+         " FROM e JOIN deg ON deg.v = e.src"
+         " UNION ALL SELECT v, v, 1.0 FROM deg),"]
+    for k in range(1, rounds + 1):
+        p.append(
+            f"a{k} AS MATERIALIZED (SELECT e.src AS v, s.l AS l, "
+            f"CAST(list_sum(list(s.p ORDER BY e.dst)) AS DOUBLE) AS ps "
+            f"FROM e JOIN s{k - 1} s ON s.v = e.dst GROUP BY e.src, s.l),")
+        p.append(
+            f"s{k} AS MATERIALIZED (SELECT v, l, p FROM ("
+            f"SELECT a.v, a.l, a.ps / deg.d AS p, "
+            f"ROW_NUMBER() OVER (PARTITION BY a.v "
+            f"ORDER BY a.ps / deg.d DESC, a.l ASC) AS rn "
+            f"FROM a{k} a JOIN deg ON deg.v = a.v) WHERE rn <= {cap}),")
+        p.append(
+            f"lab{k} AS MATERIALIZED (SELECT v, l AS label FROM ("
+            f"SELECT v, l, ROW_NUMBER() OVER (PARTITION BY v "
+            f"ORDER BY p DESC, l ASC) AS rn FROM s{k}) WHERE rn = 1),")
+    joins = " ".join(f"JOIN lab{k} ON lab{k}.v = d.v"
+                     for k in range(1, rounds + 1))
+    cols = ", ".join(f"lab{k}.label AS l{k}" for k in range(1, rounds + 1))
+    p.append(f"j AS MATERIALIZED (SELECT d.v, d.v AS l0, {cols}"
+             f" FROM deg d {joins}),")
+    stops = []
+    for k in range(5, rounds):
+        eqs = " AND ".join(f"l{i} = l{i + 1}" for i in range(k - 5, k))
+        stops.append(f"SELECT {k} AS k WHERE NOT EXISTS "
+                     f"(SELECT 1 FROM j WHERE NOT ({eqs}))")
+    p.append(f"stopk AS (SELECT COALESCE(MIN(k), {rounds}) AS r FROM ("
+             + " UNION ALL ".join(stops) + "))")
+    cases = " ".join(f"WHEN {k} THEN l{k}" for k in range(5, rounds))
+    p.append(f"SELECT v, CASE (SELECT r FROM stopk) {cases} "
+             f"ELSE l{rounds} END AS label FROM j")
+    return "\n".join(p)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -596,6 +941,50 @@ def oracle_sql() -> dict[str, str]:
                           + {DAMPING} * SUM(p.c) AS r
                    FROM e JOIN p4 p ON p.v = e.src GROUP BY e.dst)
             SELECT v, ROUND(r, 8) AS rank_r8 FROM r5
+        """,
+        "pagerank_copurchase_converge": _pagerank_converge_sql(),
+        "betweenness_copurchase": _centrality_sql("betweenness"),
+        "stress_copurchase": _centrality_sql("stress"),
+        "labelprop_copurchase": _labelprop_sql(),
+        # superstep-exact transcription of the pcore peel (one recursive
+        # iteration = one BSP superstep; threshold bumps when the
+        # previous superstep removed nothing — kernels.py PCoreKernel)
+        "pcore_copurchase": f"""
+            WITH RECURSIVE e AS MATERIALIZED ({_COPURCHASE_SQL}),
+            deg AS MATERIALIZED (SELECT src AS v,
+                CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+            st(it, thr, rnd, v, wdeg, asg, newly) AS (
+              SELECT 0, 0, 0, v, d,
+                     CASE WHEN d <= 0 THEN 0 ELSE CAST(NULL AS BIGINT) END,
+                     d <= 0
+              FROM deg
+              UNION ALL
+              SELECT s.it + 1,
+                     s.thr + CASE WHEN nr.nrem = 0 THEN 1 ELSE 0 END,
+                     s.rnd + CASE WHEN nr.nrem = 0 THEN 1 ELSE 0 END,
+                     s.v,
+                     s.wdeg - COALESCE(dec.d, 0),
+                     CASE WHEN s.asg IS NULL
+                               AND s.wdeg - COALESCE(dec.d, 0) <=
+                                   s.thr + CASE WHEN nr.nrem = 0
+                                           THEN 1 ELSE 0 END
+                          THEN s.rnd + CASE WHEN nr.nrem = 0
+                                       THEN 1 ELSE 0 END
+                          ELSE s.asg END,
+                     s.asg IS NULL
+                       AND s.wdeg - COALESCE(dec.d, 0) <=
+                           s.thr + CASE WHEN nr.nrem = 0 THEN 1 ELSE 0 END
+              FROM st s
+              CROSS JOIN (SELECT COUNT(*) FILTER (WHERE newly) AS nrem,
+                                 COUNT(*) FILTER (WHERE asg IS NULL) AS unas
+                          FROM st) nr
+              LEFT JOIN (SELECT e.dst AS v, CAST(COUNT(*) AS BIGINT) AS d
+                         FROM e JOIN st r ON r.v = e.src AND r.newly
+                         GROUP BY e.dst) dec ON dec.v = s.v
+              WHERE nr.unas > 0
+            )
+            SELECT v, CAST(asg AS BIGINT) AS round FROM st
+            WHERE it = (SELECT MAX(it) FROM st)
         """,
         "cc_copurchase": f"""
             WITH RECURSIVE e AS ({_COPURCHASE_SQL}),
@@ -688,6 +1077,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.cost = 0 THEN c.v ELSE p.parent END AS parent
             FROM costs c LEFT JOIN parents p ON p.v = c.v
         """,
+        "bfs_dirop_copurchase": f"""
+            WITH RECURSIVE e AS ({_COPURCHASE_SQL}),
+            s AS (SELECT MIN(src) AS v FROM e),
+            walk(v, cost) AS (
+              SELECT v, 0 FROM s
+              UNION
+              SELECT e.dst, w.cost + 1 FROM walk w
+              JOIN e ON e.src = w.v WHERE w.cost < 12
+            )
+            SELECT v, CAST(MIN(cost) AS BIGINT) AS cost FROM walk GROUP BY v
+        """,
+        "apsp_copurchase": f"""
+            WITH RECURSIVE e AS ({_COPURCHASE_SQL}),
+            srcs AS (SELECT DISTINCT src AS v FROM e ORDER BY v LIMIT 4),
+            walk(s, v, cost) AS (
+              SELECT v, v, 0 FROM srcs
+              UNION
+              SELECT w.s, e.dst, w.cost + 1 FROM walk w
+              JOIN e ON e.src = w.v WHERE w.cost < 12
+            )
+            SELECT s AS source, v, CAST(MIN(cost) AS DOUBLE) AS dist
+            FROM walk GROUP BY s, v
+        """,
         "sssp_copurchase": f"""
             WITH RECURSIVE e AS (
               SELECT src, dst, 1 + (src + dst) % 7 AS w
@@ -744,6 +1156,14 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 8) AS closeness_r8
             FROM verts LEFT JOIN agg ON agg.v = verts.v
         """,
+        "maxflow_chain": f"""
+            WITH e AS ({_COPURCHASE_SQL}),
+            vs AS (SELECT DISTINCT src AS v FROM e ORDER BY v LIMIT 20),
+            chain AS (
+              SELECT v AS u, LEAD(v) OVER (ORDER BY v) AS w FROM vs)
+            SELECT CAST(MIN(1 + (u + w) % 7) AS DOUBLE) AS max_flow
+            FROM chain WHERE w IS NOT NULL
+        """,
         "sortvertices_copurchase": f"""
             WITH e AS ({_COPURCHASE_SQL}),
             deg AS (SELECT src AS v, COUNT(*) AS degree FROM e GROUP BY src)
@@ -755,7 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": r"""
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split(lower(text), ' '),
+                     list_filter(string_split_regex(lower(text), '\s+'),
                                  x -> x <> '') AS ts
               FROM documents),
             idx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
@@ -781,6 +1201,63 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
+        "doc_quality": r"""
+            WITH c AS (
+              SELECT doc_id,
+                CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE)
+                  AS n_tok,
+                CAST(length(text) AS DOUBLE) AS n_chr,
+                CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                  AS n_pun,
+                CAST(length(regexp_extract_all(text,
+                  '(?i)\b(the|and|of|to|in|is|that|it|for|with)\b'))
+                  AS DOUBLE) AS n_stp
+              FROM documents),
+            d AS (SELECT *, GREATEST(n_tok, 1.0) AS tok_safe FROM c)
+            SELECT doc_id,
+              CAST(n_tok AS BIGINT) AS n_tokens,
+              (n_chr - GREATEST(n_tok - 1.0, 0.0)) / tok_safe
+                AS mean_token_len,
+              n_stp / tok_safe AS stop_ratio,
+              n_pun / tok_safe AS punct_ratio,
+              LEAST(1.0, n_tok / 50.0)
+                * (1.0 - LEAST(1.0, n_pun / tok_safe))
+                * (0.5 + 0.5 * LEAST(1.0, 4.0 * (n_stp / tok_safe)))
+                AS quality
+            FROM d
+        """,
+        "doc_lang_id": r"""
+            WITH c AS (
+              SELECT doc_id,
+                length(regexp_extract_all(text,
+                  '(?i)\b(the|and|of|to|in|is|that|it|for|with)\b')) AS h_en,
+                length(regexp_extract_all(text,
+                  '(?i)\b(el|la|de|que|y|en|los|del|las|por)\b')) AS h_es,
+                length(regexp_extract_all(text,
+                  '(?i)\b(der|die|und|das|ist|von|mit|den|nicht|ein)\b'))
+                  AS h_de,
+                length(regexp_extract_all(text,
+                  '(?i)\b(le|la|les|des|est|dans|pour|que|une|sur)\b'))
+                  AS h_fr
+              FROM documents),
+            m AS (SELECT doc_id, h_en, h_es, h_de, h_fr,
+                         GREATEST(h_en, h_es, h_de, h_fr) AS g FROM c)
+            SELECT doc_id,
+              CASE WHEN g = 0 OR
+                        (CASE WHEN h_en = g THEN 1 ELSE 0 END +
+                         CASE WHEN h_es = g THEN 1 ELSE 0 END +
+                         CASE WHEN h_de = g THEN 1 ELSE 0 END +
+                         CASE WHEN h_fr = g THEN 1 ELSE 0 END) >= 2
+                   THEN 'und'
+                   WHEN h_en = g THEN 'en'
+                   WHEN h_es = g THEN 'es'
+                   WHEN h_de = g THEN 'de'
+                   ELSE 'fr' END AS pred_lang,
+              CAST(g AS BIGINT) AS evidence
+            FROM m
+        """,
+        "knn_top10": _KNN_SQL,
+        "knn_ivf_full_probe": _KNN_SQL,
         "doc_token_stats": r"""
             SELECT doc_id,
                    length(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -790,6 +1267,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "doc_minhash_clone_dedup": """
+            SELECT doc_id, TRUE AS same_group FROM documents
+            WHERE doc_id % 10 = 0
+        """,
+        "doc_simhash_clone_pairs": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS hamming FROM documents
+            WHERE doc_id % 10 = 0
         """,
         "emb_near_dup": """
             SELECT a.vec_id AS a, b.vec_id AS b

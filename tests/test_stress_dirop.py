@@ -1,0 +1,108 @@
+"""Stress centrality vs a serial oracle (src/alg/totem_stress.cu:
+307-400 semantics: delta(v) = sum over successors of (1 + delta),
+stress += sigma * delta, source excluded) and direction-optimizing
+BFS parity (src/alg/totem_bfs_stepwise_hybrid.cu)."""
+
+import numpy as np
+import pytest
+
+from totem_ray.algs import apsp, bfs, bfs_stepwise, stress
+from totem_ray.graph.edges import edges_from_arrays
+from totem_ray.sources.fixtures import topology_edges
+
+
+def np_stress(n, e, sources):
+    adj = [[] for _ in range(n)]
+    for s, d in e.astype(int):
+        adj[s].append(d)
+    sc = np.zeros(n)
+    for s in sources:
+        dist = np.full(n, -1)
+        sigma = np.zeros(n)
+        dist[s] = 0
+        sigma[s] = 1.0
+        order = [s]
+        q = [s]
+        while q:
+            nq = []
+            for v in q:
+                for w in adj[v]:
+                    if dist[w] == -1:
+                        dist[w] = dist[v] + 1
+                        nq.append(w)
+                        order.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            q = nq
+        delta = np.zeros(n)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist[v] == dist[w] - 1:
+                    delta[v] += 1.0 + delta[w]
+        contrib = sigma * delta
+        contrib[s] = 0.0
+        sc += contrib
+    return sc
+
+
+@pytest.mark.parametrize("name,P,step", [("grid_15", 3, 1),
+                                         ("chain_100", 2, 11)])
+def test_stress_exact_oracle(name, P, step):
+    n, e = topology_edges(name)
+    srcs = list(range(0, n, step))
+    out = stress(edges_from_arrays(e, num_blocks=2),
+                 sources=srcs, num_partitions=P)
+    df = out["result"].to_pandas().sort_values("v")
+    out["engine"].shutdown()
+    got = np.zeros(n)
+    got[df["v"].to_numpy()] = df["stress"].to_numpy()
+    assert np.allclose(got, np_stress(n, e, srcs), rtol=1e-9, atol=1e-9)
+
+
+def test_stress_star_hub_dominates():
+    n, e = topology_edges("star_1000")
+    srcs = [3, 7, 11]
+    out = stress(edges_from_arrays(e), sources=srcs, num_partitions=4)
+    df = out["result"].to_pandas().sort_values("v")
+    out["engine"].shutdown()
+    got = np.zeros(n)
+    got[df["v"].to_numpy()] = df["stress"].to_numpy()
+    assert np.allclose(got, np_stress(n, e, srcs), rtol=1e-9, atol=1e-9)
+    assert got[0] > got[1:].max()
+
+
+@pytest.mark.parametrize("name,P", [("chain_100", 2), ("grid_15", 3),
+                                    ("star_1000", 4),
+                                    ("chain_4_comp_40", 2)])
+def test_dirop_bfs_matches_bfs(name, P):
+    n, e = topology_edges(name)
+    a = bfs(edges_from_arrays(e), source=0, num_partitions=P)
+    b = bfs_stepwise(edges_from_arrays(e), source=0, num_partitions=P)
+    da = a["result"].to_pandas().sort_values("v").reset_index(drop=True)
+    db = b["result"].to_pandas().sort_values("v").reset_index(drop=True)
+    a["engine"].shutdown()
+    b["engine"].shutdown()
+    assert da.equals(db)
+
+
+def test_dirop_bfs_goes_bottom_up_on_star():
+    # level 1 of a star is 99.9% of V -> the superstep after it must
+    # run bottom-up (frontier > alpha * |V|)
+    n, e = topology_edges("star_1000")
+    out = bfs_stepwise(edges_from_arrays(e), source=0, num_partitions=4)
+    bu = sum(m.get("bu_steps", 0) for m in out["metrics"])
+    out["engine"].shutdown()
+    assert bu > 0
+
+
+def test_apsp_chain_small():
+    n, e = topology_edges("chain_100")
+    srcs = [0, 50]
+    out = apsp(edges_from_arrays(e), sources=srcs, num_partitions=2)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    for s in srcs:
+        d = df[df["source"] == s].sort_values("v")
+        assert np.array_equal(d["v"].to_numpy(), np.arange(n))
+        assert np.allclose(d["dist"].to_numpy(),
+                           np.abs(np.arange(n) - s))

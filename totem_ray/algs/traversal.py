@@ -49,6 +49,77 @@ def bfs_tree(edges, source: int, num_partitions: int = 4, partitioner=None,
                 checkpoint_every, resume)
 
 
+def bfs_stepwise(edges, source: int, num_partitions: int = 4,
+                 partitioner=None, vertices=None,
+                 engine: BspEngine | None = None, alpha: float = 0.1,
+                 max_supersteps: int = 100_000) -> dict:
+    """Direction-optimizing BFS (bfs_stepwise_hybrid,
+    src/alg/totem_bfs_stepwise_hybrid.cu:984-1005): level-synchronous
+    BFS that runs a superstep bottom-up whenever the global frontier
+    exceeds ``alpha`` * |V| (the 10% switch, totem_alg.h:37).
+    Identical costs to ``bfs`` on every graph; per-superstep
+    ``bu_steps`` in metrics counts how many shards ran bottom-up.
+    """
+    if engine is None:
+        engine = BspEngine(num_partitions, partitioner)
+        engine.build(edges, vertices_ds=vertices)
+    out = engine.run("bfs_dirop",
+                     {"source": int(source), "alpha": float(alpha),
+                      "total_vertices": engine.total_vertices},
+                     max_supersteps=max_supersteps)
+    out["engine"] = engine
+    return out
+
+
+def apsp(edges, sources=None, num_partitions: int = 4, partitioner=None,
+         vertices=None, engine: BspEngine | None = None) -> dict:
+    """All-pairs shortest paths (apsp_cpu/gpu, src/alg/totem_apsp.cu:
+    one Dijkstra/SSSP per vertex into a |V|^2 distance matrix).
+
+    At web scale a dense |V|^2 output is infeasible, so the output is
+    the sparse reachable-pairs table Dataset(source, v, dist) and
+    ``sources`` defaults to the full vertex set only when the caller
+    passes it explicitly — ``sources=None`` runs every vertex of the
+    graph (the reference semantics; intended for small graphs or
+    source batches of a driver loop). One engine is reused across all
+    runs (engine reuse, totem_engine.cuh:6-10). Weighted iff the edge
+    table has a ``weight`` column (default weight 1, totem_graph.h:95).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if engine is None:
+        engine = BspEngine(num_partitions, partitioner)
+        engine.build(edges, vertices_ds=vertices)
+    if sources is None:
+        rows = edges.select_columns(["src"]).groupby("src").count() \
+            .sort("src").take_all()
+        sources = [r["src"] for r in rows]
+
+    per_source = []
+    for s in sources:
+        out = engine.run("sssp", {"source": int(s)})
+        src_id = int(s)
+
+        def tag(t: pa.Table, _s=src_id) -> pa.Table:
+            d = np.asarray(t["dist"], dtype=np.float64)
+            keep = np.isfinite(d)
+            return pa.table({
+                "source": pa.array(np.full(int(keep.sum()), _s,
+                                           dtype=np.int64)),
+                "v": pa.array(np.asarray(t["v"])[keep], type=pa.int64()),
+                "dist": pa.array(d[keep], type=pa.float64()),
+            })
+
+        per_source.append(out["result"].map_batches(
+            tag, batch_format="pyarrow"))
+    allp = per_source[0]
+    for p in per_source[1:]:
+        allp = allp.union(p)
+    return {"result": allp, "sources": list(map(int, sources)),
+            "engine": engine}
+
+
 def st_connectivity(edges, source: int, target: int,
                     num_partitions: int = 4, partitioner=None,
                     vertices=None, engine: BspEngine | None = None) -> dict:

@@ -67,7 +67,7 @@ def _oriented_edges(simple_und, num_join_partitions: int,
     (v, degree) array when the vertex set fits (16 B/vertex, one
     object-store copy per node), else two distributed hash joins
     against the degree table."""
-    deg_ds = degree_table(simple_und, alias="degree")
+    deg_ds = degree_table(simple_und, alias="degree").materialize()
     if deg_ds.count() <= broadcast_max_vertices:
         import ray as _ray
 
@@ -123,6 +123,12 @@ def _edge_fingerprints(lo: np.ndarray, hi: np.ndarray):
     return h1, h2
 
 
+class TripleCollision(RuntimeError):
+    """Three oriented edges share an h1 fingerprint — the 2-probe
+    membership check would miss one; caller falls back to the exact
+    join path. (p ~ E^3 / 2^128: never expected in practice.)"""
+
+
 def _triangle_counts_broadcast(oriented, num_buckets: int,
                                wedge_chunk: int = 8_000_000):
     """Fast path: close wedges inline against a broadcast sorted
@@ -131,39 +137,46 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
     per-vertex credit partials.
 
     The membership probe uses a 128-bit fingerprint (two independent
-    64-bit halves, sorted by the first): a false positive needs both
+    64-bit halves, grouped by the first): a false positive needs both
     halves to collide (~E * wedges / 2^128 — never), and h1-duplicate
-    runs longer than 2 are checked for at build time.
+    runs longer than 2 raise ``TripleCollision`` (caller falls back to
+    the join path).
 
-    This is the Ray analog of Totem keeping the whole sorted adjacency
-    resident and merge-intersecting per edge
+    Fingerprinting and sorting run DISTRIBUTED (map_batches + Dataset
+    sort); the driver only concatenates the range-partitioned sorted
+    blocks (one memcpy, no hashing/sorting) before the single
+    ``ray.put``. This is the Ray analog of Totem keeping the whole
+    sorted adjacency resident and merge-intersecting per edge
     (totem_clustering.cu:368-431): one immutable object-store copy of
     the edge set per node, wedge scan fully vectorized.
     """
     import ray as _ray
     from ray.data.aggregate import Sum
 
-    # collect fingerprints (16 B/edge) — bounded by the caller's
-    # threshold check
-    h1_parts, h2_parts = [], []
-    for b in oriented.iter_batches(batch_format="pyarrow",
-                                   batch_size=2_000_000):
-        a = np.asarray(b["a"])
-        bb = np.asarray(b["b"])
+    def fingerprint(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"])
+        bb = np.asarray(t["b"])
         lo = np.minimum(a, bb)
         hi = np.maximum(a, bb)
         h1, h2 = _edge_fingerprints(lo, hi)
-        h1_parts.append(h1)
-        h2_parts.append(h2)
+        return pa.table({"h1": pa.array(h1, type=pa.uint64()),
+                         "h2": pa.array(h2, type=pa.uint64())})
+
+    fp_sorted = oriented.map_batches(fingerprint,
+                                     batch_format="pyarrow").sort("h1")
+    h1_parts, h2_parts = [], []
+    for blk in _ray.get(fp_sorted.to_arrow_refs()):
+        if blk.num_rows:
+            h1_parts.append(np.asarray(blk["h1"], dtype=np.uint64))
+            h2_parts.append(np.asarray(blk["h2"], dtype=np.uint64))
     h1 = np.concatenate(h1_parts) if h1_parts else np.empty(0, np.uint64)
     h2 = np.concatenate(h2_parts) if h2_parts else np.empty(0, np.uint64)
-    order = np.lexsort((h2, h1))
-    h1, h2 = h1[order], h2[order]
     # h1-duplicate runs: probe checks pos and pos+1; longer runs would
-    # need more — they do not occur (p ~ E^3 / 2^128)
+    # need more
     if len(h1) > 2:
         dup2 = (h1[:-2] == h1[1:-1]) & (h1[1:-1] == h1[2:])
-        assert not dup2.any(), "triple h1 collision — use join path"
+        if dup2.any():
+            raise TripleCollision("triple h1 fingerprint collision")
     ref1, ref2 = _ray.put(h1), _ray.put(h2)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -264,8 +277,18 @@ def triangle_counts(edges, num_buckets: int = 64,
     oriented = _oriented_edges(simple_und, num_join_partitions).materialize()
 
     if oriented.count() <= broadcast_max_edges:
-        return _triangle_counts_broadcast(oriented, num_buckets)
+        try:
+            return _triangle_counts_broadcast(oriented, num_buckets)
+        except TripleCollision:
+            pass  # exact join path below handles it
+    return _triangle_counts_join(oriented, num_buckets, num_join_partitions)
 
+
+def _triangle_counts_join(oriented, num_buckets: int,
+                          num_join_partitions: int):
+    """Distributed path: wedge generation per source bucket, then a
+    hash join of canonicalized wedges against canonicalized oriented
+    edges. No broadcast state — scales past the object-store gate."""
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
             "bucket", pa.array(hash_partition(np.asarray(t["a"]), num_buckets)))

@@ -982,6 +982,467 @@ class BrandesBackKernel:
         st["delta"][idx] = np.asarray(t["delta"], dtype=np.float64)
 
 
+class StressBackKernel:
+    """Stress-centrality backward sweep (stress_cpu back propagation,
+    src/alg/totem_stress.cu:376-396): like Brandes but the dependency
+    is a PATH COUNT, not a ratio — a vertex v at the current level
+    sends m_v = 1 + delta_v to its neighbors; a receiver u at level-1
+    accumulates delta_u += sum(m) (no sigma division), and the
+    per-source stress contribution is sigma(v) * delta(v)
+    (totem_stress.cu:393). Reads the forward pass's (cost, sigma)
+    from the shard's retained bfs_sigma state (engine reuse, the
+    betweenness chaining pattern).
+    """
+
+    name = "stress_back"
+
+    @staticmethod
+    def init(sh, st, max_level: int):
+        fwd = sh.state["bfs_sigma"]
+        st["cost"] = fwd["cost"]
+        st["sigma"] = fwd["sigma"]
+        st["delta"] = np.zeros(sh.nv, dtype=np.float64)
+        st["max_level"] = int(max_level)
+
+    @staticmethod
+    def compute(sh, st, superstep: int):
+        level = st["max_level"] - superstep
+        st["cand"] = (np.empty(0, np.int64), np.empty(0, np.float64))
+        outboxes = {}
+        if level < 1:
+            return outboxes
+        at_level = st["cost"] == level
+        msg = np.zeros(sh.nv, dtype=np.float64)
+        msg[at_level] = 1.0 + st["delta"][at_level]
+        for t, tgt in sh.tgt.items():
+            m = at_level[tgt["src"]]
+            if not m.any():
+                continue
+            d = tgt["dst"][m]
+            vals = msg[tgt["src"][m]]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(d)) + 1])
+            ud, s = d[starts], np.add.reduceat(vals, starts)
+            if t == sh.pid:
+                st["cand"] = (ud, s)
+            else:
+                outboxes[t] = (ud, s)
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        level = st["max_level"] - superstep
+        ud, s = st.pop("cand")
+        acc = np.zeros(sh.nv, dtype=np.float64)
+        if len(ud):
+            np.add.at(acc, ud, s)
+        for p, (u, vv) in inboxes.items():
+            np.add.at(acc, sh.inbox_maps[p][u], vv)
+        recv = st["cost"] == level - 1
+        st["delta"][recv] += acc[recv]
+        return {"changed": 1 if level > 1 else 0}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return agg["changed"] == 0
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        contrib = st["sigma"] * st["delta"]
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "contrib": pa.array(contrib, type=pa.float64())})
+
+    @staticmethod
+    def state_table(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "delta": pa.array(st["delta"], type=pa.float64())})
+
+    @staticmethod
+    def load_state(sh, st, t: pa.Table):
+        idx = np.searchsorted(sh.verts, np.asarray(t["v"]))
+        st["delta"][idx] = np.asarray(t["delta"], dtype=np.float64)
+
+
+class DirOptBfsKernel:
+    """Direction-optimizing BFS (bfs_stepwise_hybrid,
+    src/alg/totem_bfs_stepwise_hybrid.cu:984-1005; 10% switch
+    threshold, totem_alg.h:37).
+
+    Per superstep every shard picks the SAME direction from the
+    previous superstep's GLOBAL frontier size (the engine's prev_agg
+    hook — the Ray analog of the reference's three chained engine
+    configs):
+
+    * top-down  (frontier <= alpha * |V|): frontier vertices push
+      sparse (dst, level) offers — message volume tracks the frontier;
+    * bottom-up (frontier >  alpha * |V|): each shard ships its
+      frontier MEMBERSHIP for exactly the vertices each peer's
+      adjacency references (one byte per ghost slot, independent of
+      frontier size); unvisited vertices then scan their own edges for
+      a frontier neighbor — O(cut) bytes instead of O(frontier x
+      fanout) rows, the classic bottom-up win on web-graph middle
+      levels.
+    """
+
+    name = "bfs_dirop"
+    needs_global_hook = True  # direction choice needs the global
+    # frontier size of the immediately previous superstep
+
+    @staticmethod
+    def init(sh, st, source: int, total_vertices: int = 0,
+             alpha: float = 0.1):
+        st["source"] = int(source)
+        st["N"] = int(total_vertices)
+        st["alpha"] = float(alpha)
+        cost = np.full(sh.nv, I64MAX, dtype=np.int64)
+        frontier = np.zeros(sh.nv, dtype=bool)
+        i = np.searchsorted(sh.verts, source)
+        if i < sh.nv and sh.verts[i] == source:
+            cost[i] = 0
+            frontier[i] = True
+        st["cost"], st["frontier"] = cost, frontier
+
+    @staticmethod
+    def _mode(sh, st, superstep: int) -> str:
+        prev = getattr(sh, "prev_agg", None)
+        if superstep == 0 or prev is None or not st["N"]:
+            return "td"
+        return "bu" if prev.get("changed", 0) > st["alpha"] * st["N"] \
+            else "td"
+
+    @classmethod
+    def compute(cls, sh, st, superstep: int):
+        mode = cls._mode(sh, st, superstep)
+        st["_mode"] = mode
+        cost, frontier = st["cost"], st["frontier"]
+        outboxes = {}
+        if mode == "bu":
+            # ship frontier membership for the slots each peer reads
+            st["cand"] = None
+            for p, idx_arr in sh.inbox_maps.items():
+                outboxes[p] = ("bu", frontier[idx_arr])
+            return outboxes
+        st["cand"] = (np.empty(0, np.int64), np.empty(0, np.int64))
+        for t, tgt in sh.tgt.items():
+            m = frontier[tgt["src"]]
+            if not m.any():
+                continue
+            d = tgt["dst"][m]
+            vals = cost[tgt["src"][m]] + 1
+            ud, red = _seg_min_sparse(d, vals)
+            if t == sh.pid:
+                st["cand"] = (ud, red)
+            else:
+                outboxes[t] = ("td", (ud, red))
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        mode = st.pop("_mode")
+        if mode == "bu":
+            st.pop("cand", None)
+            # per-edge frontier flags through the src-major adjacency
+            flags = np.zeros(sh.ne, dtype=bool)
+            for t in range(sh.P):
+                m = sh.adj_owner == t
+                if not m.any():
+                    continue
+                if t == sh.pid:
+                    flags[m] = st["frontier"][sh.adj_idx[m]]
+                else:
+                    _, gf = inboxes[t]
+                    flags[m] = gf[sh.adj_idx[m]]
+            unvisited = st["cost"] == I64MAX
+            # any frontier neighbor? segmented OR over the CSR rows
+            hit = np.zeros(sh.nv, dtype=bool)
+            if sh.ne:
+                sums = np.add.reduceat(flags.astype(np.int64),
+                                       np.minimum(sh.adj_indptr[:-1],
+                                                  sh.ne - 1))
+                deg_nz = np.diff(sh.adj_indptr) > 0
+                hit[deg_nz] = sums[deg_nz] > 0
+            newly = unvisited & hit
+            st["cost"][newly] = superstep + 1
+            st["frontier"] = newly
+            return {"changed": int(newly.sum()), "bu_steps": 1}
+        cand_i, cand_v = st.pop("cand")
+        cand = np.full(sh.nv, I64MAX, dtype=np.int64)
+        if len(cand_i):
+            cand[cand_i] = cand_v
+        for p, payload in inboxes.items():
+            tag, (ud, red) = payload
+            np.minimum.at(cand, sh.inbox_maps[p][ud], red)
+        better = cand < st["cost"]
+        st["cost"] = np.where(better, cand, st["cost"])
+        st["frontier"] = better
+        return {"changed": int(better.sum()), "bu_steps": 0}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return agg["changed"] == 0
+
+    result = None       # bound below (same contract as BfsKernel)
+    state_table = None
+    load_state = None
+
+
+DirOptBfsKernel.result = BfsKernel.result
+DirOptBfsKernel.state_table = BfsKernel.state_table
+DirOptBfsKernel.load_state = BfsKernel.load_state
+
+
+HINF = np.int64(1) << 62
+_MF_EPS = 1e-9
+
+
+class MaxflowKernel:
+    """Push-relabel max flow (maxflow_cpu/gpu,
+    src/alg/totem_maxflow.cu, per [Hong08] — dynamically tuned
+    push-relabel with batched kernel cycles, KERNEL_CYCLES=35,
+    totem_maxflow.cu:19).
+
+    Input must be the RESIDUAL graph (graph_create_bidirectional /
+    totem_ray.graph.edges.create_bidirectional: every edge has its
+    reverse, added reverses have capacity 0) with no parallel edges,
+    so the mirror of edge (u, v) is identified by the pair (v, u).
+
+    BSP mapping: one superstep = KERNEL_CYCLES local push/relabel
+    sweeps over each shard (local heights live, ghost heights frozen
+    — the same staleness the reference's kernel tolerates per
+    [Hong08]), then an exchange of (excess delta, mirror-flow delta)
+    messages to dst owners plus refreshed heights for each peer's
+    ghost slots. Flow f(u,v) lives on u's shard; antisymmetry
+    f(v,u) = -f(u,v) is maintained through the mirror messages.
+    Terminates when no push or relabel applies anywhere; the max flow
+    is the sink's excess (totem_maxflow.cu:570).
+    """
+
+    name = "maxflow"
+    KERNEL_CYCLES = 35  # totem_maxflow.cu:19
+
+    @staticmethod
+    def init(sh, st, source: int, sink: int, total_vertices: int = 0,
+             cycles: int = 0):
+        st["source"], st["sink"] = int(source), int(sink)
+        st["N"] = int(total_vertices)
+        st["cycles"] = int(cycles) or MaxflowKernel.KERNEL_CYCLES
+        parts_src, parts_own, parts_didx, parts_w, parts_gid = \
+            [], [], [], [], []
+        for t, tgt in sh.tgt.items():
+            n = len(tgt["src"])
+            parts_src.append(tgt["src"])
+            parts_own.append(np.full(n, t, dtype=np.int32))
+            parts_didx.append(tgt["dst"])
+            parts_w.append(tgt["w"] if "w" in tgt
+                           else np.ones(n, dtype=np.float64))
+            ids = sh.verts if t == sh.pid else sh.ghosts[t]
+            parts_gid.append(ids[tgt["dst"]])
+        if parts_src:
+            e_src = np.concatenate(parts_src)
+            e_own = np.concatenate(parts_own)
+            e_didx = np.concatenate(parts_didx)
+            e_w = np.concatenate(parts_w)
+            e_gid = np.concatenate(parts_gid)
+        else:
+            e_src = np.empty(0, np.int64)
+            e_own = np.empty(0, np.int32)
+            e_didx = np.empty(0, np.int64)
+            e_w = np.empty(0, np.float64)
+            e_gid = np.empty(0, np.int64)
+        order = np.lexsort((e_gid, e_src))
+        e_src, e_own = e_src[order], e_own[order]
+        e_didx, e_w, e_gid = e_didx[order], e_w[order], e_gid[order]
+        st["e_src"], st["e_own"], st["e_didx"] = e_src, e_own, e_didx
+        st["e_w"], st["e_gid"] = e_w, e_gid
+        st["e_sgid"] = sh.verts[e_src] if len(e_src) else \
+            np.empty(0, np.int64)
+        st["vptr"] = np.searchsorted(e_src, np.arange(sh.nv + 1))
+        st["m_local"] = e_own == sh.pid
+        st["own_masks"] = {t: e_own == t for t in sh.ghosts}
+        # composite (src_local, dst_gid) -> edge position (sorted)
+        ugids = np.unique(e_gid)
+        st["ugids"] = ugids
+        st["comp"] = e_src * max(len(ugids), 1) + \
+            np.searchsorted(ugids, e_gid)
+        # mirror positions for LOCAL-dst edges (both endpoints here)
+        mirror = np.full(len(e_src), -1, dtype=np.int64)
+        ml = st["m_local"]
+        if ml.any():
+            mcomp = e_didx[ml] * max(len(ugids), 1) + \
+                np.searchsorted(ugids, st["e_sgid"][ml])
+            pos = np.searchsorted(st["comp"], mcomp)
+            pos = np.minimum(pos, max(len(e_src) - 1, 0))
+            if len(e_src) and not np.array_equal(st["comp"][pos], mcomp):
+                raise ValueError("maxflow needs a residual graph: some "
+                                 "local edge has no reverse "
+                                 "(run create_bidirectional first)")
+            mirror[np.flatnonzero(ml)] = pos
+        st["mirror"] = mirror
+        st["f"] = np.zeros(len(e_src), dtype=np.float64)
+        st["height"] = np.zeros(sh.nv, dtype=np.int64)
+        st["excess"] = np.zeros(sh.nv, dtype=np.float64)
+        gh = {}
+        for t, ids in sh.ghosts.items():
+            h = np.zeros(len(ids), dtype=np.int64)
+            # the source's height is N from the start — peers must not
+            # see a stale 0 (premature flow return, totem_maxflow.cu:540)
+            i = np.searchsorted(ids, st["source"])
+            if i < len(ids) and ids[i] == st["source"]:
+                h[i] = st["N"]
+            gh[t] = h
+        st["ghost_h"] = gh
+        excl = np.zeros(sh.nv, dtype=bool)
+        pending: dict[int, tuple] = {}
+        for name_ in ("source", "sink"):
+            i = np.searchsorted(sh.verts, st[name_])
+            if i < sh.nv and sh.verts[i] == st[name_]:
+                excl[i] = True
+                st[name_ + "_loc"] = int(i)
+            else:
+                st[name_ + "_loc"] = -1
+        st["excl"] = excl
+        # preflow (totem_maxflow.cu:540-551): saturate source out-edges
+        s_loc = st["source_loc"]
+        if s_loc >= 0:
+            st["height"][s_loc] = st["N"]
+            lo, hi = st["vptr"][s_loc], st["vptr"][s_loc + 1]
+            sel = np.arange(lo, hi)[e_w[lo:hi] > 0]
+            st["f"][sel] = e_w[sel]
+            st["excess"][s_loc] -= float(e_w[sel].sum())
+            mlsel = ml[sel]
+            loc_sel = sel[mlsel]
+            if len(loc_sel):
+                np.add.at(st["excess"], e_didx[loc_sel], e_w[loc_sel])
+                np.subtract.at(st["f"], mirror[loc_sel], e_w[loc_sel])
+            for t in sh.ghosts:
+                ts = sel[e_own[sel] == t]
+                if len(ts):
+                    pending[t] = (e_didx[ts], st["e_sgid"][ts],
+                                  e_w[ts].copy())
+        st["pending"] = pending
+
+    @staticmethod
+    def compute(sh, st, superstep: int):
+        N = st["N"]
+        e_src, e_didx, e_w = st["e_src"], st["e_didx"], st["e_w"]
+        f, height, excess = st["f"], st["height"], st["excess"]
+        vptr, ml = st["vptr"], st["m_local"]
+        mirror, excl = st["mirror"], st["excl"]
+        ne = len(e_src)
+        h_edge = np.full(ne, HINF, dtype=np.int64)
+        for t, m in st["own_masks"].items():
+            if m.any():
+                h_edge[m] = st["ghost_h"][t][e_didx[m]]
+        rem: dict[int, list] = {t: [] for t in sh.ghosts}
+        ops = 0
+        for _ in range(st["cycles"]):
+            if ml.any():
+                h_edge[ml] = height[e_didx[ml]]
+            resid = (e_w - f) > _MF_EPS
+            eh = np.where(resid, h_edge, HINF)
+            h_prime = np.full(sh.nv, HINF, dtype=np.int64)
+            if ne:
+                mins = np.minimum.reduceat(
+                    eh, np.minimum(vptr[:-1], ne - 1))
+                nz = np.diff(vptr) > 0
+                h_prime[nz] = mins[nz]
+            active = (excess > _MF_EPS) & (height < N) & ~excl
+            if not active.any():
+                break
+            pushable = active & (height > h_prime)
+            relab = active & ~pushable & (h_prime < HINF)
+            did = 0
+            ci = np.flatnonzero(resid & pushable[e_src] &
+                                (eh == h_prime[e_src]))
+            if len(ci):
+                us, first = np.unique(e_src[ci], return_index=True)
+                be = ci[first]
+                amt = np.minimum(excess[us], (e_w - f)[be])
+                f[be] += amt
+                excess[us] -= amt
+                mloc = ml[be]
+                if mloc.any():
+                    np.add.at(excess, e_didx[be[mloc]], amt[mloc])
+                    np.subtract.at(f, mirror[be[mloc]], amt[mloc])
+                mrem = ~mloc
+                if mrem.any():
+                    own = st["e_own"][be]
+                    for t in sh.ghosts:
+                        mt = mrem & (own == t)
+                        if mt.any():
+                            rem[t].append((e_didx[be[mt]],
+                                           st["e_sgid"][be[mt]],
+                                           amt[mt]))
+                did += len(us)
+            if relab.any():
+                height[relab] = h_prime[relab] + 1
+                did += int(relab.sum())
+            ops += did
+            if not did:
+                break
+        pend = st.pop("pending", None) or {}
+        ops += sum(len(p[0]) for p in pend.values())
+        st["_ops"] = ops
+        out = {}
+        targets = set(sh.inbox_maps) | {t for t, v in rem.items() if v} \
+            | set(pend)
+        for t in targets:
+            parts = list(pend.get(t) and [pend[t]] or []) + rem.get(t, [])
+            if parts:
+                di = np.concatenate([p[0] for p in parts])
+                ug = np.concatenate([p[1] for p in parts])
+                am = np.concatenate([p[2] for p in parts])
+            else:
+                di = np.empty(0, np.int64)
+                ug = np.empty(0, np.int64)
+                am = np.empty(0, np.float64)
+            out[t] = {"di": di, "ug": ug, "am": am,
+                      "h": height[sh.inbox_maps[t]]
+                      if t in sh.inbox_maps else None}
+        st["pending"] = {}
+        return out
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        for p, msg in inboxes.items():
+            if msg.get("h") is not None:
+                st["ghost_h"][p] = msg["h"]
+            di = msg["di"]
+            if not len(di):
+                continue
+            loc = sh.inbox_maps[p][di]
+            np.add.at(st["excess"], loc, msg["am"])
+            code = np.searchsorted(st["ugids"], msg["ug"])
+            code = np.minimum(code, max(len(st["ugids"]) - 1, 0))
+            comp = loc * max(len(st["ugids"]), 1) + code
+            pos = np.searchsorted(st["comp"], comp)
+            pos = np.minimum(pos, max(len(st["comp"]) - 1, 0))
+            if len(st["comp"]) and not np.array_equal(st["comp"][pos], comp):
+                raise ValueError("mirror edge not found — input is not "
+                                 "a residual (bidirectional) graph")
+            np.subtract.at(st["f"], pos, msg["am"])
+        return {"ops": st.pop("_ops")}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return agg["ops"] == 0
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "excess": pa.array(st["excess"],
+                                            type=pa.float64()),
+                         "height": pa.array(st["height"],
+                                            type=pa.int64())})
+
+    @staticmethod
+    def state_table(sh, st) -> pa.Table:
+        raise NotImplementedError(
+            "maxflow checkpointing needs the per-edge flow vector; "
+            "rerun from scratch (the reference is likewise fail-stop)")
+
+    load_state = state_table
+
+
 class PCoreKernel:
     """p-core decomposition (pcore_cpu/gpu, src/alg/totem_pcores.cu —
     the weighted k-core peel of [Batagelj & Zaversnik 2002]).
@@ -1098,4 +1559,7 @@ KERNELS = {
     PCoreKernel.name: PCoreKernel,
     BfsSigmaKernel.name: BfsSigmaKernel,
     BrandesBackKernel.name: BrandesBackKernel,
+    StressBackKernel.name: StressBackKernel,
+    DirOptBfsKernel.name: DirOptBfsKernel,
+    MaxflowKernel.name: MaxflowKernel,
 }

@@ -61,7 +61,12 @@ def _shingle_rows(t: pa.Table, k: int, id_col: str = "doc_id") -> tuple[np.ndarr
     df = pl.DataFrame({
         "doc": pl.from_arrow(t[id_col].combine_chunks()),
         "tok": pl.from_arrow(pc.utf8_lower(t["text"]).combine_chunks()),
-    }).with_columns(pl.col("tok").str.split(" ").alias("toks")) \
+    }).with_columns(
+        # \s+ tokenization (TOKEN_SPLIT_RE semantics, matching
+        # text.py's \S+ token counting): polars split() is literal,
+        # so collapse runs of whitespace to one space first
+        pl.col("tok").str.replace_all(TOKEN_SPLIT_RE, " ")
+          .str.split(" ").alias("toks")) \
       .drop("tok").explode("toks") \
       .filter(pl.col("toks").str.len_chars() > 0)
     doc = df["doc"].to_numpy()
@@ -128,11 +133,15 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
                            max_bucket: int = 2000):
     """(a, b, jaccard_est) candidate near-dup pairs.
 
-    signatures -> explode to (band_id, band_hash, doc) rows ->
-    groupby(band, hash) buckets -> pairs -> signature join -> estimated
-    Jaccard = matching-minhash fraction. Buckets larger than
-    ``max_bucket`` are truncated (logged via the _truncated column of
-    the bucket stage) — the standard guard against degenerate buckets.
+    signatures -> explode to (band_id, band_hash, doc, sig) rows ->
+    groupby(band, hash) buckets -> pairs + estimated Jaccard
+    (= matching-minhash fraction, computed IN the bucket from the
+    carried signatures) -> distinct. Two shuffles total: the band-row
+    exchange and the cross-band pair dedupe — no signature re-join
+    (each band row carries the full num_perm*8-byte signature; the
+    extra bytes ride the one shuffle that already moves the rows).
+    Buckets larger than ``max_bucket`` are truncated — the standard
+    guard against degenerate buckets.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
@@ -149,10 +158,14 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
             for j in range(rows_per_band):
                 h = splitmix64(h ^ chunk[:, j])
             bh[:, b] = h.view(np.int64)
+        sig_bytes = [row.tobytes() for row in np.ascontiguousarray(sig)]
         return pa.table({
             id_col: pa.array(np.repeat(ids, bands), type=pa.int64()),
             "band": pa.array(np.tile(np.arange(bands), len(ids)), type=pa.int64()),
             "bhash": pa.array(bh.reshape(-1), type=pa.int64()),
+            "sig": pa.array([sig_bytes[i] for i in
+                             np.repeat(np.arange(len(ids)), bands)],
+                            type=pa.binary(num_perm * 8)),
         })
 
     band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
@@ -168,47 +181,24 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
         band = df["band"].to_numpy()
         bh = df["bhash"].to_numpy()
         ids = df[id_col].to_numpy()
+        sig = _decode_sigs(list(df["sig"]), num_perm)
         starts, sizes = composite_group_starts(band, bh)
         ords = np.arange(len(ids)) - np.repeat(starts, sizes)
         keep = ords < max_bucket                 # truncate huge buckets
-        band, bh, ids = band[keep], bh[keep], ids[keep]
+        band, bh, ids, sig = band[keep], bh[keep], ids[keep], sig[keep]
         starts, sizes = composite_group_starts(band, bh)
         first, second = pairs_within_groups(starts, sizes)
-        return pd.DataFrame({"a": ids[first], "b": ids[second]})
+        est = (sig[first] == sig[second]).mean(axis=1) if len(first) else \
+            np.empty(0, np.float64)
+        return pd.DataFrame({"a": ids[first], "b": ids[second],
+                             "jaccard_est": est})
 
     pairs = band_rows.map_batches(add_g, batch_format="pyarrow") \
         .groupby("_g").map_groups(bucket_pairs, batch_format="pandas")
-    # a pair found in multiple bands appears multiple times -> distinct
-    pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")) \
-                 .select_columns(["a", "b"])
-
-    sig_a = _sig_renamed(sigs, id_col, "a", "sig_a")
-    sig_b = _sig_renamed(sigs, id_col, "b", "sig_b")
-    j1 = hash_join(pairs, sig_a, on="a",
-                   left_cols=["a", "b"], right_cols=["a", "sig_a"])
-    j2 = hash_join(j1, sig_b, on="b",
-                   left_cols=["a", "b", "sig_a"], right_cols=["b", "sig_b"])
-
-    def estimate(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64),
-                                 "jaccard_est": pd.Series([], dtype=np.float64)})
-        sa = _decode_sigs(list(df["sig_a"]), num_perm)
-        sb = _decode_sigs(list(df["sig_b"]), num_perm)
-        est = (sa == sb).mean(axis=1)
-        return pd.DataFrame({"a": df["a"].to_numpy(),
-                             "b": df["b"].to_numpy(),
-                             "jaccard_est": est})
-
-    return j2.map_batches(estimate, batch_format="pandas")
-
-
-def _sig_renamed(sigs, id_col, new_id, new_sig):
-    def fn(t: pa.Table) -> pa.Table:
-        return pa.table({new_id: t[id_col], new_sig: t["sig"]})
-
-    return sigs.map_batches(fn, batch_format="pyarrow")
+    # a pair found in multiple bands appears multiple times (same est
+    # each time) -> distinct via min
+    return pairs.groupby(["a", "b"]).aggregate(
+        Min("jaccard_est", alias_name="jaccard_est"))
 
 
 def minhash_dedup_groups(docs, tau: float = 0.8, num_perm: int = 64,
