@@ -187,7 +187,12 @@ def q_triangles(sf_dir: str):
     from totem_ray.algs import triangle_counts
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
-    return triangle_counts(copurchase_edges(sf_dir), num_buckets=32,
+    from totem_ray.pipelines.tpch_graph import copurchase_pair_stream
+
+    # raw pair stream: the fused bucket pass inside triangle_counts
+    # dedups, so the separate dedup shuffle of copurchase_edges is
+    # skipped (assume_simple = symmetric + self-loop-free; dups OK)
+    return triangle_counts(copurchase_pair_stream(sf_dir), num_buckets=32,
                            num_join_partitions=16, assume_simple=True)
 
 
@@ -195,7 +200,10 @@ def q_clustering_coefficient(sf_dir: str):
     from totem_ray.algs import clustering_coefficient
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
-    cc = clustering_coefficient(copurchase_edges(sf_dir), num_buckets=32,
+    from totem_ray.pipelines.tpch_graph import copurchase_pair_stream
+
+    cc = clustering_coefficient(copurchase_pair_stream(sf_dir),
+                                num_buckets=32,
                                 num_join_partitions=16, assume_simple=True)
 
     def fin(t: pa.Table) -> pa.Table:

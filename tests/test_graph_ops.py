@@ -219,3 +219,18 @@ def test_remove_singletons_and_counts():
     assert sorted(kept) == [0, 1, 2, 3]
     c = count_singletons_and_leafs(ds, num_vertices=6)
     assert c == {"singletons": 2, "leafs": 1, "vertices": 6}
+
+
+def test_sort_neighbors_by_degree_star_plus_chain():
+    # graph_sort_nbrs_by_degree (totem_graph.cu:935-976): hub first
+    from totem_ray.graph.edges import sort_neighbors_by_degree
+    # vertex 0 -> {1, 2, 3}; 1 is on a chain (deg 2), 2 is a hub (deg 3),
+    # 3 is a leaf (deg 0 out)
+    e = np.array([[0, 1], [0, 2], [0, 3],
+                  [1, 4], [1, 5],
+                  [2, 6], [2, 7], [2, 8]], dtype=np.uint64)
+    out = sort_neighbors_by_degree(edges_from_arrays(e)).to_pandas()
+    nbrs0 = out[out["src"] == 0]
+    # descending neighbor out-degree: 2 (deg 3), 1 (deg 2), 3 (deg 0)
+    assert nbrs0["dst"].tolist() == [2, 1, 3]
+    assert nbrs0["nbr_degree"].tolist() == [3, 2, 0]

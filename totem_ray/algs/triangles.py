@@ -58,6 +58,50 @@ def _simple_undirected(edges):
     return dedup_edges(drop_self_loops(symmetrize(edges)))
 
 
+def _bucket_dedup_by_src(edges, num_buckets: int):
+    """ONE shuffle that serves three later needs: group edges by
+    hash(src) and dedup (src, dst) within each bucket. Because every
+    edge of a source lands in that source's bucket, (1) the dedup is
+    global, (2) per-source degrees are EXACT per block (no degree
+    shuffle), and (3) after orientation the forward adjacency of each
+    source stays contiguous in its block (no wedge shuffle)."""
+    def add_b(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["src"].combine_chunks().cast(pa.int64()),
+            "dst": t["dst"].combine_chunks().cast(pa.int64()),
+            "_tb": pa.array(hash_partition(np.asarray(t["src"]),
+                                           num_buckets)),
+        })
+
+    def dedup_b(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"])
+        d = np.asarray(t["dst"])
+        if len(s):
+            u = np.unique(np.stack([s, d], axis=1), axis=0)
+            s, d = u[:, 0], u[:, 1]
+        return pa.table({"src": pa.array(s, type=pa.int64()),
+                         "dst": pa.array(d, type=pa.int64())})
+
+    return edges.map_batches(add_b, batch_format="pyarrow") \
+        .groupby("_tb").map_groups(dedup_b, batch_format="pyarrow") \
+        .materialize()
+
+
+def _block_degrees(bucketed) -> tuple[np.ndarray, np.ndarray]:
+    """Exact (verts, degree) from src-bucketed deduped edges — each
+    source is whole within one block, so per-block counts ARE final
+    (a map + small collect, no groupby shuffle)."""
+    def part(t: pa.Table) -> pa.Table:
+        v, c = np.unique(np.asarray(t["src"]), return_counts=True)
+        return pa.table({"v": pa.array(v, type=pa.int64()),
+                         "deg": pa.array(c, type=pa.int64())})
+
+    degp = bucketed.map_batches(part, batch_format="pyarrow").to_pandas()
+    vs = degp["v"].to_numpy()
+    order = np.argsort(vs)
+    return vs[order], degp["deg"].to_numpy()[order]
+
+
 def _oriented_edges(simple_und, num_join_partitions: int,
                     broadcast_max_vertices: int = 50_000_000):
     """Orient each undirected edge toward the higher (degree, id)
@@ -179,12 +223,6 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
             raise TripleCollision("triple h1 fingerprint collision")
     ref1, ref2 = _ray.put(h1), _ray.put(h2)
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bucket", pa.array(hash_partition(np.asarray(t["a"]), num_buckets)))
-
-    bucketed = oriented.map_batches(add_bucket, batch_format="pyarrow")
-
     def close_wedges(t: pa.Table) -> pa.Table:
         eh1: np.ndarray = _ray.get(ref1)
         eh2: np.ndarray = _ray.get(ref2)
@@ -211,7 +249,6 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
             second = np.repeat(np.arange(len(al)), ords)
             first = np.repeat(np.repeat(lstarts, lsizes), ords) + \
                 slice_offsets(ords)
-            u = al[second]
             x = bl[first]
             y = bl[second]
             lo = np.minimum(x, y)
@@ -222,11 +259,19 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
             p0 = np.minimum(pos, n - 1) if n else pos
             hit = np.zeros(len(wh1), dtype=bool)
             if n:
-                hit = (eh1[p0] == wh1) & (eh2[p0] == wh2)
+                # verify h2 only where h1 matched — skips a full-width
+                # random gather of eh2 (hits are sparse)
+                hit = eh1[p0] == wh1
+                m = np.flatnonzero(hit)
+                hit[m] = eh2[p0[m]] == wh2[m]
                 p1 = np.minimum(pos + 1, n - 1)
-                hit |= (eh1[p1] == wh1) & (eh2[p1] == wh2)
+                m1 = (eh1[p1] == wh1) & ~hit
+                m = np.flatnonzero(m1)
+                m1[m] = eh2[p1[m]] == wh2[m]
+                hit |= m1
             if hit.any():
-                v = np.concatenate([u[hit], lo[hit], hi[hit]])
+                u = al[second[hit]]  # wedge centers, hits only
+                v = np.concatenate([u, lo[hit], hi[hit]])
                 vu, cnt = np.unique(v, return_counts=True)
                 out_v.append(vu)
                 out_t.append(cnt)
@@ -242,46 +287,72 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
         return pa.table({"v": pa.array(vu, type=pa.int64()),
                          "_t": pa.array(cc, type=pa.int64())})
 
-    partials = bucketed.groupby("bucket").map_groups(
-        close_wedges, batch_format="pyarrow")
+    # oriented is src-grouped per block (the _bucket_dedup_by_src
+    # layout), so each source's forward adjacency is whole within one
+    # batch — wedges close with NO further shuffle
+    partials = oriented.map_batches(close_wedges, batch_size=None,
+                                    batch_format="pyarrow")
     return partials.groupby("v").aggregate(Sum("_t", alias_name="triangles"))
 
 
 def triangle_counts(edges, num_buckets: int = 64,
                     num_join_partitions: int = 32,
-                    _simple_und=None,
+                    _simple_und=None, _bucketed=None,
                     broadcast_max_edges: int = 100_000_000,
                     assume_simple: bool = False):
     """Dataset (v, triangles) — exact per-vertex triangle counts.
 
-    Two physical plans (platform selection, the
-    totem_attr_t.platform moral): when the oriented edge set fits a
-    broadcast array (< ``broadcast_max_edges``, 16 B/edge in the
-    object store, one copy per node), wedges are closed inline with
-    zero shuffle; otherwise the wedge/edge hash join runs fully
-    distributed.
+    ONE edge shuffle feeds everything: edges are grouped by hash(src)
+    with in-bucket dedup (global, since (u, v) always lands in u's
+    bucket); per-source degrees are then exact per block (no degree
+    shuffle) and the degree-oriented forward adjacency stays
+    src-contiguous (no wedge shuffle). Two physical plans for the
+    closing probe (platform selection, the totem_attr_t.platform
+    moral): a broadcast sorted-fingerprint array when the oriented
+    edge set fits (< ``broadcast_max_edges``, 16 B/edge), else a fully
+    distributed wedge/edge hash join.
 
     Vertices in no triangle are absent (join back / fill 0 downstream,
     as clustering_coefficient does). Pass ``assume_simple=True`` when
-    the input is already a deduped symmetrized simple graph (skips the
-    symmetrize+dedup pass)."""
-    if _simple_und is not None:
-        simple_und = _simple_und
-    elif assume_simple:
-        simple_und = edges.select_columns(["src", "dst"]).materialize()
-    else:
-        simple_und = _simple_undirected(edges).materialize()
-    # oriented is consumed by BOTH the wedge stage and the closing
-    # join; materialize once so the upstream dedup+joins don't run
-    # twice (Ray Data re-executes shared lineage per consumer)
-    oriented = _oriented_edges(simple_und, num_join_partitions).materialize()
+    the input is already a symmetrized simple graph (skips the
+    symmetrize pass)."""
+    import ray as _ray
 
-    if oriented.count() <= broadcast_max_edges:
+    if _bucketed is not None:
+        bucketed = _bucketed
+    else:
+        if _simple_und is not None:
+            simple_und = _simple_und
+        elif assume_simple:
+            simple_und = edges.select_columns(["src", "dst"])
+        else:
+            simple_und = drop_self_loops(symmetrize(edges))
+        bucketed = _bucket_dedup_by_src(simple_und, num_buckets)
+
+    if bucketed.count() // 2 <= broadcast_max_edges:
+        verts, deg = _block_degrees(bucketed)
+        ref = _ray.put((verts, deg))
+
+        def orient_b(t: pa.Table) -> pa.Table:
+            vs, dg = _ray.get(ref)
+            s = np.asarray(t["src"])
+            d = np.asarray(t["dst"])
+            ds_ = dg[np.searchsorted(vs, s)]
+            dd = dg[np.searchsorted(vs, d)]
+            fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
+            return pa.table({"a": pa.array(s[fwd], type=pa.int64()),
+                             "b": pa.array(d[fwd], type=pa.int64())})
+
+        oriented = bucketed.map_batches(orient_b, batch_size=None,
+                                        batch_format="pyarrow")             .materialize()
         try:
             return _triangle_counts_broadcast(oriented, num_buckets)
         except TripleCollision:
             pass  # exact join path below handles it
-    return _triangle_counts_join(oriented, num_buckets, num_join_partitions)
+    else:
+        oriented = _oriented_edges(bucketed, num_join_partitions)             .materialize()
+    return _triangle_counts_join(oriented, num_buckets,
+                                 num_join_partitions)
 
 
 def _triangle_counts_join(oriented, num_buckets: int,
@@ -369,11 +440,21 @@ def clustering_coefficient(edges, num_buckets: int = 64,
     (totem_clustering.cu:422-426)."""
     import pyarrow.compute as pc
 
-    simple_und = (edges.select_columns(["src", "dst"]) if assume_simple
-                  else _simple_undirected(edges)).materialize()
-    deg = degree_table(simple_und, alias="degree")
-    tri = triangle_counts(edges, num_buckets, num_join_partitions,
-                          _simple_und=simple_und)
+    simple_und = edges.select_columns(["src", "dst"]) if assume_simple \
+        else drop_self_loops(symmetrize(edges))
+    bucketed = _bucket_dedup_by_src(simple_und, num_buckets)
+
+    # per-source degrees are exact per block (src-bucketed layout) —
+    # no degree groupby shuffle
+    def blk_deg(t: pa.Table) -> pa.Table:
+        v, c = np.unique(np.asarray(t["src"]), return_counts=True)
+        return pa.table({"v": pa.array(v, type=pa.int64()),
+                         "degree": pa.array(c, type=pa.int64())})
+
+    deg = bucketed.map_batches(blk_deg, batch_size=None,
+                               batch_format="pyarrow")
+    tri = triangle_counts(None, num_buckets, num_join_partitions,
+                          _bucketed=bucketed)
     joined = hash_join(deg, tri, on="v", how="left",
                         num_buckets=num_join_partitions,
                         left_cols=["v", "degree"],

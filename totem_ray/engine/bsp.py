@@ -121,23 +121,29 @@ class BspEngine:
             dst = np.asarray(t["dst"])
             w = np.asarray(t["weight"], dtype=np.float64) if weighted else None
             pid = partitioner.pid_np(src if key == "src" else dst)
-            order = np.argsort(pid, kind="stable")
-            bounds = np.searchsorted(pid[order], np.arange(self.P + 1))
-            ck = _chunk_key()
-            acks = []
+            slices = {}
             for p in range(self.P):
-                lo, hi = bounds[p], bounds[p + 1]
-                if hi > lo:
-                    sel = order[lo:hi]
-                    acks.append(shards[p].ingest_edges.remote(
-                        src[sel], dst[sel], None if w is None else w[sel],
-                        chunk_key=ck))
+                sel = np.flatnonzero(pid == p)
+                if len(sel):
+                    slices[p] = (src[sel], dst[sel],
+                                 None if w is None else w[sel])
+            # ONE plasma put per block; every target shard receives the
+            # same ref and reads its slice zero-copy (P tiny RPCs
+            # instead of P ~MB argument uploads)
+            ref = ray.put(slices)
+            ck = _chunk_key()
+            acks = [shards[p].ingest_edge_slices.remote(ref, p, chunk_key=ck)
+                    for p in slices]
             ray.get(acks)  # delivery barrier before this block is marked done
             return pa.table({"routed": pa.array([t.num_rows], type=pa.int64())})
 
         cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
+        # large batches: each routing task costs P actor RPCs + one
+        # plasma put, so small input blocks convoy on actor queues —
+        # coalescing to ~4M-row batches keeps RPC count ~P * E/4M
         edges_ds.select_columns(cols) \
-            .map_batches(route_edges, batch_format="pyarrow").count()
+            .map_batches(route_edges, batch_format="pyarrow",
+                         batch_size=4_000_000).count()
 
         if vertices_ds is not None:
             def route_verts(t: pa.Table) -> pa.Table:

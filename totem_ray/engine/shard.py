@@ -79,6 +79,14 @@ class GraphShard:
                                   np.asarray(w, dtype=np.float64)))
         return len(src)
 
+    def ingest_edge_slices(self, slices: dict, p: int,
+                           chunk_key: str | None = None) -> int:
+        """Receive the per-block routed-slices object (one shared
+        plasma put per input block; ``slices[p]`` is this shard's
+        zero-copy view) — the bulk ingest path of BspEngine.build."""
+        src, dst, w = slices[self.pid if p is None else p]
+        return self.ingest_edges(src, dst, w, chunk_key=chunk_key)
+
     def ingest_vertices(self, ids: np.ndarray,
                         chunk_key: str | None = None) -> int:
         if chunk_key is not None:

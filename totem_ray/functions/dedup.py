@@ -406,12 +406,13 @@ def embedding_near_dup_pairs(emb, tau: float = 0.9, block_col: str | None = None
     scale path — approximate: only same-bucket pairs are compared).
     With neither, one global block (brute force; small inputs only).
     """
+    from totem_ray.functions.similarity import _as_matrix
+
     def add_block(t: pa.Table) -> pa.Table:
         if block_col:
             blk = np.asarray(t[block_col]).astype(np.int64)
         elif lsh_planes > 0:
-            x = np.stack([np.asarray(r) for r in t[emb_col].to_pylist()]) \
-                .astype(np.float64)
+            x = _as_matrix(t[emb_col])
             rng = np.random.default_rng(seed)
             planes = rng.standard_normal((x.shape[1], lsh_planes))
             bits = (x @ planes) > 0
@@ -425,13 +426,13 @@ def embedding_near_dup_pairs(emb, tau: float = 0.9, block_col: str | None = None
 
     blocked = emb.map_batches(add_block, batch_format="pyarrow")
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64),
-                                 "cos_sim": pd.Series([], dtype=np.float64)})
-        ids = df[id_col].to_numpy()
-        x = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "cos_sim": pa.array([], type=pa.float64())})
+        ids = np.asarray(t[id_col]).astype(np.int64)
+        x = _as_matrix(t[emb_col])
         n = np.linalg.norm(x, axis=1, keepdims=True)
         n[n == 0] = 1.0
         xn = x / n
@@ -441,6 +442,8 @@ def embedding_near_dup_pairs(emb, tau: float = 0.9, block_col: str | None = None
         keep = s >= tau
         a, b = ids[iu[0]][keep], ids[iu[1]][keep]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"a": lo, "b": hi, "cos_sim": s[keep]})
+        return pa.table({"a": pa.array(lo, type=pa.int64()),
+                         "b": pa.array(hi, type=pa.int64()),
+                         "cos_sim": pa.array(s[keep], type=pa.float64())})
 
-    return blocked.groupby("_blk").map_groups(pairs, batch_format="pandas")
+    return blocked.groupby("_blk").map_groups(pairs, batch_format="pyarrow")

@@ -20,6 +20,23 @@ import ray
 
 
 def _as_matrix(col) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> / fixed_size_list
+    column — zero-copy from the Arrow buffer (one cast), never a
+    per-row Python list round-trip."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.FixedSizeListArray):
+        d = col.type.list_size
+        vals = np.asarray(col.values, dtype=np.float64)
+        off = col.offset * d
+        return vals[off:off + len(col) * d].reshape(len(col), d)
+    if isinstance(col, pa.ListArray) and len(col):
+        offs = np.asarray(col.offsets)
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            d = int(widths[0])
+            vals = np.asarray(col.values, dtype=np.float64)
+            return vals[offs[0]:offs[0] + len(col) * d].reshape(len(col), d)
     lst = col.to_pylist()
     if not lst:
         return np.empty((0, 0), dtype=np.float64)

@@ -371,6 +371,41 @@ def remap_vertex_ids(edges, mapping, num_buckets: int = 32):
     return e.map_batches(_fin, batch_format="pyarrow")
 
 
+def sort_neighbors_by_degree(edges, descending: bool = True,
+                             num_buckets: int = 32):
+    """graph_sort_nbrs_by_degree (totem_graph.cu:935-976): order each
+    vertex's adjacency by neighbor degree (descending by default, the
+    reference's edge-degree sort for vwarp load balance), ties by
+    neighbor id. Output (src, dst, nbr_degree) globally sorted by
+    (src, rank): degree attach via one distributed hash join against
+    the degree table, then an Arrow-native sort."""
+    deg = degree_table(edges, alias="nbr_degree")
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table({"dst": t["v"], "nbr_degree": t["nbr_degree"]})
+
+    from totem_ray.graph.joins import hash_join
+
+    joined = hash_join(edges.select_columns(["src", "dst"]),
+                       deg.map_batches(ren, batch_format="pyarrow"),
+                       on="dst", how="left", num_buckets=num_buckets)
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        nd = t["nbr_degree"].combine_chunks()
+        if pa.types.is_null(nd.type):
+            nd = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        else:
+            nd = pc.fill_null(nd, 0).cast(pa.int64())
+        key = pc.multiply(nd, -1) if descending else nd
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "nbr_degree": nd, "_k": key})
+
+    out = joined.map_batches(fill, batch_format="pyarrow") \
+        .sort(["src", "_k", "dst"])
+    return out.drop_columns(["_k"])
+
+
 def sort_edges(edges, descending: bool = False):
     """Global (src, dst) sort (graph_sort_nbrs, totem_graph.cu:923-933
     — adjacency-sortedness is enforced per-shard at CSR build time in
