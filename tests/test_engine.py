@@ -189,3 +189,32 @@ def test_pagerank_pull_matches_push(mode):
         pull["result"].to_pandas()["v"].sort_values())
     push["engine"].shutdown()
     pull["engine"].shutdown()
+
+
+def test_ingest_chunk_key_idempotent():
+    # Ray Data may retry a routing task and re-deliver a chunk; the
+    # shard must drop duplicates (same chunk_key) instead of doubling
+    # the CSR (totem_ray/engine/shard.py ingest_edges)
+    from totem_ray.engine.shard import GraphShard
+    from totem_ray.graph.partition import HashPartitioner
+
+    sh = GraphShard(0, 1)
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 0], dtype=np.int64)
+    assert sh.ingest_edges(src, dst, chunk_key="t1:0") == 3
+    assert sh.ingest_edges(src, dst, chunk_key="t1:0") == 0  # retry dropped
+    assert sh.ingest_edges(src, dst, chunk_key="t1:1") == 3  # new chunk kept
+    sh.prepare(HashPartitioner(1))
+    info = sh.finalize({})
+    assert info["ne"] == 6
+
+
+def test_ingest_edge_slices_reads_own_slice():
+    from totem_ray.engine.shard import GraphShard
+    from totem_ray.graph.partition import HashPartitioner
+
+    sh = GraphShard(1, 2)
+    slices = {0: (np.array([0]), np.array([2]), None),
+              1: (np.array([1, 3]), np.array([5, 7]), None)}
+    assert sh.ingest_edge_slices(slices, 1, chunk_key="x:0") == 2
+    assert sh.ingest_edge_slices(slices, 1, chunk_key="x:0") == 0
