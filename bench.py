@@ -152,7 +152,12 @@ def bench_headline(ncpu: int, scale: int = None, ef: int = None,
         edges_path = ensure_rmat_edges_distributed(scale, ef)
     else:
         edges_path = ensure_rmat_edges(scale, ef)
-    ds = ray.data.read_parquet(edges_path).materialize()
+    ds = ray.data.read_parquet(edges_path)
+    if not os.environ.get("BENCH_STREAM_READ"):
+        # small graphs: pre-materialize so read time stays out of the
+        # build measurement; 1B-edge scaling inputs stream instead
+        # (materialized input + routed slices would double-book plasma)
+        ds = ds.materialize()
     P = num_partitions or int(os.environ.get("BENCH_NUM_PARTITIONS", "0")) \
         or max(4, min(32, ncpu))
     t0 = time.perf_counter()
@@ -311,33 +316,45 @@ def run_scaling():
     """Fresh-process runs at 8 and 32 CPUs on the SAME input (RMAT
     s{SCALING_SCALE} ef{SCALING_EF}, fixed P=32 partitioning — at two
     cluster sizes the partitioning stays fixed and nodes vary); report
-    throughput at both + scaling efficiency, append to BASELINE.md."""
+    throughput at both + scaling efficiency, append to BASELINE.md.
+
+    The small run is pinned with ``taskset`` to n PHYSICAL cores:
+    shard actors are num_cpus=0 (they coexist with Dataset tasks), so
+    Ray's logical CPU budget alone would not constrain the BSP exec
+    phase — OS-level affinity is what actually emulates the smaller
+    cluster."""
     _ensure_repo_on_path()
     # shared input, generated once in parallel
     ensure_rmat_edges_distributed(SCALING_SCALE, SCALING_EF)
+    have_taskset = os.path.exists("/usr/bin/taskset")
+    pair = tuple(int(x) for x in
+                 os.environ.get("SCALING_CPUS", "8,32").split(","))
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in pair:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_RMAT_SCALE=str(SCALING_SCALE),
                    BENCH_RMAT_EF=str(SCALING_EF),
                    BENCH_NUM_PARTITIONS="32",
                    BENCH_DIST_EDGES="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__),
-                              "--headline-only"],
-                             env=env, capture_output=True, text=True,
+        cmd = [sys.executable, os.path.abspath(__file__), "--headline-only"]
+        if have_taskset:
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                              check=True)
         results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
-    g8 = results[8]["extra"]["gteps"]
-    g32 = results[32]["extra"]["gteps"]
-    eff = (g32 / g8) / (32 / 8)
+    lo, hi = pair
+    g8 = results[lo]["extra"]["gteps"]
+    g32 = results[hi]["extra"]["gteps"]
+    eff = (g32 / g8) / (hi / lo)
     summary = {
         "metric": "pagerank_scaling_efficiency",
         "scale": SCALING_SCALE, "ef": SCALING_EF,
+        "cpus_low": lo, "cpus_high": hi,
         "gteps_8cpu": g8, "gteps_32cpu": g32,
-        "sec_8cpu": results[8]["queries"]["rmat_pagerank"],
-        "sec_32cpu": results[32]["queries"]["rmat_pagerank"],
-        "iterations": results[32]["extra"]["iterations"],
-        "edges": results[32]["extra"]["edges"],
+        "sec_8cpu": results[lo]["queries"]["rmat_pagerank"],
+        "sec_32cpu": results[hi]["queries"]["rmat_pagerank"],
+        "iterations": results[hi]["extra"]["iterations"],
+        "edges": results[hi]["extra"]["edges"],
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(summary))
@@ -360,11 +377,12 @@ GTEPS = edges x iterations / alg_exec_sec / 1e9 (Totem accounting):
 
 | num_cpus | alg_exec sec | GTEPS |
 |---|---|---|
-| 8 | {s['sec_8cpu']} | {s['gteps_8cpu']} |
-| 32 | {s['sec_32cpu']} | {s['gteps_32cpu']} |
+| {s.get('cpus_low', 8)} | {s['sec_8cpu']} | {s['gteps_8cpu']} |
+| {s.get('cpus_high', 32)} | {s['sec_32cpu']} | {s['gteps_32cpu']} |
 
-Scaling efficiency (8 -> 32 CPUs, fresh ray.init processes, same
-input): **{s['scaling_efficiency']}** (1.0 = linear).
+Scaling efficiency ({s.get('cpus_low', 8)} -> {s.get('cpus_high', 32)}
+CPUs, taskset-pinned fresh processes, same input):
+**{s['scaling_efficiency']}** (1.0 = linear).
 """
     with open(path, "a") as f:
         f.write(block)

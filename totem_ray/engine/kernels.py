@@ -1249,8 +1249,12 @@ class MaxflowKernel:
             e_w = np.empty(0, np.float64)
             e_gid = np.empty(0, np.int64)
         order = np.lexsort((e_gid, e_src))
-        e_src, e_own = e_src[order], e_own[order]
-        e_didx, e_w, e_gid = e_didx[order], e_w[order], e_gid[order]
+        # int64 throughout: the composite (src, dst-code) key below
+        # multiplies src by the code cardinality
+        e_src = e_src[order].astype(np.int64)
+        e_own = e_own[order]
+        e_didx = e_didx[order].astype(np.int64)
+        e_w, e_gid = e_w[order], e_gid[order]
         st["e_src"], st["e_own"], st["e_didx"] = e_src, e_own, e_didx
         st["e_w"], st["e_gid"] = e_w, e_gid
         st["e_sgid"] = sh.verts[e_src] if len(e_src) else \
