@@ -1,0 +1,135 @@
+"""Property-based checks (hypothesis) on small random graphs:
+BSP results vs tiny serial oracles, join semantics vs pandas.
+
+Strategy sizes stay small (<= 24 vertices) so each example runs in a
+fraction of a second on the session-scoped Ray; deadline disabled
+because first-example worker warm-up is slow.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from totem_ray.graph.edges import edges_from_arrays
+
+
+def _edges_strategy(max_n=24, max_m=60):
+    return st.integers(2, max_n).flatmap(
+        lambda n: st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            min_size=1, max_size=max_m).map(
+            lambda pairs: (n, [(a, b) for a, b in pairs if a != b])))
+
+
+def _sym(pairs):
+    out = set()
+    for a, b in pairs:
+        out.add((a, b))
+        out.add((b, a))
+    return sorted(out)
+
+
+_SET = settings(max_examples=15, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+
+@given(_edges_strategy())
+@_SET
+def test_cc_matches_union_find(ne):
+    n, pairs = ne
+    if not pairs:
+        return
+    from totem_ray.algs import connected_components
+
+    e = np.array(_sym(pairs), dtype=np.uint64)
+    out = connected_components(edges_from_arrays(e), num_partitions=3)
+    got = out["result"].to_pandas().set_index("v")["label"].to_dict()
+    out["engine"].shutdown()
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp_min = {}
+    verts = sorted({v for p in pairs for v in p})
+    for v in verts:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    for v in verts:
+        assert got[v] == comp_min[find(v)], (v, got[v])
+
+
+@given(_edges_strategy())
+@_SET
+def test_pagerank_sums_to_one(ne):
+    n, pairs = ne
+    if not pairs:
+        return
+    from totem_ray.algs import pagerank
+
+    e = np.array(_sym(pairs), dtype=np.uint64)
+    out = pagerank(edges_from_arrays(e), num_partitions=3)
+    r = out["result"].to_pandas()["rank"].to_numpy()
+    out["engine"].shutdown()
+    assert abs(r.sum() - 1.0) < 1e-9
+    assert (r > 0).all()
+
+
+@given(_edges_strategy(max_n=14, max_m=40))
+@_SET
+def test_triangles_match_bruteforce(ne):
+    n, pairs = ne
+    if not pairs:
+        return
+    from totem_ray.algs import triangle_counts
+
+    sym = _sym(pairs)
+    e = np.array(sym, dtype=np.uint64)
+    gdf = triangle_counts(edges_from_arrays(e), num_buckets=4,
+                          num_join_partitions=4).to_pandas()
+    got = gdf.set_index("v")["triangles"].to_dict() if len(gdf) else {}
+    adj = {v: set() for v in range(n)}
+    for a, b in sym:
+        adj[a].add(b)
+    exp = {}
+    for v in adj:
+        cnt = 0
+        nb = sorted(adj[v])
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                if nb[j] in adj[nb[i]]:
+                    cnt += 1
+        if cnt:
+            exp[v] = cnt
+    assert got == exp
+
+
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(-5, 5)),
+                min_size=0, max_size=20),
+       st.lists(st.tuples(st.integers(0, 6), st.integers(-5, 5)),
+                min_size=0, max_size=20))
+@_SET
+def test_hash_join_matches_pandas(lrows, rrows):
+    import pyarrow as pa
+    import ray.data as rd
+    from totem_ray.graph.joins import hash_join
+
+    if not lrows or not rrows:
+        return
+    l = pd.DataFrame(lrows, columns=["k", "lv"])
+    r = pd.DataFrame(rrows, columns=["k", "rv"])
+    lds = rd.from_arrow(pa.Table.from_pandas(l, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(r, preserve_index=False))
+    got = hash_join(lds, rds, on="k", num_buckets=4).to_pandas()
+    exp = l.merge(r, on="k", how="inner")
+    key = ["k", "lv", "rv"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    exp_s = exp[key].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(exp_s)
