@@ -129,6 +129,9 @@ def test_hash_join_matches_pandas(lrows, rrows):
     rds = rd.from_arrow(pa.Table.from_pandas(r, preserve_index=False))
     got = hash_join(lds, rds, on="k", num_buckets=4).to_pandas()
     exp = l.merge(r, on="k", how="inner")
+    if not len(exp):
+        assert len(got) == 0
+        return
     key = ["k", "lv", "rv"]
     got_s = got[key].sort_values(key).reset_index(drop=True)
     exp_s = exp[key].sort_values(key).reset_index(drop=True)

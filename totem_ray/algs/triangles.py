@@ -221,11 +221,23 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
         dup2 = (h1[:-2] == h1[1:-1]) & (h1[1:-1] == h1[2:])
         if dup2.any():
             raise TripleCollision("triple h1 fingerprint collision")
+    # bucket index over the top bits of h1: probes become ONE random
+    # access into the index + a <= max_run linear check, instead of a
+    # log2(E) binary search (each step a cache miss)
+    B = max(int(np.ceil(np.log2(max(len(h1), 1) * 2))), 4)
+    B = min(B, 26)
+    shift = np.uint64(64 - B)
+    bounds = (np.arange((1 << B) + 1, dtype=np.uint64)) << shift
+    bidx = np.searchsorted(h1, bounds).astype(np.int64)
+    bidx[-1] = len(h1)  # top bound wraps to 0 in uint64 — pin the end
+    max_run = int(np.diff(bidx).max()) if len(h1) else 0
     ref1, ref2 = _ray.put(h1), _ray.put(h2)
+    ref_idx = _ray.put(bidx)
 
     def close_wedges(t: pa.Table) -> pa.Table:
         eh1: np.ndarray = _ray.get(ref1)
         eh2: np.ndarray = _ray.get(ref2)
+        ebidx: np.ndarray = _ray.get(ref_idx)
         a = np.asarray(t["a"])
         b = np.asarray(t["b"])
         order = np.argsort(a, kind="stable")
@@ -254,21 +266,20 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
             lo = np.minimum(x, y)
             hi = np.maximum(x, y)
             wh1, wh2 = _edge_fingerprints(lo, hi)
-            pos = np.searchsorted(eh1, wh1)
             n = len(eh1)
-            p0 = np.minimum(pos, n - 1) if n else pos
             hit = np.zeros(len(wh1), dtype=bool)
             if n:
-                # verify h2 only where h1 matched — skips a full-width
-                # random gather of eh2 (hits are sparse)
-                hit = eh1[p0] == wh1
-                m = np.flatnonzero(hit)
-                hit[m] = eh2[p0[m]] == wh2[m]
-                p1 = np.minimum(pos + 1, n - 1)
-                m1 = (eh1[p1] == wh1) & ~hit
-                m = np.flatnonzero(m1)
-                m1[m] = eh2[p1[m]] == wh2[m]
-                hit |= m1
+                bkt = (wh1 >> shift).astype(np.int64)
+                start = ebidx[bkt]
+                end = ebidx[bkt + 1]
+                for k in range(max_run):
+                    pk = np.minimum(start + k, n - 1)
+                    mk = (start + k < end) & ~hit
+                    mk &= eh1[pk] == wh1
+                    # verify h2 only where h1 matched (hits are sparse)
+                    m = np.flatnonzero(mk)
+                    mk[m] = eh2[pk[m]] == wh2[m]
+                    hit |= mk
             if hit.any():
                 u = al[second[hit]]  # wedge centers, hits only
                 v = np.concatenate([u, lo[hit], hi[hit]])
