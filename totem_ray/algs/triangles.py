@@ -9,22 +9,25 @@ merge-intersect the two sorted adjacency lists; cc(v) =
 
 Ray-Data-first, NON-iterative design (SURVEY.md §2.6): instead of a
 per-edge adjacency intersection over shared CSR state, a one-shot
-pipeline on the deduped symmetrized edge table:
+pipeline with a SINGLE edge shuffle:
 
-1. attach degrees, orient every undirected edge toward the higher
-   (degree, id) endpoint — the classic degree-ordered orientation;
-   each triangle becomes exactly one (a -> b -> c) path with
-   rank(a) < rank(b) < rank(c), and per-source forward fan-out is
-   bounded (hub adjacency splits go the low-rank way), which is the
-   skew story Totem solves with virtual warps + degree buckets
-   (totem_vwarp.cuh:21-36).
-2. wedge generation per source bucket (hash(src) % B buckets so each
-   ``map_groups`` call is one vectorized batch, not one vertex).
-3. hash-join wedges against oriented edges => closed triangles.
+1. group edges by hash(src) with in-bucket dedup — global dedup,
+   exact per-block source degrees, and (after orientation) a
+   src-contiguous forward adjacency, all from one exchange;
+2. orient every undirected edge toward the higher (degree, id)
+   endpoint — the classic degree-ordered orientation; each triangle
+   becomes exactly one (a -> b -> c) path with rank(a) < rank(b) <
+   rank(c), and per-source forward fan-out is bounded (hub adjacency
+   splits go the low-rank way), the skew story Totem solves with
+   virtual warps + degree buckets (totem_vwarp.cuh:21-36);
+3. close wedges in place: the broadcast plan probes a bucket-indexed
+   sorted 128-bit edge-fingerprint array (one object-store copy per
+   node); past the broadcast gate a distributed wedge/edge hash join
+   closes them instead;
 4. scatter +1 credit to all three corners, partial-aggregated per
    batch before the final groupby (each corner counts every triangle
-   once — the same accounting as the reference's
-   intersection-sum per vertex on sorted lists).
+   once — the same accounting as the reference's intersection-sum
+   per vertex on sorted lists).
 
 Triangle counts are exact on the simple graph (duplicates and self
 loops dropped); degree for the cc formula is the deduped symmetrized
@@ -38,7 +41,7 @@ import numpy as np
 import pyarrow as pa
 from ray.data.aggregate import Sum
 
-from totem_ray.graph.edges import dedup_edges, drop_self_loops, degree_table, symmetrize
+from totem_ray.graph.edges import drop_self_loops, degree_table, symmetrize
 from totem_ray.graph.joins import hash_join
 from totem_ray.hashing import hash_partition
 from totem_ray.nputil import slice_offsets
@@ -49,13 +52,6 @@ def _rename(ds, mapping: dict):
         return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
     return ds.map_batches(fn, batch_format="pyarrow")
-
-
-def _simple_undirected(edges):
-    """Symmetrize + drop self loops + dedup: the simple undirected
-    graph the sorted-neighbours variant assumes
-    (totem_clustering.cu:433-465 requires symmetrized sorted input)."""
-    return dedup_edges(drop_self_loops(symmetrize(edges)))
 
 
 def _bucket_dedup_by_src(edges, num_buckets: int):
