@@ -385,6 +385,13 @@ def q_sortvertices_copurchase(sf_dir: str):
     return sort_vertices_by_degree(copurchase_edges(sf_dir))
 
 
+def q_sortnbrs_degree_copurchase(sf_dir: str):
+    from totem_ray.graph.edges import sort_neighbors_by_degree
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    return sort_neighbors_by_degree(copurchase_edges(sf_dir))
+
+
 def q_tpch_pricing_summary(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     from totem_ray.pipelines.tpch_graph import read_table
@@ -697,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apsp_copurchase": q_apsp_copurchase,
         "maxflow_chain": q_maxflow_chain,
         "sortvertices_copurchase": q_sortvertices_copurchase,
+        "sortnbrs_degree_copurchase": q_sortnbrs_degree_copurchase,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "doc_token_stats": q_doc_token_stats,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -1179,6 +1187,13 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY degree DESC, v ASC) - 1
                      AS new_id
             FROM deg
+        """,
+        "sortnbrs_degree_copurchase": f"""
+            WITH e AS ({_COPURCHASE_SQL}),
+            deg AS (SELECT src AS v, COUNT(*) AS nbr_degree
+                    FROM e GROUP BY src)
+            SELECT e.src, e.dst, COALESCE(deg.nbr_degree, 0) AS nbr_degree
+            FROM e LEFT JOIN deg ON deg.v = e.dst
         """,
         "doc_ngram_jaccard": r"""
             WITH toks AS (
