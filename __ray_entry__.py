@@ -141,7 +141,9 @@ def q_subgraph_high_degree(sf_dir: str, min_degree: int = 100):
     from totem_ray.graph.edges import degree_table, subgraph
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
-    edges = copurchase_edges(sf_dir)
+    # two consumers (degree aggregate + semi-join probe): materialize
+    # the edge table so the copurchase pipeline runs once
+    edges = copurchase_edges(sf_dir).materialize()
     # filter DISTRIBUTED; only the small keep set reaches the driver
     # (it is the broadcast side of the semi-join inside subgraph)
     keep_rows = degree_table(edges, alias="degree") \

@@ -120,7 +120,15 @@ def minhash_signatures(docs, num_perm: int = 64, shingle_k: int = 3,
 
 
 def _decode_sigs(col, num_perm: int) -> np.ndarray:
-    """binary sig column -> (n, num_perm) int64 matrix."""
+    """binary sig column -> (n, num_perm) int64 matrix — zero-copy
+    from the fixed-size-binary Arrow buffer when possible."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array) and pa.types.is_fixed_size_binary(col.type) \
+            and col.null_count == 0 and col.type.byte_width == num_perm * 8:
+        flat = np.frombuffer(col.buffers()[1], dtype=np.int64)
+        off = col.offset * num_perm
+        return flat[off:off + len(col) * num_perm].reshape(len(col), num_perm)
     vals = col.to_pylist() if not isinstance(col, (list, np.ndarray)) else col
     if not len(vals):
         return np.empty((0, num_perm), np.int64)

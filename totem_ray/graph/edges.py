@@ -266,7 +266,7 @@ def count_singletons_and_leafs(edges, num_vertices: int | None = None,
     out-edges) counts (count_singletons_and_leafs,
     totem_generator.cc:339-375). The universe is 0..num_vertices-1 or
     an explicit vertex Dataset."""
-    degs = vertex_degrees(edges)
+    degs = vertex_degrees(edges).materialize()  # two consumers below
     touched = degs.count()
 
     def leaf_partial(t: pa.Table) -> pa.Table:
@@ -314,7 +314,9 @@ def sort_vertices_by_degree(edges, bucket_bits: int = 12):
         return pa.table({"v": t["v"], "degree": t["out_degree"],
                          "_b": pa.array(b, type=pa.int64())})
 
-    db = degs.map_batches(add_bucket, batch_format="pyarrow")
+    # two consumers (count pass + relabel pass): materialize so the
+    # vertex_degrees shuffle and upstream lineage run once
+    db = degs.map_batches(add_bucket, batch_format="pyarrow").materialize()
     counts = db.groupby(["degree", "_b"]).aggregate(Count(alias_name="n")) \
                .to_pandas()
     counts = counts.sort_values(["degree", "_b"],
@@ -378,7 +380,12 @@ def sort_neighbors_by_degree(edges, descending: bool = True,
     reference's edge-degree sort for vwarp load balance), ties by
     neighbor id. Output (src, dst, nbr_degree) globally sorted by
     (src, rank): degree attach via one distributed hash join against
-    the degree table, then an Arrow-native sort."""
+    the degree table, then an Arrow-native sort.
+
+    The edge table feeds two consumers (degree aggregate + join
+    probe); materialize it once so the upstream lineage is not
+    re-executed per consumer — O(E) object-store blocks, spillable."""
+    edges = edges.select_columns(["src", "dst"]).materialize()
     deg = degree_table(edges, alias="nbr_degree")
 
     def ren(t: pa.Table) -> pa.Table:
@@ -386,7 +393,7 @@ def sort_neighbors_by_degree(edges, descending: bool = True,
 
     from totem_ray.graph.joins import hash_join
 
-    joined = hash_join(edges.select_columns(["src", "dst"]),
+    joined = hash_join(edges,
                        deg.map_batches(ren, batch_format="pyarrow"),
                        on="dst", how="left", num_buckets=num_buckets)
 
