@@ -253,10 +253,26 @@ def bench_dedup(sf_dir: str) -> dict:
     return {"minhash_dedup_sec": time.perf_counter() - t0, "n_docs": n}
 
 
+def cpu_canary() -> float:
+    """Single-core machine-speed canary: seconds to np.sort 10M
+    doubles (fixed seed). Recorded in ``extra`` so runs on this
+    sandbox are comparable across sessions — the host is multi-tenant
+    and its per-core speed has been observed to swing >10x between
+    sessions (reference-era value on a healthy host: ~0.9 s). Divide
+    wall-times by (canary / 0.9) to normalize."""
+    import numpy as np
+
+    a = np.random.default_rng(7).random(10_000_000)
+    t0 = time.perf_counter()
+    np.sort(a)
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_once(headline_only: bool = False) -> dict:
     _ensure_repo_on_path()
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    canary = cpu_canary()
 
     import ray
     if not ray.is_initialized():
@@ -302,6 +318,7 @@ def run_once(headline_only: bool = False) -> dict:
         "sf": sf_dir,
         "num_cpus": ncpu,
         "extra": {"gteps": round(head["gteps"], 4),
+                  "cpu_canary_sort10m_sec": canary,
                   "iterations": head["iterations"],
                   "edges": head["edges"],
                   "vertices": head["vertices"],
@@ -356,6 +373,9 @@ def run_scaling():
         "iterations": results[hi]["extra"]["iterations"],
         "edges": results[hi]["extra"]["edges"],
         "scaling_efficiency": round(eff, 3),
+        "cpu_canary_sort10m_sec": [
+            results[lo]["extra"].get("cpu_canary_sort10m_sec"),
+            results[hi]["extra"].get("cpu_canary_sort10m_sec")],
     }
     print(json.dumps(summary))
     _append_baseline(summary)
