@@ -72,3 +72,31 @@ def test_broadcast_lookup_large_ids():
         .sort_values("v").reset_index(drop=True)
     assert out["v"].tolist() == [3, BIG, BIG + 1]
     assert out["tag"].tolist()[1:] == [10, 11]
+
+
+def test_hash_semi_join():
+    # semi: left rows whose key exists on the right, each at most once
+    # even when the right has duplicate keys; right payload dropped
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3], pa.int64()),
+                                "lv": pa.array([10, 20, 21, 30], pa.int64())}))
+    r = rd.from_arrow(pa.table({"k": pa.array([2, 2, 4], pa.int64()),
+                                "rv": pa.array([0, 0, 0], pa.int64())}))
+    out = hash_join(l, r, on="k", how="semi").to_pandas().sort_values("lv")
+    assert out.columns.tolist() == ["k", "lv"]
+    assert out["lv"].tolist() == [20, 21]
+
+
+def test_hash_semi_join_composite_large_ids():
+    pairs_l = [(1, BIG), (BIG, BIG + 1), (5, 6)]
+    pairs_r = [(BIG, BIG + 1), (7, 8)]
+    l = rd.from_arrow(pa.table({
+        "lo": pa.array([p[0] for p in pairs_l], pa.int64()),
+        "hi": pa.array([p[1] for p in pairs_l], pa.int64()),
+        "u": pa.array([100, 101, 102], pa.int64())}))
+    r = rd.from_arrow(pa.table({
+        "lo": pa.array([p[0] for p in pairs_r], pa.int64()),
+        "hi": pa.array([p[1] for p in pairs_r], pa.int64())}))
+    out = hash_join(l, r, on=["lo", "hi"], how="semi",
+                    right_cols=["lo", "hi"]).to_pandas()
+    assert out["u"].tolist() == [101]
+    assert out["lo"].tolist() == [BIG] and out["hi"].tolist() == [BIG + 1]

@@ -128,13 +128,20 @@ def _oriented_edges(simple_und, num_join_partitions: int,
                 "b": pa.array(d[fwd], type=pa.int64()),
             })
 
-        return simple_und.map_batches(orient_b, batch_format="pyarrow")
+        # batch_size=None keeps block == batch, preserving the
+        # caller's src-grouped layout through orientation
+        return simple_und.map_batches(orient_b, batch_size=None,
+                                      batch_format="pyarrow")
 
     deg_s = _rename(degree_table(simple_und, alias="deg_s"), {"v": "src"})
     deg_d = _rename(degree_table(simple_und, alias="deg_d"), {"v": "dst"})
-    with_s = hash_join(simple_und, deg_s, on="src",
+    # dst join FIRST, src join LAST: hash_join's merge emits one block
+    # per hash(key) bucket, so ending on the src join leaves every
+    # source's rows whole within one block — the src-grouped layout
+    # wedge generation consumes with no further shuffle.
+    with_d = hash_join(simple_und, deg_d, on="dst",
                        num_buckets=num_join_partitions)
-    with_sd = hash_join(with_s, deg_d, on="dst",
+    with_sd = hash_join(with_d, deg_s, on="src",
                         num_buckets=num_join_partitions)
 
     def orient(t: pa.Table) -> pa.Table:
@@ -150,7 +157,12 @@ def _oriented_edges(simple_und, num_join_partitions: int,
             "b": pa.array(d[fwd], type=pa.int64()),
         })
 
-    return with_sd.map_batches(orient, batch_format="pyarrow")
+    # batch_size=None: one batch per src-join bucket block, so the
+    # src-grouped layout survives into the oriented output (the
+    # contract _triangle_counts_join's in-place wedge generation
+    # relies on)
+    return with_sd.map_batches(orient, batch_size=None,
+                               batch_format="pyarrow")
 
 
 def _edge_fingerprints(lo: np.ndarray, hi: np.ndarray):
@@ -362,55 +374,122 @@ def triangle_counts(edges, num_buckets: int = 64,
                                  num_join_partitions)
 
 
-def _triangle_counts_join(oriented, num_buckets: int,
-                          num_join_partitions: int):
-    """Distributed path: wedge generation per source bucket, then a
-    hash join of canonicalized wedges against canonicalized oriented
-    edges. No broadcast state — scales past the object-store gate."""
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bucket", pa.array(hash_partition(np.asarray(t["a"]), num_buckets)))
+def _edge_bloom(oriented, n_edges: int, bits_per_edge: int = 16):
+    """Bit-packed Bloom filter (k=2, positions from the two 64-bit
+    edge-fingerprint halves) over the canonicalized oriented edge set.
+    ~2 bytes/edge, ~1.4% false-positive rate — 8x smaller than the
+    16 B/edge exact-fingerprint broadcast, so it stays broadcastable
+    well past the broadcast gate. Built by streaming ONLY the h1/h2
+    columns through the driver once (8+8 B/edge); at 2e9 edges that is
+    a 32 GB stream into a 4 GB bitmap — past that the caller skips the
+    pre-filter entirely and the semi join runs unpruned."""
+    m = 1 << max(int(np.ceil(np.log2(max(n_edges, 1) * bits_per_edge))), 10)
+    mask = np.uint64(m - 1)
+    bloom = np.zeros(m >> 3, dtype=np.uint8)
 
-    bucketed = oriented.map_batches(add_bucket, batch_format="pyarrow")
-
-    def wedges(t: pa.Table) -> pa.Table:
-        # one bucket's full forward-edge set, vectorized
+    def fp(t: pa.Table) -> pa.Table:
         a = np.asarray(t["a"])
         b = np.asarray(t["b"])
-        # group by a; within group order by (rank) — rank order among
-        # forward nbrs only matters for consistent pair direction, and
-        # (deg, id) rank is not available here; order pairs by the
-        # GLOBAL orientation rule instead at emission below.
+        h1, h2 = _edge_fingerprints(np.minimum(a, b), np.maximum(a, b))
+        return pa.table({"h1": pa.array(h1, type=pa.uint64()),
+                         "h2": pa.array(h2, type=pa.uint64())})
+
+    ones = np.left_shift(np.uint8(1), np.arange(8, dtype=np.uint8))
+    for blk in oriented.map_batches(fp, batch_format="pyarrow") \
+                       .iter_batches(batch_format="pyarrow"):
+        for col in ("h1", "h2"):
+            p = np.asarray(blk[col]) & mask
+            np.bitwise_or.at(bloom, (p >> np.uint64(3)).astype(np.int64),
+                             ones[(p & np.uint64(7)).astype(np.int64)])
+    return bloom, mask
+
+
+def _bloom_probe(bloom: np.ndarray, mask: np.uint64,
+                 h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    hit = np.ones(len(h1), dtype=bool)
+    for h in (h1, h2):
+        p = h & mask
+        byte = bloom[(p >> np.uint64(3)).astype(np.int64)]
+        hit &= (byte >> (p & np.uint64(7)).astype(np.uint8)) & 1 > 0
+    return hit
+
+
+def _triangle_counts_join(oriented, num_buckets: int,
+                          num_join_partitions: int,
+                          wedge_chunk: int = 4_000_000,
+                          bloom_max_edges: int = 2_000_000_000):
+    """Distributed path: wedges generated IN PLACE from the
+    src-grouped oriented blocks (both producers — ``orient_b`` over
+    the src-bucketed layout and ``_oriented_edges`` ending on its src
+    join — keep every source's forward adjacency whole within one
+    block), pruned against a broadcast Bloom filter of the edge set
+    (~97% of wedges do not close; dropping them at generation shrinks
+    the one wedge-volume shuffle ~30x), then a hash SEMI join against
+    the canonicalized oriented edges confirms exactly. Past
+    ``bloom_max_edges`` the pre-filter is skipped (no broadcast state
+    at all) and the same semi join runs unpruned — scales past any
+    object-store gate, just with the full wedge shuffle."""
+    import ray as _ray
+
+    n_edges = oriented.count()
+    bloom_ref = None
+    if 0 < n_edges <= bloom_max_edges:
+        bloom, bmask = _edge_bloom(oriented, n_edges)
+        bloom_ref = _ray.put((bloom, bmask))
+
+    def wedges(t: pa.Table):
+        # one src-grouped block's forward-edge set -> canonicalized
+        # candidate wedges, yielded in bounded chunks (a hub block can
+        # expand quadratically; never materialize all its wedges)
+        a = np.asarray(t["a"])
+        b = np.asarray(t["b"])
+        blm = _ray.get(bloom_ref) if bloom_ref is not None else None
         order = np.argsort(a, kind="stable")
         a, b = a[order], b[order]
         starts = np.concatenate([[0], np.flatnonzero(np.diff(a) != 0) + 1])
         sizes = np.diff(np.concatenate([starts, [len(a)]]))
-        ords = np.arange(len(a)) - np.repeat(starts, sizes)
-        second = np.repeat(np.arange(len(a)), ords)
-        first = np.repeat(np.repeat(starts, sizes), ords) + slice_offsets(ords)
-        u = a[second]          # wedge center (== a[first])
-        x = b[first]
-        y = b[second]
-        return pa.table({
-            "u": pa.array(u, type=pa.int64()),
-            "x": pa.array(x, type=pa.int64()),
-            "y": pa.array(y, type=pa.int64()),
-        })
+        pair_counts = sizes * (sizes - 1) // 2
+        cum = np.concatenate([[0], np.cumsum(pair_counts)])
+        g0 = 0
+        emitted = False
+        while g0 < len(starts):
+            g1 = int(np.searchsorted(cum, cum[g0] + wedge_chunk, "right"))
+            g1 = max(g1 - 1, g0 + 1)
+            rstart = starts[g0]
+            rend = starts[g1] if g1 < len(starts) else len(a)
+            al, bl = a[rstart:rend], b[rstart:rend]
+            lstarts = starts[g0:g1] - rstart
+            lsizes = sizes[g0:g1]
+            ords = np.arange(len(al)) - np.repeat(lstarts, lsizes)
+            second = np.repeat(np.arange(len(al)), ords)
+            first = np.repeat(np.repeat(lstarts, lsizes), ords) + \
+                slice_offsets(ords)
+            x = bl[first]
+            y = bl[second]
+            lo = np.minimum(x, y)
+            hi = np.maximum(x, y)
+            u = al[second]
+            if blm is not None and len(lo):
+                wh1, wh2 = _edge_fingerprints(lo, hi)
+                keep = _bloom_probe(blm[0], blm[1], wh1, wh2)
+                lo, hi, u = lo[keep], hi[keep], u[keep]
+            if len(lo):
+                emitted = True
+                yield pa.table({
+                    "u": pa.array(u, type=pa.int64()),
+                    "lo": pa.array(lo, type=pa.int64()),
+                    "hi": pa.array(hi, type=pa.int64()),
+                })
+            g0 = g1
+        if not emitted:
+            # a typed empty block keeps the dataset schema consistent
+            yield pa.table({"u": pa.array([], type=pa.int64()),
+                            "lo": pa.array([], type=pa.int64()),
+                            "hi": pa.array([], type=pa.int64())})
 
-    wedge_ds = bucketed.groupby("bucket").map_groups(
-        wedges, batch_format="pyarrow")
-
-    # a wedge (u; x, y) closes iff the oriented edge x->y or y->x
-    # exists. Canonicalize wedge pair by plain id order and join
-    # against oriented edges canonicalized the same way.
-    def canon_wedge(t: pa.Table) -> pa.Table:
-        x = np.asarray(t["x"])
-        y = np.asarray(t["y"])
-        lo = np.minimum(x, y)
-        hi = np.maximum(x, y)
-        return pa.table({"u": t["u"],
-                         "lo": pa.array(lo, type=pa.int64()),
-                         "hi": pa.array(hi, type=pa.int64())})
+    # batch_size=None: a batch IS one src-grouped block
+    wc = oriented.map_batches(wedges, batch_size=None,
+                              batch_format="pyarrow")
 
     def canon_edge(t: pa.Table) -> pa.Table:
         a = np.asarray(t["a"])
@@ -418,15 +497,16 @@ def _triangle_counts_join(oriented, num_buckets: int,
         lo = np.minimum(a, b)
         hi = np.maximum(a, b)
         return pa.table({"lo": pa.array(lo, type=pa.int64()),
-                         "hi": pa.array(hi, type=pa.int64()),
-                         "_e": pa.array(np.ones(len(a), dtype=np.int64))})
+                         "hi": pa.array(hi, type=pa.int64())})
 
-    wc = wedge_ds.map_batches(canon_wedge, batch_format="pyarrow")
     ec = oriented.map_batches(canon_edge, batch_format="pyarrow")
-    closed = hash_join(wc, ec, on=["lo", "hi"],
+    # a wedge (u; lo, hi) closes iff the oriented edge between lo and
+    # hi exists — an existence check, so a SEMI join: no right
+    # payload, each closing wedge row kept exactly once.
+    closed = hash_join(wc, ec, on=["lo", "hi"], how="semi",
                        num_buckets=num_join_partitions,
                        left_cols=["u", "lo", "hi"],
-                       right_cols=["lo", "hi", "_e"])
+                       right_cols=["lo", "hi"])
 
     def credits(t: pa.Table) -> pa.Table:
         v = np.concatenate([np.asarray(t["u"]), np.asarray(t["lo"]),

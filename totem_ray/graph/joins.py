@@ -76,8 +76,11 @@ def hash_join(left, right, on: list[str] | str, how: str = "inner",
               right_cols: list[str] | None = None):
     """Partitioned hash join of two Datasets on equality of ``on``
     columns (same names both sides). Non-key column names must be
-    disjoint. ``how`` in {'inner', 'left'}. Pass left_cols/right_cols
-    when a side may be empty (schema unavailable)."""
+    disjoint. ``how`` in {'inner', 'left', 'semi'} — 'semi' keeps the
+    LEFT rows whose key exists on the right (exact existence check, no
+    right payload shipped through the merge). Pass
+    left_cols/right_cols when a side may be empty (schema
+    unavailable)."""
     on = [on] if isinstance(on, str) else list(on)
     lschema = left.schema()
     rschema = right.schema()
@@ -87,7 +90,7 @@ def hash_join(left, right, on: list[str] | str, how: str = "inner",
         raise ValueError("empty side with unknown schema: pass "
                          "left_cols/right_cols explicitly")
     lval = [c for c in lcols if c not in on]
-    rval = [c for c in rcols if c not in on]
+    rval = [] if how == "semi" else [c for c in rcols if c not in on]
     clash = set(lval) & set(rval)
     if clash:
         raise ValueError(f"non-key column clash: {clash}")
@@ -119,7 +122,8 @@ def hash_join(left, right, on: list[str] | str, how: str = "inner",
         right.map_batches(tagger(1, lval), batch_format="pyarrow"))
 
     out_cols = on + lval + rval
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = {"inner": "inner", "left": "left outer",
+                 "semi": "left semi"}[how]
     known_types = dict(_arrow_types)
 
     def merge(t: pa.Table) -> pa.Table:
