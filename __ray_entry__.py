@@ -315,14 +315,21 @@ def q_betweenness_copurchase(sf_dir: str):
     return df
 
 
+def _smallest_srcs(edges, n: int) -> list[int]:
+    """The n smallest distinct src vertices — the shared deterministic
+    source pick for stress/apsp/maxflow (matches the oracle SQL's
+    SELECT DISTINCT src ORDER BY src LIMIT n)."""
+    rows = edges.select_columns(["src"]).groupby("src").count() \
+        .sort("src").limit(n).take_all()
+    return sorted(r["src"] for r in rows)
+
+
 def q_stress_copurchase(sf_dir: str):
     from totem_ray.algs import stress
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
     edges = copurchase_edges(sf_dir)
-    srcs = sorted(r["src"] for r in
-                  edges.select_columns(["src"]).groupby("src").count()
-                  .sort("src").limit(4).take_all())
+    srcs = _smallest_srcs(edges, 4)
     out = stress(edges, sources=srcs, num_partitions=4)
     df = out["result"].to_pandas()
     out["engine"].shutdown()
@@ -346,9 +353,7 @@ def q_apsp_copurchase(sf_dir: str):
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
     edges = copurchase_edges(sf_dir)
-    srcs = sorted(r["src"] for r in
-                  edges.select_columns(["src"]).groupby("src").count()
-                  .sort("src").limit(4).take_all())
+    srcs = _smallest_srcs(edges, 4)
     out = apsp(edges, sources=srcs, num_partitions=4)
     df = out["result"].to_pandas()
     out["engine"].shutdown()
@@ -365,9 +370,7 @@ def q_maxflow_chain(sf_dir: str):
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
     edges = copurchase_edges(sf_dir)
-    vs = sorted(r["src"] for r in
-                edges.select_columns(["src"]).groupby("src").count()
-                .sort("src").limit(20).take_all())
+    vs = _smallest_srcs(edges, 20)
     import ray.data
     u = np.array(vs[:-1], dtype=np.int64)
     v = np.array(vs[1:], dtype=np.int64)

@@ -191,30 +191,31 @@ def test_pagerank_pull_matches_push(mode):
     pull["engine"].shutdown()
 
 
-def test_ingest_chunk_key_idempotent():
-    # Ray Data may retry a routing task and re-deliver a chunk; the
-    # shard must drop duplicates (same chunk_key) instead of doubling
-    # the CSR (totem_ray/engine/shard.py ingest_edges)
+def test_ingest_blocks_idempotent_and_sliced():
+    # routing is pure: rows are tagged with _pid and materialized, and
+    # each shard keeps only its own rows from the shared block refs —
+    # re-delivery is impossible because materialize() emits each routed
+    # row exactly once (totem_ray/engine/bsp.py build)
+    import pyarrow as pa
+    import ray as _ray
     from totem_ray.engine.shard import GraphShard
     from totem_ray.graph.partition import HashPartitioner
 
-    sh = GraphShard(0, 1)
-    src = np.array([0, 1, 2], dtype=np.int64)
-    dst = np.array([1, 2, 0], dtype=np.int64)
-    assert sh.ingest_edges(src, dst, chunk_key="t1:0") == 3
-    assert sh.ingest_edges(src, dst, chunk_key="t1:0") == 0  # retry dropped
-    assert sh.ingest_edges(src, dst, chunk_key="t1:1") == 3  # new chunk kept
-    sh.prepare(HashPartitioner(1))
-    info = sh.finalize({})
-    assert info["ne"] == 6
-
-
-def test_ingest_edge_slices_reads_own_slice():
-    from totem_ray.engine.shard import GraphShard
-    from totem_ray.graph.partition import HashPartitioner
-
+    t = pa.table({"src": pa.array([0, 1, 3], pa.int64()),
+                  "dst": pa.array([2, 5, 7], pa.int64()),
+                  "_pid": pa.array([0, 1, 1], pa.int32())})
+    ref = _ray.put(t)
     sh = GraphShard(1, 2)
-    slices = {0: (np.array([0]), np.array([2]), None),
-              1: (np.array([1, 3]), np.array([5, 7]), None)}
-    assert sh.ingest_edge_slices(slices, 1, chunk_key="x:0") == 2
-    assert sh.ingest_edge_slices(slices, 1, chunk_key="x:0") == 0
+    assert sh.ingest_edge_blocks([ref]) == 2       # keeps only pid-1 rows
+    sh.prepare(HashPartitioner(2))
+    info = sh.finalize({})
+    assert info["ne"] == 2
+
+    sh0 = GraphShard(0, 2)
+    assert sh0.ingest_edge_blocks([ref]) == 1
+    vs = pa.table({"v": pa.array([4, 9], pa.int64()),
+                   "_pid": pa.array([0, 1], pa.int32())})
+    assert sh0.ingest_vertex_blocks([_ray.put(vs)]) == 1
+    sh0.prepare(HashPartitioner(2))
+    info0 = sh0.finalize({})
+    assert info0["ne"] == 1 and info0["nv"] >= 2

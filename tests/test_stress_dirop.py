@@ -95,6 +95,26 @@ def test_dirop_bfs_goes_bottom_up_on_star():
     assert bu > 0
 
 
+def test_dirop_bfs_directed_graph_stays_correct():
+    # a DIRECTED graph where bottom-up would traverse edges backwards:
+    # 0 -> 1..20 (big frontier at level 1 triggers the switch), plus
+    # 30 -> 5 (an edge INTO the frontier from an unreachable vertex).
+    # With undirected=False the optimization never engages and vertex
+    # 30 must stay unreachable (cost -1).
+    src = np.array([0] * 20 + [30], dtype=np.int64)
+    dst = np.array(list(range(1, 21)) + [5], dtype=np.int64)
+    e = np.stack([src, dst], axis=1)
+    a = bfs(edges_from_arrays(e), source=0, num_partitions=4)
+    b = bfs_stepwise(edges_from_arrays(e), source=0, num_partitions=4,
+                     undirected=False)
+    da = a["result"].to_pandas().sort_values("v").reset_index(drop=True)
+    db = b["result"].to_pandas().sort_values("v").reset_index(drop=True)
+    a["engine"].shutdown()
+    b["engine"].shutdown()
+    assert da.equals(db)
+    assert int(db.loc[db["v"] == 30, "cost"].iloc[0]) == -1
+
+
 def test_apsp_chain_small():
     n, e = topology_edges("chain_100")
     srcs = [0, 50]

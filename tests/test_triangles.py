@@ -94,3 +94,30 @@ def test_both_physical_plans_agree():
         .sort_values("v").reset_index(drop=True)
     assert fast.equals(join)
     assert fast["triangles"].sum() > 0
+
+
+def test_block_splitting_does_not_fragment_sources():
+    # Ray's dynamic block splitting (target_max_block_size) can break
+    # the src-grouped-block contract in-place wedge generation relies
+    # on; _ensure_src_whole must detect the split and repair it. Force
+    # splitting with a tiny block target and check exact counts on a
+    # graph big enough to split (complete_100 at a 16 KiB target).
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024  # 16 KiB
+        from totem_ray.sources.fixtures import complete
+        n, e = complete(100)
+        got = triangle_counts(edges_from_arrays(e), num_buckets=4) \
+            .to_pandas().sort_values("v")
+        expect = (n - 1) * (n - 2) // 2
+        assert len(got) == n and (got["triangles"] == expect).all()
+        # the forced-join plan under splitting as well
+        gotj = triangle_counts(edges_from_arrays(e), num_buckets=4,
+                               broadcast_max_edges=0) \
+            .to_pandas().sort_values("v")
+        assert len(gotj) == n and (gotj["triangles"] == expect).all()
+    finally:
+        ctx.target_max_block_size = old

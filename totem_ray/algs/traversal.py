@@ -52,6 +52,7 @@ def bfs_tree(edges, source: int, num_partitions: int = 4, partitioner=None,
 def bfs_stepwise(edges, source: int, num_partitions: int = 4,
                  partitioner=None, vertices=None,
                  engine: BspEngine | None = None, alpha: float = 0.1,
+                 undirected: bool = True,
                  max_supersteps: int = 100_000) -> dict:
     """Direction-optimizing BFS (bfs_stepwise_hybrid,
     src/alg/totem_bfs_stepwise_hybrid.cu:984-1005): level-synchronous
@@ -59,12 +60,21 @@ def bfs_stepwise(edges, source: int, num_partitions: int = 4,
     exceeds ``alpha`` * |V| (the 10% switch, totem_alg.h:37).
     Identical costs to ``bfs`` on every graph; per-superstep
     ``bu_steps`` in metrics counts how many shards ran bottom-up.
+
+    The bottom-up step scans each unvisited vertex's stored adjacency
+    for a frontier member, which traverses edges AGAINST their
+    direction — sound only on symmetric (undirected) edge tables, the
+    same Graph500-style inputs the reference's stepwise variant
+    targets. Pass ``undirected=False`` for a directed graph: every
+    superstep then runs top-down (identical to ``bfs``, the
+    optimization simply never engages).
     """
     if engine is None:
         engine = BspEngine(num_partitions, partitioner)
         engine.build(edges, vertices_ds=vertices)
     out = engine.run("bfs_dirop",
-                     {"source": int(source), "alpha": float(alpha),
+                     {"source": int(source),
+                      "alpha": float(alpha) if undirected else 2.0,
                       "total_vertices": engine.total_vertices},
                      max_supersteps=max_supersteps)
     out["engine"] = engine
@@ -92,9 +102,18 @@ def apsp(edges, sources=None, num_partitions: int = 4, partitioner=None,
         engine = BspEngine(num_partitions, partitioner)
         engine.build(edges, vertices_ds=vertices)
     if sources is None:
-        rows = edges.select_columns(["src"]).groupby("src").count() \
-            .sort("src").take_all()
-        sources = [r["src"] for r in rows]
+        # the full vertex universe — sink-only vertices included (the
+        # reference loops every vertex, totem_apsp.cu: their rows are
+        # just (v, v, 0))
+        def verts(t: pa.Table) -> pa.Table:
+            u = np.unique(np.concatenate([np.asarray(t["src"]),
+                                          np.asarray(t["dst"])]))
+            return pa.table({"v": pa.array(u, type=pa.int64())})
+
+        rows = edges.select_columns(["src", "dst"]) \
+            .map_batches(verts, batch_format="pyarrow") \
+            .groupby("v").count().sort("v").take_all()
+        sources = [r["v"] for r in rows]
 
     per_source = []
     for s in sources:

@@ -84,29 +84,40 @@ def _bucket_dedup_by_src(edges, num_buckets: int):
 
 
 def _block_degrees(bucketed) -> tuple[np.ndarray, np.ndarray]:
-    """Exact (verts, degree) from src-bucketed deduped edges — each
-    source is whole within one block, so per-block counts ARE final
-    (a map + small collect, no groupby shuffle)."""
+    """Exact (verts, degree) from src-bucketed deduped edges: per-block
+    partial counts, combined on the driver (a map + small collect, no
+    groupby shuffle). The combine makes this exact even when Ray's
+    dynamic block splitting fragments a bucket across blocks
+    (target_max_block_size) — a source then contributes partials from
+    more than one block."""
     def part(t: pa.Table) -> pa.Table:
         v, c = np.unique(np.asarray(t["src"]), return_counts=True)
         return pa.table({"v": pa.array(v, type=pa.int64()),
                          "deg": pa.array(c, type=pa.int64())})
 
     degp = bucketed.map_batches(part, batch_format="pyarrow").to_pandas()
-    vs = degp["v"].to_numpy()
-    order = np.argsort(vs)
-    return vs[order], degp["deg"].to_numpy()[order]
+    vs, inv = np.unique(degp["v"].to_numpy(), return_inverse=True)
+    deg = np.zeros(len(vs), dtype=np.int64)
+    np.add.at(deg, inv, degp["deg"].to_numpy())
+    return vs, deg
 
 
 def _oriented_edges(simple_und, num_join_partitions: int,
-                    broadcast_max_vertices: int = 50_000_000):
+                    broadcast_max_vertices: int = 50_000_000,
+                    src_bucket_of=None):
     """Orient each undirected edge toward the higher (degree, id)
     endpoint; keep one row per undirected edge.
 
     Degree attachment picks a physical plan: a broadcast sorted
     (v, degree) array when the vertex set fits (16 B/vertex, one
     object-store copy per node), else two distributed hash joins
-    against the degree table."""
+    against the degree table.
+
+    Returns (oriented_ds, bucket_of): ``bucket_of`` is the src keying
+    that produced the output blocks (``src_bucket_of`` of the caller's
+    layout for the broadcast branch — orientation is 1:1 per block —
+    or hash_join's bucket hash for the join branch), for downstream
+    split detection."""
     deg_ds = degree_table(simple_und, alias="degree").materialize()
     if deg_ds.count() <= broadcast_max_vertices:
         import ray as _ray
@@ -131,7 +142,7 @@ def _oriented_edges(simple_und, num_join_partitions: int,
         # batch_size=None keeps block == batch, preserving the
         # caller's src-grouped layout through orientation
         return simple_und.map_batches(orient_b, batch_size=None,
-                                      batch_format="pyarrow")
+                                      batch_format="pyarrow"), src_bucket_of
 
     deg_s = _rename(degree_table(simple_und, alias="deg_s"), {"v": "src"})
     deg_d = _rename(degree_table(simple_und, alias="deg_d"), {"v": "dst"})
@@ -157,12 +168,69 @@ def _oriented_edges(simple_und, num_join_partitions: int,
             "b": pa.array(d[fwd], type=pa.int64()),
         })
 
+    from totem_ray.graph.joins import _key_hash as _jk
+
+    def _join_bucket_of(a):
+        return _jk(pa.table({"a": pa.array(a, type=pa.int64())}),
+                   ["a"], num_join_partitions)
+
     # batch_size=None: one batch per src-join bucket block, so the
     # src-grouped layout survives into the oriented output (the
     # contract _triangle_counts_join's in-place wedge generation
     # relies on)
     return with_sd.map_batches(orient, batch_size=None,
-                               batch_format="pyarrow")
+                               batch_format="pyarrow"), _join_bucket_of
+
+
+def _ensure_src_whole(oriented, num_buckets: int, n_edges: int,
+                      bucket_of=None):
+    """Guarantee the wedge-generation contract: every source's forward
+    adjacency whole within one block.
+
+    Ray's dynamic block splitting (DataContext.target_max_block_size,
+    128 MiB default) can fragment a bucket's output block once the
+    bucket outgrows the target — silently breaking in-place pair
+    enumeration. Detection is a metadata pass (per block, the distinct
+    src-hash bucket ids it contains — a bucket id seen in two blocks
+    means a split; ``bucket_of`` must be the SAME keying that produced
+    the blocks, else every block looks split). Repair is ONE regroup
+    shuffle into buckets sized ~2M edges (32 MiB), always under the
+    split threshold: a single source's forward adjacency is
+    degree-orientation-bounded by ~sqrt(2E) rows, so no group can
+    outgrow a block again."""
+    if bucket_of is None:
+        def bucket_of(a):
+            return hash_partition(a, num_buckets)
+
+    def meta(t: pa.Table) -> pa.Table:
+        bids = np.unique(bucket_of(np.asarray(t["a"])))
+        return pa.table({"bid": pa.array(bids, type=pa.int64())})
+
+    bids = oriented.map_batches(meta, batch_size=None,
+                                batch_format="pyarrow").to_pandas()["bid"]
+    if not bids.duplicated().any():
+        return oriented
+
+    # size repair buckets to a quarter of the LIVE block-split target
+    # (16 B/row), so regrouped blocks stay whole; a single source's
+    # group is orientation-bounded by ~sqrt(2E) rows and fits too
+    import ray.data as _rd
+
+    target = _rd.DataContext.get_current().target_max_block_size \
+        or (128 << 20)
+    rows_per_bucket = max(int(target) // (4 * 16), 64)
+    nb2 = max(num_buckets * 2, int(np.ceil(n_edges / rows_per_bucket)))
+
+    def add_b(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_rb", pa.array(hash_partition(np.asarray(t["a"]), nb2)))
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(["a", "b"])
+
+    return oriented.map_batches(add_b, batch_format="pyarrow") \
+        .groupby("_rb").map_groups(strip, batch_format="pyarrow") \
+        .materialize()
 
 
 def _edge_fingerprints(lo: np.ndarray, hi: np.ndarray):
@@ -175,12 +243,6 @@ def _edge_fingerprints(lo: np.ndarray, hi: np.ndarray):
     return h1, h2
 
 
-class TripleCollision(RuntimeError):
-    """Three oriented edges share an h1 fingerprint — the 2-probe
-    membership check would miss one; caller falls back to the exact
-    join path. (p ~ E^3 / 2^128: never expected in practice.)"""
-
-
 def _triangle_counts_broadcast(oriented, num_buckets: int,
                                wedge_chunk: int = 8_000_000):
     """Fast path: close wedges inline against a broadcast sorted
@@ -190,9 +252,9 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
 
     The membership probe uses a 128-bit fingerprint (two independent
     64-bit halves, grouped by the first): a false positive needs both
-    halves to collide (~E * wedges / 2^128 — never), and h1-duplicate
-    runs longer than 2 raise ``TripleCollision`` (caller falls back to
-    the join path).
+    halves to collide (~E * wedges / 2^128 — never). Duplicate-h1 runs
+    of any length are exact — the probe scans a run to its end
+    (``for k in range(max_run)`` bounded by the run's bucket).
 
     Fingerprinting and sorting run DISTRIBUTED (map_batches + Dataset
     sort); the driver only concatenates the range-partitioned sorted
@@ -223,12 +285,6 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
             h2_parts.append(np.asarray(blk["h2"], dtype=np.uint64))
     h1 = np.concatenate(h1_parts) if h1_parts else np.empty(0, np.uint64)
     h2 = np.concatenate(h2_parts) if h2_parts else np.empty(0, np.uint64)
-    # h1-duplicate runs: probe checks pos and pos+1; longer runs would
-    # need more
-    if len(h1) > 2:
-        dup2 = (h1[:-2] == h1[1:-1]) & (h1[1:-1] == h1[2:])
-        if dup2.any():
-            raise TripleCollision("triple h1 fingerprint collision")
     # bucket index over the top bits of h1: probes become ONE random
     # access into the index + a <= max_run linear check, instead of a
     # log2(E) binary search (each step a cache miss)
@@ -363,13 +419,17 @@ def triangle_counts(edges, num_buckets: int = 64,
                              "b": pa.array(d[fwd], type=pa.int64())})
 
         oriented = bucketed.map_batches(orient_b, batch_size=None,
-                                        batch_format="pyarrow")             .materialize()
-        try:
-            return _triangle_counts_broadcast(oriented, num_buckets)
-        except TripleCollision:
-            pass  # exact join path below handles it
-    else:
-        oriented = _oriented_edges(bucketed, num_join_partitions)             .materialize()
+                                        batch_format="pyarrow") \
+            .materialize()
+        oriented = _ensure_src_whole(oriented, num_buckets,
+                                     oriented.count())
+        return _triangle_counts_broadcast(oriented, num_buckets)
+    oriented, bucket_of = _oriented_edges(
+        bucketed, num_join_partitions,
+        src_bucket_of=lambda a: hash_partition(a, num_buckets))
+    oriented = oriented.materialize()
+    oriented = _ensure_src_whole(oriented, num_join_partitions,
+                                 oriented.count(), bucket_of=bucket_of)
     return _triangle_counts_join(oriented, num_buckets,
                                  num_join_partitions)
 
@@ -531,15 +591,16 @@ def clustering_coefficient(edges, num_buckets: int = 64,
         else drop_self_loops(symmetrize(edges))
     bucketed = _bucket_dedup_by_src(simple_und, num_buckets)
 
-    # per-source degrees are exact per block (src-bucketed layout) —
-    # no degree groupby shuffle
+    # per-block degree partials + a V-row Sum — exact even when block
+    # splitting fragments a bucket (same hazard _block_degrees guards)
     def blk_deg(t: pa.Table) -> pa.Table:
         v, c = np.unique(np.asarray(t["src"]), return_counts=True)
         return pa.table({"v": pa.array(v, type=pa.int64()),
-                         "degree": pa.array(c, type=pa.int64())})
+                         "_dp": pa.array(c, type=pa.int64())})
 
     deg = bucketed.map_batches(blk_deg, batch_size=None,
-                               batch_format="pyarrow")
+                               batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("_dp", alias_name="degree"))
     tri = triangle_counts(None, num_buckets, num_join_partitions,
                           _bucketed=bucketed)
     joined = hash_join(deg, tri, on="v", how="left",

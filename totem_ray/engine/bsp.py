@@ -45,28 +45,6 @@ from totem_ray.engine.shard import GraphShard
 from totem_ray.graph.partition import HashPartitioner
 from totem_ray.hashing import lineage_hash
 
-# Per-worker-process chunk sequence for idempotent ingestion: Ray Data
-# may re-execute a map task (fault tolerance / object reconstruction),
-# which would re-deliver the same edge chunks. A retry replays the same
-# blocks in the same order under the same task id, so (task_id, seq)
-# is a stable identity the shards dedupe on. The counter resets when a
-# new task starts on this worker (one task at a time per process).
-_INGEST_SEQ = {"task": None, "n": 0}
-
-
-def _chunk_key() -> str:
-    try:
-        tid = ray.get_runtime_context().get_task_id() or "driver"
-    except Exception:
-        tid = "driver"
-    if _INGEST_SEQ["task"] != tid:
-        _INGEST_SEQ["task"] = tid
-        _INGEST_SEQ["n"] = 0
-    key = f"{tid}:{_INGEST_SEQ['n']}"
-    _INGEST_SEQ["n"] += 1
-    return key
-
-
 class BspEngine:
     def __init__(self, num_partitions: int = 4, partitioner=None,
                  num_cpus_per_shard: float = 0, group_size: int = 8):
@@ -116,47 +94,42 @@ class BspEngine:
         weighted = "weight" in edges_ds.schema().names
         key = "src" if route_by == "src" else "dst"
 
-        def route_edges(t: pa.Table) -> pa.Table:
-            src = np.asarray(t["src"])
-            dst = np.asarray(t["dst"])
-            w = np.asarray(t["weight"], dtype=np.float64) if weighted else None
-            pid = partitioner.pid_np(src if key == "src" else dst)
-            slices = {}
-            for p in range(self.P):
-                sel = np.flatnonzero(pid == p)
-                if len(sel):
-                    slices[p] = (src[sel], dst[sel],
-                                 None if w is None else w[sel])
-            # ONE plasma put per block; every target shard receives the
-            # same ref and reads its slice zero-copy (P tiny RPCs
-            # instead of P ~MB argument uploads)
-            ref = ray.put(slices)
-            ck = _chunk_key()
-            acks = [shards[p].ingest_edge_slices.remote(ref, p, chunk_key=ck)
-                    for p in slices]
-            ray.get(acks)  # delivery barrier before this block is marked done
-            return pa.table({"routed": pa.array([t.num_rows], type=pa.int64())})
+        def tag_pid(t: pa.Table) -> pa.Table:
+            k = np.asarray(t[key].combine_chunks()
+                           if isinstance(t[key], pa.ChunkedArray) else t[key])
+            return t.append_column(
+                "_pid", pa.array(partitioner.pid_np(k).astype(np.int32)))
 
         cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
-        # large batches: each routing task costs P actor RPCs + one
-        # plasma put, so small input blocks convoy on actor queues —
-        # coalescing to ~4M-row batches keeps RPC count ~P * E/4M
-        edges_ds.select_columns(cols) \
-            .map_batches(route_edges, batch_format="pyarrow",
-                         batch_size=4_000_000).count()
+        # Pure routing: tag each row with its destination shard and
+        # MATERIALIZE — any Ray Data retry resolves inside materialize,
+        # which yields every routed row exactly once. The driver then
+        # hands all shards the same block-ref list; each shard reads
+        # the blocks zero-copy from plasma and keeps its rows
+        # (idempotent by construction — a side-effecting router would
+        # double-deliver chunks on task re-execution).
+        routed = edges_ds.select_columns(cols) \
+            .map_batches(tag_pid, batch_format="pyarrow").materialize()
+        refs = routed.to_arrow_refs()
+        ray.get([s.ingest_edge_blocks.remote(refs) for s in shards])
+        del routed, refs  # unpin the routed copy before CSR build
 
         if vertices_ds is not None:
-            def route_verts(t: pa.Table) -> pa.Table:
-                v = np.unique(np.asarray(t[t.column_names[0]]))
-                pid = partitioner.pid_np(v)
-                ck = _chunk_key()
-                acks = [shards[p].ingest_vertices.remote(v[pid == p],
-                                                         chunk_key=ck)
-                        for p in np.unique(pid)]
-                ray.get(acks)
-                return pa.table({"routed": pa.array([len(v)], type=pa.int64())})
+            def tag_vpid(t: pa.Table) -> pa.Table:
+                col = t[t.column_names[0]]
+                v = np.unique(np.asarray(col.combine_chunks()
+                                         if isinstance(col, pa.ChunkedArray)
+                                         else col))
+                return pa.table({
+                    "v": pa.array(v, type=pa.int64()),
+                    "_pid": pa.array(partitioner.pid_np(v).astype(np.int32)),
+                })
 
-            vertices_ds.map_batches(route_verts, batch_format="pyarrow").count()
+            routed_v = vertices_ds.map_batches(
+                tag_vpid, batch_format="pyarrow").materialize()
+            vrefs = routed_v.to_arrow_refs()
+            ray.get([s.ingest_vertex_blocks.remote(vrefs) for s in shards])
+            del routed_v, vrefs
 
         if route_by == "dst":
             # three-phase pull exchange: (1) requesters announce the

@@ -1081,6 +1081,13 @@ class DirOptBfsKernel:
       a frontier neighbor — O(cut) bytes instead of O(frontier x
       fanout) rows, the classic bottom-up win on web-graph middle
       levels.
+
+    SYMMETRIC-GRAPH ASSUMPTION: the bottom-up scan walks each
+    unvisited vertex's stored (out-)adjacency, i.e. traverses edges
+    against their direction — valid only when every edge exists in
+    both directions (Graph500-style inputs, like the reference's
+    stepwise variant). Callers with directed graphs disable bottom-up
+    by passing alpha > 1 (algs.bfs_stepwise(undirected=False) does).
     """
 
     name = "bfs_dirop"

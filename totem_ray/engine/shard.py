@@ -56,44 +56,72 @@ class GraphShard:
         self.group_size = max(1, int(group_size))
         self._edge_chunks: list[tuple[np.ndarray, np.ndarray]] = []
         self._vert_chunks: list[np.ndarray] = []
-        self._seen_chunks: set[str] = set()
         self.state: dict[str, dict[str, Any]] = {}
 
     # ------------------------------------------------------------------
     # build phase
     # ------------------------------------------------------------------
     def ingest_edges(self, src: np.ndarray, dst: np.ndarray,
-                     w: np.ndarray | None = None,
-                     chunk_key: str | None = None) -> int:
-        """``chunk_key`` makes delivery idempotent: Ray Data may retry
-        the routing map task (fault tolerance), re-sending the same
-        chunk; duplicates are dropped here rather than corrupting the
-        CSR with doubled edges."""
-        if chunk_key is not None:
-            if chunk_key in self._seen_chunks:
-                return 0
-            self._seen_chunks.add(chunk_key)
+                     w: np.ndarray | None = None) -> int:
+        """Direct ingest of one edge chunk (tests / small inputs)."""
         self._edge_chunks.append((np.asarray(src, dtype=np.int64),
                                   np.asarray(dst, dtype=np.int64),
                                   None if w is None else
                                   np.asarray(w, dtype=np.float64)))
         return len(src)
 
-    def ingest_edge_slices(self, slices: dict, p: int,
-                           chunk_key: str | None = None) -> int:
-        """Receive the per-block routed-slices object (one shared
-        plasma put per input block; ``slices[p]`` is this shard's
-        zero-copy view) — the bulk ingest path of BspEngine.build."""
-        src, dst, w = slices[self.pid if p is None else p]
-        return self.ingest_edges(src, dst, w, chunk_key=chunk_key)
+    @staticmethod
+    def _np(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return np.asarray(col)
 
-    def ingest_vertices(self, ids: np.ndarray,
-                        chunk_key: str | None = None) -> int:
-        if chunk_key is not None:
-            vk = "v:" + chunk_key
-            if vk in self._seen_chunks:
-                return 0
-            self._seen_chunks.add(vk)
+    def ingest_edge_blocks(self, refs: list) -> int:
+        """Pull-based bulk ingest: the driver hands every shard the
+        SAME list of refs to the MATERIALIZED routed blocks (each row
+        tagged with its destination shard in ``_pid``); the shard
+        reads each block zero-copy from plasma and keeps its rows.
+        Materialization upstream runs each routing task's output into
+        the dataset exactly once, so re-delivery cannot happen —
+        idempotent by construction, with no per-chunk bookkeeping."""
+        n = 0
+        for r in refs:
+            t: pa.Table = ray.get(r)
+            # empty inputs can surface untagged empty blocks (the map
+            # never ran) — nothing to ingest either way
+            if t.num_rows == 0 or "_pid" not in t.column_names:
+                continue
+            m = self._np(t["_pid"]) == self.pid
+            if not m.any():
+                continue
+            # boolean indexing copies into the actor heap, so the
+            # plasma block is not pinned past this loop iteration
+            src = self._np(t["src"])[m]
+            dst = self._np(t["dst"])[m]
+            w = self._np(t["weight"])[m].astype(np.float64) \
+                if "weight" in t.column_names else None
+            self._edge_chunks.append((src.astype(np.int64),
+                                      dst.astype(np.int64), w))
+            n += len(src)
+        return n
+
+    def ingest_vertex_blocks(self, refs: list) -> int:
+        """Same pull-based contract as ingest_edge_blocks, for an
+        explicit vertex universe (column ``v`` + ``_pid``)."""
+        n = 0
+        for r in refs:
+            t: pa.Table = ray.get(r)
+            if t.num_rows == 0 or "_pid" not in t.column_names:
+                continue
+            m = self._np(t["_pid"]) == self.pid
+            if not m.any():
+                continue
+            ids = self._np(t["v"])[m].astype(np.int64)
+            self._vert_chunks.append(ids)
+            n += len(ids)
+        return n
+
+    def ingest_vertices(self, ids: np.ndarray) -> int:
         self._vert_chunks.append(np.asarray(ids, dtype=np.int64))
         return len(ids)
 
@@ -118,7 +146,6 @@ class GraphShard:
             self._dst = np.empty(0, dtype=np.int64)
             self._w = None
         self._edge_chunks = []
-        self._seen_chunks.clear()
         self._dst_owner = partitioner.pid_np(self._dst) if len(self._dst) \
             else np.empty(0, dtype=np.int64)
         ghosts: dict[int, np.ndarray] = {}
@@ -216,7 +243,6 @@ class GraphShard:
             self._src = np.empty(0, dtype=np.int64)
             self._dst = np.empty(0, dtype=np.int64)
         self._edge_chunks = []
-        self._seen_chunks.clear()
         self._src_owner = partitioner.pid_np(self._src) if len(self._src) \
             else np.empty(0, dtype=np.int64)
         self.pid_fn = partitioner.pid_np

@@ -25,12 +25,12 @@ def _as_matrix(col) -> np.ndarray:
     per-row Python list round-trip."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if isinstance(col, pa.FixedSizeListArray):
+    if isinstance(col, pa.FixedSizeListArray) and col.null_count == 0:
         d = col.type.list_size
         vals = np.asarray(col.values, dtype=np.float64)
         off = col.offset * d
         return vals[off:off + len(col) * d].reshape(len(col), d)
-    if isinstance(col, pa.ListArray) and len(col):
+    if isinstance(col, pa.ListArray) and len(col) and col.null_count == 0:
         offs = np.asarray(col.offsets)
         widths = np.diff(offs)
         if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
