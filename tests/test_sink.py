@@ -1,0 +1,50 @@
+"""Resumable partitioned Parquet sink tests."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from totem_ray.sources.sink import write_parquet_resumable
+
+
+def _mkds(n=1000):
+    return rd.from_arrow(pa.table({
+        "v": pa.array(np.arange(n), type=pa.int64()),
+        "val": pa.array(np.arange(n) * 2, type=pa.int64())}))
+
+
+def test_write_read_roundtrip(tmp_path):
+    path = str(tmp_path / "out")
+    res = write_parquet_resumable(_mkds(), path, key="v", num_partitions=8)
+    assert res["skipped"] == 0
+    back = rd.read_parquet(path).to_pandas().sort_values("v")         .reset_index(drop=True)
+    assert len(back) == 1000
+    assert (back["val"].to_numpy() == back["v"].to_numpy() * 2).all()
+    assert os.path.exists(os.path.join(path, "_ALL_DONE"))
+
+
+def test_resume_skips_finished_partitions(tmp_path):
+    path = str(tmp_path / "out")
+    write_parquet_resumable(_mkds(), path, key="v", num_partitions=8)
+    # simulate a partial failure: drop two partitions' data + markers
+    for p in (1, 5):
+        pdir = os.path.join(path, f"part={p:05d}")
+        os.remove(os.path.join(pdir, "_DONE"))
+        f = os.path.join(pdir, "data.parquet")
+        if os.path.exists(f):
+            os.remove(f)
+    res = write_parquet_resumable(_mkds(), path, key="v", num_partitions=8)
+    assert res["skipped"] == 6
+    back = rd.read_parquet(path).to_pandas().sort_values("v")         .reset_index(drop=True)
+    assert len(back) == 1000
+    assert (back["val"].to_numpy() == back["v"].to_numpy() * 2).all()
+
+
+def test_fully_done_is_noop(tmp_path):
+    path = str(tmp_path / "out")
+    write_parquet_resumable(_mkds(), path, key="v", num_partitions=4)
+    res = write_parquet_resumable(_mkds(), path, key="v", num_partitions=4)
+    assert res == {"written": 0, "skipped": 4, "path": path}

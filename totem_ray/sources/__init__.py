@@ -11,3 +11,4 @@ from totem_ray.sources.extract import (  # noqa: F401
     pages_to_edges,
     pages_to_text,
 )
+from totem_ray.sources.sink import write_parquet_resumable  # noqa: F401

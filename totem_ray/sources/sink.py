@@ -1,0 +1,99 @@
+"""Resumable partitioned Parquet sink.
+
+The reference persists graphs/results as single binary artifacts
+(graph_store_binary, src/totem/totem_graph.cu:680-740) and its runs
+are fail-stop. At 100 TB a sink must instead be RESTARTABLE: output
+is split into key-hash partition directories, each written atomically
+(tmp file -> rename + ``_DONE`` marker), so a re-run of the same job
+skips every partition that already finished and recomputes only the
+missing ones.
+
+Layout:
+
+    path/
+      part=00000/ data.parquet  _DONE
+      part=00001/ ...
+      _ALL_DONE            (written when every partition is complete)
+
+Readers use ``ray.data.read_parquet(path)`` (the marker files are not
+``.parquet`` and are ignored by the reader's extension filter).
+
+On a multi-node cluster ``path`` must be shared storage (the same
+requirement as ray.data.Dataset.write_parquet with a local path).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from totem_ray.hashing import hash_partition
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_DONE"))
+
+
+def write_parquet_resumable(ds, path: str, key: str,
+                            num_partitions: int = 64) -> dict:
+    """Write ``ds`` to ``path`` as ``num_partitions`` key-hash
+    partition directories, skipping partitions already marked done by
+    a previous (possibly failed) run.
+
+    The partition function is the deterministic ``hash_partition`` of
+    the ``key`` column, so a re-run over the SAME input produces the
+    same rows per partition — the property resumability needs. Rows
+    route to their partition in one groupby shuffle; each partition
+    group writes its file atomically from inside the map task (tmp ->
+    rename, then the ``_DONE`` marker), so a task killed mid-write
+    never leaves a partition half-visible.
+
+    Returns {written: n_partitions_written, skipped:
+    n_partitions_skipped, path}.
+    """
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    done = np.array([_done(os.path.join(path, f"part={p:05d}"))
+                     for p in range(num_partitions)])
+    if done.all():
+        return {"written": 0, "skipped": int(num_partitions), "path": path}
+    done_ids = set(np.flatnonzero(done).tolist())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        pid = hash_partition(np.asarray(t[key]), num_partitions)
+        keep = ~np.isin(pid, list(done_ids)) if done_ids else \
+            np.ones(len(pid), dtype=bool)
+        t = t.filter(pa.array(keep))
+        return t.append_column("_part", pa.array(pid[keep]))
+
+    def write_group(t: pa.Table) -> pa.Table:
+        p = int(t["_part"][0].as_py())
+        pdir = os.path.join(path, f"part={p:05d}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        pq.write_table(t.drop_columns(["_part"]), tmp)
+        os.replace(tmp, os.path.join(pdir, "data.parquet"))
+        with open(os.path.join(pdir, "_DONE"), "w") as f:
+            f.write(str(t.num_rows))
+        return pa.table({"part": pa.array([p], type=pa.int64()),
+                         "rows": pa.array([t.num_rows], type=pa.int64())})
+
+    written = ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(write_group, batch_format="pyarrow") \
+        .count()
+
+    # empty partitions (no rows hashed to them) still need markers so
+    # the next run knows they are complete
+    for p in range(num_partitions):
+        pdir = os.path.join(path, f"part={p:05d}")
+        if p not in done_ids and not _done(pdir):
+            os.makedirs(pdir, exist_ok=True)
+            with open(os.path.join(pdir, "_DONE"), "w") as f:
+                f.write("0")
+    with open(os.path.join(path, "_ALL_DONE"), "w") as f:
+        f.write(str(num_partitions))
+    return {"written": int(written), "skipped": int(done.sum()),
+            "path": path}
