@@ -1,0 +1,224 @@
+"""Unit tests for the LLM-data-pipeline operators (functions/):
+dedup sketches, similarity search, text analysis, windows, multimodal
+plumbing. These complement the driver's SQL-oracle gate with local
+closed-form checks."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _docs(texts, ids=None):
+    ids = np.arange(len(texts)) if ids is None else np.asarray(ids)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(list(texts), type=pa.string())}))
+
+
+# ---------------------------------------------------------------- dedup
+def test_exact_dedup_groups_identical_text():
+    from totem_ray.functions.dedup import exact_dedup
+
+    txts = ["alpha beta", "gamma", "alpha beta", "alpha  beta "]
+    out = exact_dedup(_docs(txts)).to_pandas()
+    # survivors = min(doc_id) per distinct text: doc 2 dedupes into 0;
+    # doc 3 differs (spacing, normalize=False) and survives
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 3]
+
+
+def test_minhash_identical_docs_est_one_and_disjoint_absent():
+    from totem_ray.functions.dedup import minhash_lsh_candidates
+
+    same = "the quick brown fox jumps over the lazy dog " * 3
+    other = "completely different words entirely unrelated text here " * 3
+    cand = minhash_lsh_candidates(
+        _docs([same, same, other])).to_pandas()
+    pair = cand[(cand["a"] == 0) & (cand["b"] == 1)]
+    assert len(pair) == 1 and pair["jaccard_est"].iloc[0] == 1.0
+    assert not ((cand["a"] == 0) & (cand["b"] == 2)).any() or \
+        cand[(cand["a"] == 0) & (cand["b"] == 2)]["jaccard_est"].max() < 0.5
+
+
+def test_minhash_tokenizes_all_whitespace():
+    # tabs/newlines are token boundaries (TOKEN_SPLIT_RE = \s+): the
+    # same text with different whitespace must produce est 1.0
+    from totem_ray.functions.dedup import minhash_lsh_candidates
+
+    a = "one two three four five six seven eight nine ten"
+    b = "one\ttwo three\nfour five six seven eight nine ten"
+    cand = minhash_lsh_candidates(_docs([a, b])).to_pandas()
+    pair = cand[(cand["a"] == 0) & (cand["b"] == 1)]
+    assert len(pair) == 1 and pair["jaccard_est"].iloc[0] == 1.0
+
+
+def test_simhash_identical_docs_pair():
+    from totem_ray.functions.dedup import simhash_near_dup_pairs
+
+    same = "a rose is a rose is a rose and so on forever " * 2
+    out = simhash_near_dup_pairs(_docs([same, same, "zzz yyy xxx www"])) \
+        .to_pandas()
+    pair = out[(out["a"] == 0) & (out["b"] == 1)]
+    assert len(pair) == 1 and pair["hamming"].iloc[0] == 0
+
+
+def test_ngram_jaccard_exact_small():
+    from totem_ray.functions.dedup import ngram_jaccard_pairs
+
+    # doc0/doc1: known 3-shingle overlap; doc2 disjoint
+    d0 = "a b c d e"          # shingles: abc bcd cde
+    d1 = "a b c d x"          # shingles: abc bcd cdx
+    d2 = "p q r s t"
+    out = ngram_jaccard_pairs(_docs([d0, d1, d2]), tau=0.1).to_pandas()
+    pair = out[(out["a"] == 0) & (out["b"] == 1)]
+    assert len(pair) == 1
+    assert pair["jaccard"].iloc[0] == pytest.approx(2 / 4)  # |∩|=2 |∪|=4
+    assert not ((out["a"] == 0) & (out["b"] == 2)).any()
+
+
+def test_embedding_near_dup_pairs():
+    from totem_ray.functions.dedup import embedding_near_dup_pairs
+
+    v = np.array([[1.0, 0.0], [1.0, 0.01], [0.0, 1.0]])
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([10, 11, 12], type=pa.int64()),
+        "embedding": pa.array(list(v), type=pa.list_(pa.float64()))}))
+    out = embedding_near_dup_pairs(emb, tau=0.99).to_pandas()
+    assert set(map(tuple, out[["a", "b"]].to_numpy())) == {(10, 11)}
+
+
+# ----------------------------------------------------------- similarity
+def _emb_table(n=200, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d))
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array(list(x), type=pa.list_(pa.float64()))})), x
+
+
+def test_knn_brute_force_matches_numpy():
+    from totem_ray.functions.similarity import knn_brute_force
+
+    emb, x = _emb_table()
+    q = x[:3]
+    out = knn_brute_force(emb, q, np.arange(3), k=5)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    for qi in range(3):
+        sims = xn @ xn[qi]
+        sims[qi] = -np.inf                       # exclude_self
+        expect = np.argsort(-sims, kind="stable")[:5]
+        got = out[out["query_id"] == qi].sort_values("knn_rank")
+        assert got["neighbor_id"].tolist() == expect.tolist()
+        assert np.allclose(got["cos_sim"].to_numpy(), sims[expect])
+
+
+def test_knn_ivf_recall_vs_brute_force():
+    from totem_ray.functions.similarity import knn_brute_force, knn_ivf
+
+    emb, x = _emb_table(n=400)
+    q = x[:5]
+    bf = knn_brute_force(emb, q, np.arange(5), k=10)
+    ivf = knn_ivf(emb, q, np.arange(5), k=10, ncells=8, nprobe=4)
+    recalls = []
+    for qi in range(5):
+        b = set(bf[bf["query_id"] == qi]["neighbor_id"])
+        a = set(ivf[ivf["query_id"] == qi]["neighbor_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.6   # nprobe=4/8 cells: high recall
+
+
+# ----------------------------------------------------------------- text
+def test_token_stats_closed_form():
+    from totem_ray.functions.text import token_stats
+
+    out = token_stats(_docs(["one two  three", "a,b.c!", ""])) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[1, "punct_count"] == 3
+    assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "n_chars_measured"] == 0
+
+
+def test_quality_and_lang_id_run_and_are_deterministic():
+    from totem_ray.functions.text import lang_id, quality_scores
+
+    docs = _docs(["The quick brown fox jumps over the lazy dog.",
+                  "zzzz qqqq xxxx", ""])
+    q1 = quality_scores(docs).to_pandas().sort_values("doc_id")
+    q2 = quality_scores(docs).to_pandas().sort_values("doc_id")
+    assert np.allclose(q1["quality"].to_numpy(), q2["quality"].to_numpy())
+    # a real sentence scores above keyboard mash
+    assert q1["quality"].iloc[0] > q1["quality"].iloc[1]
+    l1 = lang_id(docs).to_pandas().sort_values("doc_id")
+    assert l1["pred_lang"].iloc[0] == "en"
+    assert l1["pred_lang"].iloc[1] == "und"   # zero stopword evidence
+
+
+# -------------------------------------------------------------- windows
+def _events():
+    ts = pa.array(np.array([0, 10, 3_700, 3_800, 10_000], dtype=np.int64)
+                  * 1_000_000, type=pa.timestamp("us"))
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 1], type=pa.int64()),
+        "ts": ts,
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], type=pa.float64())}))
+
+
+def test_tumbling_window_counts():
+    from totem_ray.functions.windows import tumbling_window
+
+    out = tumbling_window(_events(), width_s=3600).to_pandas()
+    out["w"] = out["window_start"].astype("datetime64[s]").astype("int64")
+    k = out.set_index(["user_id", "w"])
+    assert k.loc[(1, 0), "n_events"] == 2
+    assert k.loc[(1, 0), "sum_value"] == 3.0
+    assert k.loc[(1, 3600), "n_events"] == 1
+    assert k.loc[(2, 3600), "n_events"] == 1
+    assert k.loc[(1, 7200), "n_events"] == 1
+
+
+def test_session_windows_gap_split():
+    from totem_ray.functions.windows import session_windows
+
+    out = session_windows(_events(), gap_s=1800).to_pandas()
+    u1 = out[out["user_id"] == 1]
+    # user 1: events at 0,10 | 3700 | 10000 -> 3 sessions
+    assert len(u1) == 3
+    assert sorted(u1["n_events"].tolist()) == [1, 1, 2]
+
+
+def test_as_of_join_last_value():
+    from totem_ray.functions.windows import as_of_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], type=pa.int64()),
+        "lt": pa.array(np.array([100, 5], dtype=np.int64) * 1_000_000,
+                       type=pa.timestamp("us"))}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], type=pa.int64()),
+        "rt": pa.array(np.array([10, 50], dtype=np.int64) * 1_000_000,
+                       type=pa.timestamp("us")),
+        "rv": pa.array([7.0, 9.0], type=pa.float64())}))
+    out = as_of_join(left, right, key="k", ts_left="lt", ts_right="rt",
+                     value_cols=["rv"]) \
+        .to_pandas().sort_values("lt").reset_index(drop=True)
+    # lt=5: no right row at/before -> null; lt=100: last is rt=50 (9.0)
+    rv = [c for c in out.columns if c.endswith("rv")][0]
+    assert pd.isna(out.loc[0, rv])
+    assert out.loc[1, rv] == 9.0
+
+
+# ----------------------------------------------------------- multimodal
+def test_multimodal_fake_decode_deterministic():
+    from totem_ray.functions.multimodal import (decode_images,
+                                                synthetic_media_table)
+
+    media = rd.from_arrow(synthetic_media_table(8))
+    a = decode_images(media).to_pandas().sort_values("media_id") \
+        .reset_index(drop=True)
+    b = decode_images(media).to_pandas().sort_values("media_id") \
+        .reset_index(drop=True)
+    assert len(a) == 8
+    for c in ("mean_r", "mean_g", "mean_b"):
+        assert np.allclose(a[c].to_numpy(), b[c].to_numpy())
+    assert (a["height"] > 0).all() and (a["width"] > 0).all()
