@@ -219,3 +219,57 @@ def test_ingest_blocks_idempotent_and_sliced():
     sh0.prepare(HashPartitioner(2))
     info0 = sh0.finalize({})
     assert info0["ne"] == 1 and info0["nv"] >= 2
+
+
+def test_build_from_pandas_block_dataset():
+    # upstream operators (e.g. Ray's aggregate reduce) produce PANDAS
+    # blocks; to_arrow_refs hands the raw block to the shards, so
+    # ingest must normalize (the minhash CC path hit this)
+    import pandas as pd
+    import ray.data as rd
+    from totem_ray.algs import connected_components
+
+    df = pd.DataFrame({"src": np.array([0, 1, 5], dtype=np.int64),
+                       "dst": np.array([1, 2, 6], dtype=np.int64)})
+    out = connected_components(rd.from_pandas(df), num_partitions=2)
+    lab = out["result"].to_pandas().set_index("v")["label"]
+    out["engine"].shutdown()
+    assert lab[0] == lab[1] == lab[2]
+    assert lab[5] == lab[6] != lab[0]
+
+
+def test_build_from_aggregate_filtered_edges():
+    # the minhash-CC shape: candidate pairs from a pandas-block
+    # aggregate, filtered (possibly to nothing), mapped to (src, dst).
+    # Must build whether the filter keeps rows or empties the dataset
+    # (an empty derived dataset reports schema() None).
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Min
+    from totem_ray.algs import connected_components
+
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array([0, 0, 5], type=pa.int64()),
+        "b": pa.array([1, 1, 6], type=pa.int64()),
+        "est": pa.array([1.0, 1.0, 0.95], type=pa.float64())}))
+    cand = pairs.groupby(["a", "b"]).aggregate(Min("est", alias_name="est"))
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["a"].combine_chunks().cast(pa.int64()),
+                         "dst": t["b"].combine_chunks().cast(pa.int64())})
+
+    verts = rd.from_arrow(pa.table({"v": pa.array([0, 1, 5, 6],
+                                                  type=pa.int64())}))
+    kept = cand.filter(expr="est >= 0.9").map_batches(
+        as_edges, batch_format="pyarrow")
+    out = connected_components(kept, vertices=verts, num_partitions=2)
+    lab = out["result"].to_pandas().set_index("v")["label"]
+    out["engine"].shutdown()
+    assert lab[0] == lab[1] and lab[5] == lab[6] and lab[0] != lab[5]
+
+    none = cand.filter(expr="est >= 2.0").map_batches(
+        as_edges, batch_format="pyarrow")
+    out2 = connected_components(none, vertices=verts, num_partitions=2)
+    lab2 = out2["result"].to_pandas().set_index("v")["label"]
+    out2["engine"].shutdown()
+    assert (lab2.index.to_numpy() == lab2.to_numpy()).all()  # all self

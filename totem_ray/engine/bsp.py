@@ -91,7 +91,10 @@ class BspEngine:
         self.mode = route_by
         shards = self.shards
         partitioner = self.partitioner
-        weighted = "weight" in edges_ds.schema().names
+        sch = edges_ds.schema()
+        # an empty derived dataset (e.g. a filter that kept nothing)
+        # reports schema() None — treat as unweighted with no rows
+        weighted = sch is not None and "weight" in sch.names
         key = "src" if route_by == "src" else "dst"
 
         def tag_pid(t: pa.Table) -> pa.Table:

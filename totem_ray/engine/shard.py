@@ -76,6 +76,19 @@ class GraphShard:
             col = col.combine_chunks()
         return np.asarray(col)
 
+    @staticmethod
+    def _as_table(blk) -> pa.Table:
+        """to_arrow_refs() hands back the raw block, which is a pandas
+        DataFrame when the upstream operator was a pandas-block
+        producer (e.g. Ray's aggregate reduce) — normalize here."""
+        if isinstance(blk, pa.Table):
+            return blk
+        import pandas as pd
+
+        if isinstance(blk, pd.DataFrame):
+            return pa.Table.from_pandas(blk, preserve_index=False)
+        return pa.table(blk)
+
     def ingest_edge_blocks(self, refs: list) -> int:
         """Pull-based bulk ingest: the driver hands every shard the
         SAME list of refs to the MATERIALIZED routed blocks (each row
@@ -86,7 +99,7 @@ class GraphShard:
         idempotent by construction, with no per-chunk bookkeeping."""
         n = 0
         for r in refs:
-            t: pa.Table = ray.get(r)
+            t = self._as_table(ray.get(r))
             # empty inputs can surface untagged empty blocks (the map
             # never ran) — nothing to ingest either way
             if t.num_rows == 0 or "_pid" not in t.column_names:
@@ -110,7 +123,7 @@ class GraphShard:
         explicit vertex universe (column ``v`` + ``_pid``)."""
         n = 0
         for r in refs:
-            t: pa.Table = ray.get(r)
+            t = self._as_table(ray.get(r))
             if t.num_rows == 0 or "_pid" not in t.column_names:
                 continue
             m = self._np(t["_pid"]) == self.pid
