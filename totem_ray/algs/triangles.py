@@ -295,13 +295,20 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
     bidx = np.searchsorted(h1, bounds).astype(np.int64)
     bidx[-1] = len(h1)  # top bound wraps to 0 in uint64 — pin the end
     max_run = int(np.diff(bidx).max()) if len(h1) else 0
+    # Bloom pre-test (2 B/edge, k=2): rejects the ~97% of wedges that
+    # cannot close with two byte-gathers each, before the exact
+    # bucket-indexed fingerprint probe touches the big arrays
+    blm, bmask = _bloom_alloc(len(h1))
+    _bloom_set(blm, bmask, h1, h2)
     ref1, ref2 = _ray.put(h1), _ray.put(h2)
     ref_idx = _ray.put(bidx)
+    ref_blm = _ray.put((blm, bmask))
 
     def close_wedges(t: pa.Table) -> pa.Table:
         eh1: np.ndarray = _ray.get(ref1)
         eh2: np.ndarray = _ray.get(ref2)
         ebidx: np.ndarray = _ray.get(ref_idx)
+        eblm, ebmask = _ray.get(ref_blm)
         a = np.asarray(t["a"])
         b = np.asarray(t["b"])
         order = np.argsort(a, kind="stable")
@@ -333,17 +340,21 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
             n = len(eh1)
             hit = np.zeros(len(wh1), dtype=bool)
             if n:
-                bkt = (wh1 >> shift).astype(np.int64)
+                ci = np.flatnonzero(_bloom_probe(eblm, ebmask, wh1, wh2))
+                w1c, w2c = wh1[ci], wh2[ci]
+                bkt = (w1c >> shift).astype(np.int64)
                 start = ebidx[bkt]
                 end = ebidx[bkt + 1]
+                hitc = np.zeros(len(ci), dtype=bool)
                 for k in range(max_run):
                     pk = np.minimum(start + k, n - 1)
-                    mk = (start + k < end) & ~hit
-                    mk &= eh1[pk] == wh1
+                    mk = (start + k < end) & ~hitc
+                    mk &= eh1[pk] == w1c
                     # verify h2 only where h1 matched (hits are sparse)
                     m = np.flatnonzero(mk)
-                    mk[m] = eh2[pk[m]] == wh2[m]
-                    hit |= mk
+                    mk[m] = eh2[pk[m]] == w2c[m]
+                    hitc |= mk
+                hit[ci] = hitc
             if hit.any():
                 u = al[second[hit]]  # wedge centers, hits only
                 v = np.concatenate([u, lo[hit], hi[hit]])
@@ -434,6 +445,22 @@ def triangle_counts(edges, num_buckets: int = 64,
                                  num_join_partitions)
 
 
+def _bloom_alloc(n_edges: int, bits_per_edge: int = 16):
+    m = 1 << max(int(np.ceil(np.log2(max(n_edges, 1) * bits_per_edge))), 10)
+    return np.zeros(m >> 3, dtype=np.uint8), np.uint64(m - 1)
+
+
+_BLOOM_ONES = np.left_shift(np.uint8(1), np.arange(8, dtype=np.uint8))
+
+
+def _bloom_set(bloom: np.ndarray, mask: np.uint64,
+               h1: np.ndarray, h2: np.ndarray) -> None:
+    for h in (h1, h2):
+        p = h & mask
+        np.bitwise_or.at(bloom, (p >> np.uint64(3)).astype(np.int64),
+                         _BLOOM_ONES[(p & np.uint64(7)).astype(np.int64)])
+
+
 def _edge_bloom(oriented, n_edges: int, bits_per_edge: int = 16):
     """Bit-packed Bloom filter (k=2, positions from the two 64-bit
     edge-fingerprint halves) over the canonicalized oriented edge set.
@@ -443,9 +470,7 @@ def _edge_bloom(oriented, n_edges: int, bits_per_edge: int = 16):
     columns through the driver once (8+8 B/edge); at 2e9 edges that is
     a 32 GB stream into a 4 GB bitmap — past that the caller skips the
     pre-filter entirely and the semi join runs unpruned."""
-    m = 1 << max(int(np.ceil(np.log2(max(n_edges, 1) * bits_per_edge))), 10)
-    mask = np.uint64(m - 1)
-    bloom = np.zeros(m >> 3, dtype=np.uint8)
+    bloom, mask = _bloom_alloc(n_edges, bits_per_edge)
 
     def fp(t: pa.Table) -> pa.Table:
         a = np.asarray(t["a"])
@@ -454,13 +479,9 @@ def _edge_bloom(oriented, n_edges: int, bits_per_edge: int = 16):
         return pa.table({"h1": pa.array(h1, type=pa.uint64()),
                          "h2": pa.array(h2, type=pa.uint64())})
 
-    ones = np.left_shift(np.uint8(1), np.arange(8, dtype=np.uint8))
     for blk in oriented.map_batches(fp, batch_format="pyarrow") \
                        .iter_batches(batch_format="pyarrow"):
-        for col in ("h1", "h2"):
-            p = np.asarray(blk[col]) & mask
-            np.bitwise_or.at(bloom, (p >> np.uint64(3)).astype(np.int64),
-                             ones[(p & np.uint64(7)).astype(np.int64)])
+        _bloom_set(bloom, mask, np.asarray(blk["h1"]), np.asarray(blk["h2"]))
     return bloom, mask
 
 
