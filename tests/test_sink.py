@@ -48,3 +48,30 @@ def test_fully_done_is_noop(tmp_path):
     write_parquet_resumable(_mkds(), path, key="v", num_partitions=4)
     res = write_parquet_resumable(_mkds(), path, key="v", num_partitions=4)
     assert res == {"written": 0, "skipped": 4, "path": path}
+
+
+def test_mismatched_partition_count_rejected(tmp_path):
+    import pytest
+
+    path = str(tmp_path / "out")
+    write_parquet_resumable(_mkds(), path, key="v", num_partitions=8)
+    with pytest.raises(ValueError, match="num_partitions=8"):
+        write_parquet_resumable(_mkds(), path, key="v", num_partitions=16)
+
+
+def test_all_done_marker_self_heals(tmp_path):
+    path = str(tmp_path / "out")
+    write_parquet_resumable(_mkds(), path, key="v", num_partitions=4)
+    os.remove(os.path.join(path, "_ALL_DONE"))
+    res = write_parquet_resumable(_mkds(), path, key="v", num_partitions=4)
+    assert res["skipped"] == 4
+    assert os.path.exists(os.path.join(path, "_ALL_DONE"))
+
+
+def test_string_key_rejected_early(tmp_path):
+    import pytest
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(["a", "b"]),
+                                 "val": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="integer id"):
+        write_parquet_resumable(ds, str(tmp_path / "out"), key="k")

@@ -53,19 +53,45 @@ def write_parquet_resumable(ds, path: str, key: str,
     Returns {written: n_partitions_written, skipped:
     n_partitions_skipped, path}.
     """
+    import uuid
+
     import pyarrow.parquet as pq
 
+    sch = ds.schema()
+    if sch is not None and key in sch.names:
+        ktype = dict(zip(sch.names, sch.types))[key]
+        if not (pa.types.is_integer(ktype) or pa.types.is_temporal(ktype)):
+            raise ValueError(
+                f"write_parquet_resumable key column {key!r} must be an "
+                f"integer id (got {ktype}); hash string keys to int64 "
+                f"first (totem_ray.hashing.hash_strings_i64)")
     os.makedirs(path, exist_ok=True)
+    # the partition count IS the resume contract: persist it and
+    # refuse a mismatched re-run (a different count would silently
+    # skip/duplicate rows against the old partition files)
+    meta_path = os.path.join(path, "_META")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = int(f.read().strip() or 0)
+        if prev != num_partitions:
+            raise ValueError(
+                f"{path} was written with num_partitions={prev}; resume "
+                f"with the same value (got {num_partitions})")
+    else:
+        with open(meta_path, "w") as f:
+            f.write(str(num_partitions))
     done = np.array([_done(os.path.join(path, f"part={p:05d}"))
                      for p in range(num_partitions)])
     if done.all():
+        # self-heal the aggregate marker if a prior run crashed
+        # between the last partition _DONE and the _ALL_DONE write
+        with open(os.path.join(path, "_ALL_DONE"), "w") as f:
+            f.write(str(num_partitions))
         return {"written": 0, "skipped": int(num_partitions), "path": path}
-    done_ids = set(np.flatnonzero(done).tolist())
 
     def add_part(t: pa.Table) -> pa.Table:
         pid = hash_partition(np.asarray(t[key]), num_partitions)
-        keep = ~np.isin(pid, list(done_ids)) if done_ids else \
-            np.ones(len(pid), dtype=bool)
+        keep = ~done[pid]
         t = t.filter(pa.array(keep))
         return t.append_column("_part", pa.array(pid[keep]))
 
@@ -73,7 +99,9 @@ def write_parquet_resumable(ds, path: str, key: str,
         p = int(t["_part"][0].as_py())
         pdir = os.path.join(path, f"part={p:05d}")
         os.makedirs(pdir, exist_ok=True)
-        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        # unique tmp name: concurrent duplicate runs (an orchestrator
+        # retrying a "hung" job) must not interleave into one file
+        tmp = os.path.join(pdir, f".data.parquet.{uuid.uuid4().hex}.tmp")
         pq.write_table(t.drop_columns(["_part"]), tmp)
         os.replace(tmp, os.path.join(pdir, "data.parquet"))
         with open(os.path.join(pdir, "_DONE"), "w") as f:
@@ -89,7 +117,7 @@ def write_parquet_resumable(ds, path: str, key: str,
     # the next run knows they are complete
     for p in range(num_partitions):
         pdir = os.path.join(path, f"part={p:05d}")
-        if p not in done_ids and not _done(pdir):
+        if not done[p] and not _done(pdir):
             os.makedirs(pdir, exist_ok=True)
             with open(os.path.join(pdir, "_DONE"), "w") as f:
                 f.write("0")
