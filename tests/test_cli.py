@@ -1,0 +1,47 @@
+"""CLI entry tests (python -m totem_ray — the totem_benchmark analog)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from totem_ray.__main__ import main
+from totem_ray.sources.fixtures import topology_edges
+
+
+def _edges_dir(tmp_path, name="grid_15"):
+    n, e = topology_edges(name)
+    d = str(tmp_path / "edges")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({"src": pa.array(e[:, 0].astype(np.int64)),
+                             "dst": pa.array(e[:, 1].astype(np.int64))}),
+                   os.path.join(d, "part-0.parquet"))
+    return d
+
+
+def test_cli_bfs_and_cc(tmp_path, capsys):
+    d = _edges_dir(tmp_path)
+    assert main(["bfs", "--edges", d, "--partitions", "2",
+                 "--source", "0"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["alg"] == "bfs" and row["rows"] == 15
+
+    out = str(tmp_path / "cc_out")
+    assert main(["cc", "--edges", d, "--partitions", "2",
+                 "--out", out, "--resumable-out"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["rows"] == 15 and row["sink"]["path"] == out
+    assert os.path.exists(os.path.join(out, "_ALL_DONE"))
+
+
+def test_cli_triangles_from_pages(tmp_path, capsys):
+    from totem_ray.sources.pages import write_pages_parquet
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, *topology_edges("wheel_1000"))
+    assert main(["clustering_coefficient", "--pages", pages,
+                 "--partitions", "2"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["rows"] == 1000

@@ -1,0 +1,158 @@
+"""CLI entry — the Ray analog of the reference's totem_benchmark
+binary (src/benchmark/totem_benchmark_binary.cu:329-335 /
+totem_benchmark_cmdline.cu:115-227): pick an algorithm, an input, a
+partition count and an output directory; run; print one metrics JSON
+line (the TSV print_timing analog, totem_benchmark_print.cu:85-105).
+
+    python -m totem_ray pagerank --edges /data/edges_parquet \\
+        --partitions 32 --out /tmp/pr_out
+    python -m totem_ray bfs --pages /data/pages_parquet --source 0
+    python -m totem_ray cc --edges ... --resume   # checkpoint resume
+
+Inputs: --edges (parquet with src/dst[/weight]) or --pages (parquet
+web pages: url/html — links are extracted and url-hashed first).
+Outputs land as parquet under --out (resumable partitioned layout via
+--resumable-out). Designed for ``ray job submit -- python -m
+totem_ray ...`` on a cluster; locally it starts a local Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+ALGS = ["pagerank", "pagerank_pull", "cc", "labelprop", "bfs",
+        "bfs_tree", "bfs_dirop", "sssp", "closeness", "betweenness",
+        "stress", "pcore", "maxflow", "triangles",
+        "clustering_coefficient"]
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m totem_ray",
+        description="Ray-Data-native Totem-capability graph engine")
+    p.add_argument("alg", choices=ALGS)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--edges", help="parquet dir/file with src,dst[,weight]")
+    src.add_argument("--pages", help="parquet dir/file with url,html pages")
+    p.add_argument("--partitions", type=int, default=8)
+    p.add_argument("--source", type=int, default=None,
+                   help="source vertex (bfs/sssp/...); default: min src")
+    p.add_argument("--sink", type=int, default=None, help="maxflow sink")
+    p.add_argument("--out", default=None,
+                   help="output parquet dir (omit to print row count only)")
+    p.add_argument("--resumable-out", action="store_true",
+                   help="write via the resumable partitioned sink")
+    p.add_argument("--resume", action="store_true",
+                   help="resume the BSP run from the newest checkpoint")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--max-supersteps", type=int, default=10_000)
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="ray.init num_cpus for standalone local runs")
+    return p
+
+
+def main(argv=None) -> int:
+    args = _parser().parse_args(argv)
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kw)
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    t0 = time.perf_counter()
+    if args.pages:
+        from totem_ray.sources.extract import pages_to_edges
+
+        edges = pages_to_edges(rd.read_parquet(args.pages,
+                                               columns=["url", "html"]))
+    else:
+        edges = rd.read_parquet(args.edges)
+
+    source = args.source
+    if source is None and args.alg in ("bfs", "bfs_tree", "bfs_dirop",
+                                       "sssp", "maxflow"):
+        source = int(edges.min("src"))
+
+    from totem_ray import algs
+
+    kw: dict = {"num_partitions": args.partitions}
+    run_kw: dict = {}
+    if args.checkpoint_every or args.resume:
+        run_kw = {"checkpoint_dir": args.checkpoint_dir,
+                  "checkpoint_every": args.checkpoint_every or 10,
+                  "resume": args.resume}
+
+    if args.alg in ("pagerank", "pagerank_pull"):
+        out = algs.pagerank(edges, direction="pull"
+                            if args.alg == "pagerank_pull" else "push",
+                            **kw, **run_kw)
+    elif args.alg == "cc":
+        out = algs.connected_components(edges, **kw, **run_kw)
+    elif args.alg == "labelprop":
+        out = algs.label_propagation(edges, **kw, **run_kw)
+    elif args.alg == "bfs":
+        out = algs.bfs(edges, source=source, **kw, **run_kw)
+    elif args.alg == "bfs_tree":
+        out = algs.bfs_tree(edges, source=source, **kw, **run_kw)
+    elif args.alg == "bfs_dirop":
+        out = algs.bfs_stepwise(edges, source=source, **kw)
+    elif args.alg == "sssp":
+        out = algs.sssp(edges, source=source, **kw, **run_kw)
+    elif args.alg == "closeness":
+        out = algs.closeness(edges, **kw)
+    elif args.alg == "betweenness":
+        out = algs.betweenness(edges, **kw)
+    elif args.alg == "stress":
+        out = algs.stress(edges, **kw)
+    elif args.alg == "pcore":
+        out = algs.pcore(edges, **kw)
+    elif args.alg == "maxflow":
+        sink = args.sink if args.sink is not None else int(edges.max("dst"))
+        out = algs.maxflow(edges, source=source, sink=sink, **kw)
+    elif args.alg == "triangles":
+        out = {"result": algs.triangle_counts(edges)}
+    elif args.alg == "clustering_coefficient":
+        out = {"result": algs.clustering_coefficient(edges)}
+    else:  # pragma: no cover — argparse choices guard this
+        raise SystemExit(f"unknown alg {args.alg}")
+
+    res = out["result"]
+    if args.out and args.resumable_out:
+        from totem_ray.sources.sink import write_parquet_resumable
+
+        key = res.schema().names[0]
+        sink_info = write_parquet_resumable(res, args.out, key=key)
+        n = rd.read_parquet(args.out).count()
+    elif args.out:
+        res.write_parquet(args.out)
+        sink_info = {"path": args.out}
+        n = rd.read_parquet(args.out).count()
+    else:
+        sink_info = None
+        n = res.count()
+
+    metrics = {k: v for k, v in out.items()
+               if k in ("iterations", "max_flow", "sources")}
+    eng = out.get("engine")
+    if eng is not None:
+        metrics["total_vertices"] = eng.total_vertices
+        metrics["total_edges"] = eng.total_edges
+        eng.shutdown()
+    print(json.dumps({"alg": args.alg, "rows": int(n),
+                      "sec": round(time.perf_counter() - t0, 3),
+                      "partitions": args.partitions,
+                      "sink": sink_info, **metrics}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
