@@ -161,13 +161,19 @@ class GraphShard:
         self._edge_chunks = []
         self._dst_owner = partitioner.pid_np(self._dst) if len(self._dst) \
             else np.empty(0, dtype=np.int64)
+        # ONE stable sort by owner replaces P masked scans here and in
+        # finalize: edges of owner q live at order[bounds[q]:bounds[q+1]]
+        self._owner_order = np.argsort(self._dst_owner, kind="stable")
+        self._owner_bounds = np.searchsorted(
+            self._dst_owner[self._owner_order], np.arange(self.P + 1))
         ghosts: dict[int, np.ndarray] = {}
         for q in range(self.P):
             if q == self.pid:
                 continue
-            ids = np.unique(self._dst[self._dst_owner == q])
-            if len(ids):
-                ghosts[q] = ids
+            sel = self._owner_order[self._owner_bounds[q]:
+                                    self._owner_bounds[q + 1]]
+            if len(sel):
+                ghosts[q] = np.unique(self._dst[sel])
         self.ghosts = ghosts
         return ghosts
 
@@ -175,9 +181,11 @@ class GraphShard:
         """Phase 2: fix the owned vertex set (srcs + locally-owned dsts
         + explicitly routed vertices + vertices other shards reference),
         build the CSR views and inbox maps."""
+        _sel_local = self._owner_order[self._owner_bounds[self.pid]:
+                                       self._owner_bounds[self.pid + 1]]
         parts = [self._src]
         if len(self._dst):
-            parts.append(self._dst[self._dst_owner == self.pid])
+            parts.append(self._dst[_sel_local])
         if self._vert_chunks:
             parts.extend(self._vert_chunks)
         parts.extend(incoming.values())
@@ -203,36 +211,33 @@ class GraphShard:
         self.adj_owner = self._dst_owner[order_src].astype(np.int32)
         adj_idx = np.empty(self.ne, dtype=np.int64)
 
+        tmp_idx = np.empty(self.ne, dtype=np.int64)
         for t in range(self.P):
-            mask = self._dst_owner == t
-            if not mask.any():
+            sel = self._owner_order[self._owner_bounds[t]:
+                                    self._owner_bounds[t + 1]]
+            if not len(sel):
                 continue
-            e_s = src_idx[mask]
+            e_s = src_idx[sel]
             if t == self.pid:
-                e_d = np.searchsorted(self.verts, self._dst[mask])
+                e_d = np.searchsorted(self.verts, self._dst[sel])
                 size = self.nv
             else:
-                e_d = np.searchsorted(self.ghosts[t], self._dst[mask])
+                e_d = np.searchsorted(self.ghosts[t], self._dst[sel])
                 size = len(self.ghosts[t])
+            tmp_idx[sel] = e_d  # adjacency idx codes, same pass
             order = np.argsort(e_d, kind="stable")
             self.tgt[t] = {"src": e_s[order], "dst": e_d[order], "size": size}
             if self._w is not None:
-                self.tgt[t]["w"] = self._w[mask][order]
+                self.tgt[t]["w"] = self._w[sel][order]
 
-        # fill adjacency idx codes in src-major order
-        mask_local = self._dst_owner == self.pid
-        tmp_idx = np.empty(self.ne, dtype=np.int64)
-        if mask_local.any():
-            tmp_idx[mask_local] = np.searchsorted(self.verts, self._dst[mask_local])
-        for q, g in self.ghosts.items():
-            m = self._dst_owner == q
-            tmp_idx[m] = np.searchsorted(g, self._dst[m])
+        # adjacency idx codes in src-major order
         adj_idx[:] = tmp_idx[order_src]
         self.adj_idx = adj_idx
 
         # free raw edge arrays except what's needed
         self.weighted = self._w is not None
         del self._src, self._dst, self._dst_owner, self._w
+        del self._owner_order, self._owner_bounds
         return {"pid": self.pid, "nv": self.nv, "ne": self.ne,
                 "ghost_vertices": int(sum(len(g) for g in self.ghosts.values()))}
 
