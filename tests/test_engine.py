@@ -221,6 +221,53 @@ def test_ingest_blocks_idempotent_and_sliced():
     assert info0["ne"] == 1 and info0["nv"] >= 2
 
 
+def test_split_edge_block_is_shard_selective():
+    # round-3 build path: each shard receives ONLY its own rows — the
+    # split task partitions a routed block into P per-shard sub-tables
+    # (bsp._split_edge_block), so a shard never fetches another
+    # shard's bytes (no P-way broadcast of the edge table)
+    import pyarrow as pa
+    import ray as _ray
+    from totem_ray.engine.bsp import _split_edge_block, _split_vertex_block
+    from totem_ray.graph.partition import HashPartitioner
+
+    P = 4
+    part = HashPartitioner(P)
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 1000, 500).astype(np.int64)
+    dst = rng.integers(0, 1000, 500).astype(np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    parts = _ray.get(list(_split_edge_block.options(num_returns=P)
+                          .remote(t, part, "src", P)))
+    total = 0
+    for p, sub in enumerate(parts):
+        if sub is None:
+            continue
+        pids = part.pid_np(np.asarray(sub["src"]))
+        assert (pids == p).all()          # strictly this shard's rows
+        total += sub.num_rows
+    assert total == 500                    # nothing lost, nothing doubled
+
+    vparts = _ray.get(list(_split_vertex_block.options(num_returns=P)
+                           .remote(pa.table({"id": pa.array(src)}), part, P)))
+    vtotal = 0
+    for p, sub in enumerate(vparts):
+        if sub is None:
+            continue
+        v = np.asarray(sub["v"])
+        assert (part.pid_np(v) == p).all()
+        assert len(np.unique(v)) == len(v)
+        vtotal += len(v)
+    assert vtotal == len(np.unique(src))
+
+    # empty block → all-None split
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64())})
+    eparts = _ray.get(list(_split_edge_block.options(num_returns=P)
+                           .remote(empty, part, "src", P)))
+    assert all(s is None for s in eparts)
+
+
 def test_build_from_pandas_block_dataset():
     # upstream operators (e.g. Ray's aggregate reduce) produce PANDAS
     # blocks; to_arrow_refs hands the raw block to the shards, so

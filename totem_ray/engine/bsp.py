@@ -45,6 +45,49 @@ from totem_ray.engine.shard import GraphShard
 from totem_ray.graph.partition import HashPartitioner
 from totem_ray.hashing import lineage_hash
 
+
+@ray.remote
+def _split_edge_block(blk, partitioner, key: str, P: int):
+    """Split one routed block into P per-shard sub-tables (None when a
+    shard gets no rows). A pure function of its input block, so Ray
+    task retries are idempotent; with ``num_returns=P`` each sub-table
+    is its own object and a shard fetches ONLY its 1/P share — the
+    multi-node analog of partition_set_initialize
+    (totem_partition.cu:596-636), where each partition holds only its
+    subgraph (no P-way broadcast of the full edge table)."""
+    t = GraphShard._as_table(blk)
+    if t.num_rows == 0 or key not in t.column_names:
+        return tuple([None] * P) if P > 1 else None
+    k = t[key]
+    k = np.asarray(k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k)
+    pid = partitioner.pid_np(k)
+    order = np.argsort(pid, kind="stable")
+    bounds = np.searchsorted(pid[order], np.arange(P + 1))
+    out = [t.take(order[bounds[p]:bounds[p + 1]])
+           if bounds[p + 1] > bounds[p] else None for p in range(P)]
+    return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
+def _split_vertex_block(blk, partitioner, P: int):
+    """Same contract for an explicit vertex universe: first column is
+    the vertex id; emit per-shard unique ``v`` tables."""
+    t = GraphShard._as_table(blk)
+    if t.num_rows == 0:
+        return tuple([None] * P) if P > 1 else None
+    col = t[t.column_names[0]]
+    v = np.unique(np.asarray(col.combine_chunks()
+                             if isinstance(col, pa.ChunkedArray) else col)
+                  .astype(np.int64))
+    pid = partitioner.pid_np(v)
+    order = np.argsort(pid, kind="stable")
+    bounds = np.searchsorted(pid[order], np.arange(P + 1))
+    out = [pa.table({"v": pa.array(v[order[bounds[p]:bounds[p + 1]]],
+                                   type=pa.int64())})
+           if bounds[p + 1] > bounds[p] else None for p in range(P)]
+    return tuple(out) if P > 1 else out[0]
+
+
 class BspEngine:
     def __init__(self, num_partitions: int = 4, partitioner=None,
                  num_cpus_per_shard: float = 0, group_size: int = 8):
@@ -97,42 +140,42 @@ class BspEngine:
         weighted = sch is not None and "weight" in sch.names
         key = "src" if route_by == "src" else "dst"
 
-        def tag_pid(t: pa.Table) -> pa.Table:
-            k = np.asarray(t[key].combine_chunks()
-                           if isinstance(t[key], pa.ChunkedArray) else t[key])
-            return t.append_column(
-                "_pid", pa.array(partitioner.pid_np(k).astype(np.int32)))
-
         cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
-        # Pure routing: tag each row with its destination shard and
-        # MATERIALIZE — any Ray Data retry resolves inside materialize,
-        # which yields every routed row exactly once. The driver then
-        # hands all shards the same block-ref list; each shard reads
-        # the blocks zero-copy from plasma and keeps its rows
-        # (idempotent by construction — a side-effecting router would
-        # double-deliver chunks on task re-execution).
-        routed = edges_ds.select_columns(cols) \
-            .map_batches(tag_pid, batch_format="pyarrow").materialize()
-        refs = routed.to_arrow_refs()
-        ray.get([s.ingest_edge_blocks.remote(refs) for s in shards])
-        del routed, refs  # unpin the routed copy before CSR build
+        # Shard-selective routing: MATERIALIZE the selected columns
+        # (any Ray Data retry resolves inside materialize, so every row
+        # exists exactly once), then split each block into P per-shard
+        # sub-tables with a ``num_returns=P`` task — a pure function of
+        # the block, so task retries are idempotent. Each shard fetches
+        # ONLY its own sub-tables (1/P of the bytes on a real cluster;
+        # the old design handed every shard every block — a P-way
+        # broadcast of the full edge table). Split tasks schedule next
+        # to their input block, so the only cross-node traffic is the
+        # actual shuffle.
+        part_ref = ray.put(partitioner)
+        ds = edges_ds.select_columns(cols).materialize()
+        refs = ds.to_arrow_refs()
+        split = [_split_edge_block.options(num_returns=self.P)
+                 .remote(r, part_ref, key, self.P) for r in refs]
+        if self.P == 1:
+            per_shard = [split]
+        else:
+            per_shard = [[s[p] for s in split] for p in range(self.P)]
+        ray.get([s.ingest_edge_parts.remote(per_shard[p])
+                 for p, s in enumerate(shards)])
+        del ds, refs, split, per_shard  # unpin before CSR build
 
         if vertices_ds is not None:
-            def tag_vpid(t: pa.Table) -> pa.Table:
-                col = t[t.column_names[0]]
-                v = np.unique(np.asarray(col.combine_chunks()
-                                         if isinstance(col, pa.ChunkedArray)
-                                         else col))
-                return pa.table({
-                    "v": pa.array(v, type=pa.int64()),
-                    "_pid": pa.array(partitioner.pid_np(v).astype(np.int32)),
-                })
-
-            routed_v = vertices_ds.map_batches(
-                tag_vpid, batch_format="pyarrow").materialize()
-            vrefs = routed_v.to_arrow_refs()
-            ray.get([s.ingest_vertex_blocks.remote(vrefs) for s in shards])
-            del routed_v, vrefs
+            vds = vertices_ds.materialize()
+            vrefs = vds.to_arrow_refs()
+            vsplit = [_split_vertex_block.options(num_returns=self.P)
+                      .remote(r, part_ref, self.P) for r in vrefs]
+            if self.P == 1:
+                vper = [vsplit]
+            else:
+                vper = [[s[p] for s in vsplit] for p in range(self.P)]
+            ray.get([s.ingest_vertex_parts.remote(vper[p])
+                     for p, s in enumerate(shards)])
+            del vds, vrefs, vsplit, vper
 
         if route_by == "dst":
             # three-phase pull exchange: (1) requesters announce the

@@ -118,6 +118,43 @@ class GraphShard:
             n += len(src)
         return n
 
+    def ingest_edge_parts(self, refs: list) -> int:
+        """Shard-selective ingest: each ref is THIS shard's pre-split
+        sub-table of one routed block (or None when the block had no
+        rows for this shard). The shard fetches only its 1/P share —
+        see bsp._split_edge_block. One batched get (sequential gets
+        would serialize on RPC latency)."""
+        n = 0
+        for t in ray.get(list(refs)):
+            if t is None:
+                continue
+            t = self._as_table(t)
+            if t.num_rows == 0:
+                continue
+            src = self._np(t["src"]).astype(np.int64, copy=False)
+            dst = self._np(t["dst"]).astype(np.int64, copy=False)
+            w = self._np(t["weight"]).astype(np.float64, copy=False) \
+                if "weight" in t.column_names else None
+            # copy out of plasma so the sub-block is not pinned by views
+            self._edge_chunks.append((src.copy(), dst.copy(),
+                                      None if w is None else w.copy()))
+            n += len(src)
+        return n
+
+    def ingest_vertex_parts(self, refs: list) -> int:
+        """Shard-selective vertex-universe ingest (column ``v``)."""
+        n = 0
+        for t in ray.get(list(refs)):
+            if t is None:
+                continue
+            t = self._as_table(t)
+            if t.num_rows == 0:
+                continue
+            ids = self._np(t["v"]).astype(np.int64, copy=False)
+            self._vert_chunks.append(ids.copy())
+            n += len(ids)
+        return n
+
     def ingest_vertex_blocks(self, refs: list) -> int:
         """Same pull-based contract as ingest_edge_blocks, for an
         explicit vertex universe (column ``v`` + ``_pid``)."""
