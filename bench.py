@@ -268,11 +268,28 @@ def cpu_canary() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def canary_summary(samples: list) -> dict:
+    """Min/median/max + a reliability verdict over canary samples
+    taken before, during, and after the run. A one-shot canary at
+    bench start cannot capture contention DURING the run (round-2's
+    BENCH_r02.json had a 0.277 s start canary alongside pipelines 2-5x
+    slower than a healthy host — internally inconsistent); a spread
+    > 2x between samples marks the whole run unreliable."""
+    import statistics
+
+    s = sorted(samples)
+    spread = (s[-1] / s[0]) if s[0] > 0 else float("inf")
+    return {"samples": samples,
+            "min": s[0], "median": round(statistics.median(s), 3),
+            "max": s[-1], "spread": round(spread, 2),
+            "reliable": spread <= 2.0}
+
+
 def run_once(headline_only: bool = False) -> dict:
     _ensure_repo_on_path()
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    canary = cpu_canary()
+    canaries = [cpu_canary()]
 
     import ray
     if not ray.is_initialized():
@@ -297,9 +314,11 @@ def run_once(headline_only: bool = False) -> dict:
     queries = {"rmat_pagerank": head["sec"],
                "rmat_pagerank_build": head["build_sec"]}
     extra = {"headline": head}
+    canaries.append(cpu_canary())  # mid-run: after the headline
     if not headline_only:
         q = bench_sf_queries(sf_dir, ncpu)
         queries.update({k: v for k, v in q.items() if not k.endswith("_iters")})
+        canaries.append(cpu_canary())  # mid-run: after sf queries
         ext = bench_extraction(ncpu)
         queries["link_extract"] = ext["link_extract_sec"]
         queries["text_extract"] = ext["text_extract_sec"]
@@ -308,6 +327,7 @@ def run_once(headline_only: bool = False) -> dict:
         extra["sf_queries"] = q
         extra["extraction"] = ext
         extra["dedup"] = dd
+    canaries.append(cpu_canary())  # end of run
 
     total = sum(v for v in queries.values())
     result = {
@@ -318,7 +338,8 @@ def run_once(headline_only: bool = False) -> dict:
         "sf": sf_dir,
         "num_cpus": ncpu,
         "extra": {"gteps": round(head["gteps"], 4),
-                  "cpu_canary_sort10m_sec": canary,
+                  "cpu_canary_sort10m_sec": canaries[0],
+                  "cpu_canary": canary_summary(canaries),
                   "iterations": head["iterations"],
                   "edges": head["edges"],
                   "vertices": head["vertices"],
@@ -376,6 +397,8 @@ def run_scaling():
         "cpu_canary_sort10m_sec": [
             results[lo]["extra"].get("cpu_canary_sort10m_sec"),
             results[hi]["extra"].get("cpu_canary_sort10m_sec")],
+        "cpu_canary": [results[lo]["extra"].get("cpu_canary"),
+                       results[hi]["extra"].get("cpu_canary")],
     }
     print(json.dumps(summary))
     _append_baseline(summary)

@@ -23,6 +23,9 @@ def test_write_read_roundtrip(tmp_path):
     back = rd.read_parquet(path).to_pandas().sort_values("v")         .reset_index(drop=True)
     assert len(back) == 1000
     assert (back["val"].to_numpy() == back["v"].to_numpy() * 2).all()
+    # partition dirs must not hive-parse into a spurious extra column
+    # (a part=NNNNN layout would read back as schema [v, val, part])
+    assert sorted(back.columns) == ["v", "val"]
     assert os.path.exists(os.path.join(path, "_ALL_DONE"))
 
 
@@ -31,7 +34,7 @@ def test_resume_skips_finished_partitions(tmp_path):
     write_parquet_resumable(_mkds(), path, key="v", num_partitions=8)
     # simulate a partial failure: drop two partitions' data + markers
     for p in (1, 5):
-        pdir = os.path.join(path, f"part={p:05d}")
+        pdir = os.path.join(path, f"part-{p:05d}")
         os.remove(os.path.join(pdir, "_DONE"))
         f = os.path.join(pdir, "data.parquet")
         if os.path.exists(f):

@@ -50,6 +50,12 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--max-supersteps", type=int, default=10_000)
+    p.add_argument("--directed", action="store_true",
+                   help="bfs_dirop: treat the input as directed (disables "
+                        "the bottom-up phase, which traverses edges against "
+                        "their direction and is only sound on symmetric "
+                        "edge tables — the default assumes Graph500-style "
+                        "undirected input)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus for standalone local runs")
     return p
@@ -87,6 +93,11 @@ def main(argv=None) -> int:
     kw: dict = {"num_partitions": args.partitions}
     run_kw: dict = {}
     if args.checkpoint_every or args.resume:
+        if args.alg in ("bfs_dirop", "closeness", "betweenness", "stress",
+                        "maxflow", "triangles", "clustering_coefficient"):
+            raise SystemExit(
+                f"--resume/--checkpoint-every are not supported for "
+                f"{args.alg}; a run would silently recompute from scratch")
         run_kw = {"checkpoint_dir": args.checkpoint_dir,
                   "checkpoint_every": args.checkpoint_every or 10,
                   "resume": args.resume}
@@ -104,7 +115,8 @@ def main(argv=None) -> int:
     elif args.alg == "bfs_tree":
         out = algs.bfs_tree(edges, source=source, **kw, **run_kw)
     elif args.alg == "bfs_dirop":
-        out = algs.bfs_stepwise(edges, source=source, **kw)
+        out = algs.bfs_stepwise(edges, source=source,
+                                undirected=not args.directed, **kw)
     elif args.alg == "sssp":
         out = algs.sssp(edges, source=source, **kw, **run_kw)
     elif args.alg == "closeness":
@@ -114,7 +126,7 @@ def main(argv=None) -> int:
     elif args.alg == "stress":
         out = algs.stress(edges, **kw)
     elif args.alg == "pcore":
-        out = algs.pcore(edges, **kw)
+        out = algs.pcore(edges, **kw, **run_kw)
     elif args.alg == "maxflow":
         sink = args.sink if args.sink is not None else int(edges.max("dst"))
         out = algs.maxflow(edges, source=source, sink=sink, **kw)

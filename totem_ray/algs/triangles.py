@@ -202,18 +202,24 @@ def _ensure_src_whole(oriented, num_buckets: int, n_edges: int,
         def bucket_of(a):
             return hash_partition(a, num_buckets)
 
-    def meta(t: pa.Table) -> pa.Table:
-        bids = np.unique(bucket_of(np.asarray(t["a"])))
-        return pa.table({"bid": pa.array(bids, type=pa.int64())})
+    def fragmented(ds_, key_of) -> bool:
+        def meta(t: pa.Table) -> pa.Table:
+            bids = np.unique(key_of(np.asarray(t["a"])))
+            return pa.table({"bid": pa.array(bids, type=pa.int64())})
+        bids = ds_.map_batches(meta, batch_size=None,
+                               batch_format="pyarrow").to_pandas()["bid"]
+        return bool(bids.duplicated().any())
 
-    bids = oriented.map_batches(meta, batch_size=None,
-                                batch_format="pyarrow").to_pandas()["bid"]
-    if not bids.duplicated().any():
+    if not fragmented(oriented, bucket_of):
         return oriented
 
     # size repair buckets to a quarter of the LIVE block-split target
     # (16 B/row), so regrouped blocks stay whole; a single source's
-    # group is orientation-bounded by ~sqrt(2E) rows and fits too
+    # group is orientation-bounded by ~sqrt(2E) rows and fits too.
+    # Detect -> repair loops with doubling bucket counts until the
+    # duplication check passes — if Ray's output-buffer slicing ever
+    # split a repaired block mid-group, a single unverified repair
+    # would silently undercount triangles.
     import ray.data as _rd
 
     target = _rd.DataContext.get_current().target_max_block_size \
@@ -221,16 +227,25 @@ def _ensure_src_whole(oriented, num_buckets: int, n_edges: int,
     rows_per_bucket = max(int(target) // (4 * 16), 64)
     nb2 = max(num_buckets * 2, int(np.ceil(n_edges / rows_per_bucket)))
 
-    def add_b(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "_rb", pa.array(hash_partition(np.asarray(t["a"]), nb2)))
+    for _attempt in range(4):
+        def add_b(t: pa.Table, _nb=nb2) -> pa.Table:
+            return t.append_column(
+                "_rb", pa.array(hash_partition(np.asarray(t["a"]), _nb)))
 
-    def strip(t: pa.Table) -> pa.Table:
-        return t.select(["a", "b"])
+        def strip(t: pa.Table) -> pa.Table:
+            return t.select(["a", "b"])
 
-    return oriented.map_batches(add_b, batch_format="pyarrow") \
-        .groupby("_rb").map_groups(strip, batch_format="pyarrow") \
-        .materialize()
+        repaired = oriented.map_batches(add_b, batch_format="pyarrow") \
+            .groupby("_rb").map_groups(strip, batch_format="pyarrow") \
+            .materialize()
+        if not fragmented(repaired,
+                          lambda a, _nb=nb2: hash_partition(a, _nb)):
+            return repaired
+        nb2 *= 2
+    raise RuntimeError(
+        "_ensure_src_whole: could not produce an unfragmented "
+        f"src-grouped layout after 4 repair attempts (n_edges={n_edges}); "
+        "raise DataContext.target_max_block_size or num_buckets")
 
 
 def _edge_fingerprints(lo: np.ndarray, hi: np.ndarray):

@@ -180,7 +180,7 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
 
     def add_g(t: pa.Table) -> pa.Table:
         g = splitmix64(as_u64(np.asarray(t["bhash"]))
-                       ^ as_u64(np.asarray(t["band"]))) % np.uint64(64)
+                       ^ as_u64(np.asarray(t["band"]))) % 64
         return t.append_column("_g", pa.array(g.astype(np.int64)))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -300,7 +300,7 @@ def simhash_near_dup_pairs(docs, max_hamming: int = 3,
 
     def add_g(t: pa.Table) -> pa.Table:
         g = splitmix64(as_u64(np.asarray(t["chash"]))
-                       ^ as_u64(np.asarray(t["chunk"]))) % np.uint64(64)
+                       ^ as_u64(np.asarray(t["chunk"]))) % 64
         return t.append_column("_g", pa.array(g.astype(np.int64)))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -349,7 +349,7 @@ def ngram_jaccard_pairs(docs, tau: float = 0.5, shingle_k: int = 3,
     doc_counts = rows.groupby("doc").aggregate(Count(alias_name="nsh"))
 
     def add_g(t: pa.Table) -> pa.Table:
-        g = splitmix64(as_u64(np.asarray(t["sh"]))) % np.uint64(64)
+        g = splitmix64(as_u64(np.asarray(t["sh"]))) % 64
         return t.append_column("_g", pa.array(g.astype(np.int64)))
 
     def group_pairs(df: pd.DataFrame) -> pd.DataFrame:

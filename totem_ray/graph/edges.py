@@ -79,7 +79,7 @@ def dedup_edges(edges, num_buckets: int = 64):
         d = np.asarray(t["dst"])
         u = np.unique(np.stack([s, d], axis=1), axis=0)
         b = (splitmix64(splitmix64(as_u64(u[:, 0])) ^ as_u64(u[:, 1]))
-             % np.uint64(num_buckets)).astype(np.int64)
+             % int(num_buckets)).astype(np.int64)
         return pa.table({"src": pa.array(u[:, 0], type=pa.int64()),
                          "dst": pa.array(u[:, 1], type=pa.int64()),
                          "_b": pa.array(b)})
@@ -217,7 +217,7 @@ def create_bidirectional(edges):
             else np.ones(len(s), dtype=np.float64)
         b = (splitmix64(splitmix64(as_u64(np.minimum(s, d)))
                         ^ as_u64(np.maximum(s, d)))
-             % np.uint64(64)).astype(np.int64)
+             % 64).astype(np.int64)
         return pa.table({"src": pa.array(s, type=pa.int64()),
                          "dst": pa.array(d, type=pa.int64()),
                          "weight": pa.array(w, type=pa.float64()),

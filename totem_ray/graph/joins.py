@@ -67,7 +67,7 @@ def _key_hash(t: pa.Table, on: list[str], num_buckets: int) -> np.ndarray:
     h = np.zeros(t.num_rows, dtype=np.uint64)
     for c in on:
         h = splitmix64(h ^ as_u64(np.asarray(t[c])))
-    return (h % np.uint64(num_buckets)).astype(np.int64)
+    return (h % int(num_buckets)).astype(np.int64)
 
 
 def hash_join(left, right, on: list[str] | str, how: str = "inner",

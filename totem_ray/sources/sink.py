@@ -11,12 +11,21 @@ missing ones.
 Layout:
 
     path/
-      part=00000/ data.parquet  _DONE
-      part=00001/ ...
+      part-00000/ data.parquet  _DONE
+      part-00001/ ...
       _ALL_DONE            (written when every partition is complete)
 
 Readers use ``ray.data.read_parquet(path)`` (the marker files are not
 ``.parquet`` and are ignored by the reader's extension filter).
+Partition dirs deliberately contain no ``=``: a ``part=NNNNN`` name
+would be parsed by the reader's default hive partitioning into a
+spurious extra ``part`` column on read-back.
+
+Durability: each data file is fsync'd before its atomic rename, and
+the partition directory is fsync'd before the ``_DONE`` marker is
+written (likewise for ``_ALL_DONE``) — otherwise a host crash could
+make the marker durable while the data is not, and the next resume
+would permanently skip the corrupt partition.
 
 On a multi-node cluster ``path`` must be shared storage (the same
 requirement as ray.data.Dataset.write_parquet with a local path).
@@ -34,6 +43,25 @@ from totem_ray.hashing import hash_partition
 
 def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_DONE"))
+
+
+def _fsync_dir(path: str):
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _write_marker(path: str, content: str):
+    """Durably write a marker file: fsync the containing directory
+    FIRST (so the data rename is durable before the marker can be),
+    then fsync the marker itself."""
+    _fsync_dir(os.path.dirname(path))
+    with open(path, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
 
 
 def write_parquet_resumable(ds, path: str, key: str,
@@ -80,13 +108,12 @@ def write_parquet_resumable(ds, path: str, key: str,
     else:
         with open(meta_path, "w") as f:
             f.write(str(num_partitions))
-    done = np.array([_done(os.path.join(path, f"part={p:05d}"))
+    done = np.array([_done(os.path.join(path, f"part-{p:05d}"))
                      for p in range(num_partitions)])
     if done.all():
         # self-heal the aggregate marker if a prior run crashed
         # between the last partition _DONE and the _ALL_DONE write
-        with open(os.path.join(path, "_ALL_DONE"), "w") as f:
-            f.write(str(num_partitions))
+        _write_marker(os.path.join(path, "_ALL_DONE"), str(num_partitions))
         return {"written": 0, "skipped": int(num_partitions), "path": path}
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -97,15 +124,17 @@ def write_parquet_resumable(ds, path: str, key: str,
 
     def write_group(t: pa.Table) -> pa.Table:
         p = int(t["_part"][0].as_py())
-        pdir = os.path.join(path, f"part={p:05d}")
+        pdir = os.path.join(path, f"part-{p:05d}")
         os.makedirs(pdir, exist_ok=True)
         # unique tmp name: concurrent duplicate runs (an orchestrator
         # retrying a "hung" job) must not interleave into one file
         tmp = os.path.join(pdir, f".data.parquet.{uuid.uuid4().hex}.tmp")
-        pq.write_table(t.drop_columns(["_part"]), tmp)
+        with pq.ParquetWriter(tmp, t.drop_columns(["_part"]).schema) as w:
+            w.write_table(t.drop_columns(["_part"]))
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(pdir, "data.parquet"))
-        with open(os.path.join(pdir, "_DONE"), "w") as f:
-            f.write(str(t.num_rows))
+        _write_marker(os.path.join(pdir, "_DONE"), str(t.num_rows))
         return pa.table({"part": pa.array([p], type=pa.int64()),
                          "rows": pa.array([t.num_rows], type=pa.int64())})
 
@@ -116,12 +145,10 @@ def write_parquet_resumable(ds, path: str, key: str,
     # empty partitions (no rows hashed to them) still need markers so
     # the next run knows they are complete
     for p in range(num_partitions):
-        pdir = os.path.join(path, f"part={p:05d}")
+        pdir = os.path.join(path, f"part-{p:05d}")
         if not done[p] and not _done(pdir):
             os.makedirs(pdir, exist_ok=True)
-            with open(os.path.join(pdir, "_DONE"), "w") as f:
-                f.write("0")
-    with open(os.path.join(path, "_ALL_DONE"), "w") as f:
-        f.write(str(num_partitions))
+            _write_marker(os.path.join(pdir, "_DONE"), "0")
+    _write_marker(os.path.join(path, "_ALL_DONE"), str(num_partitions))
     return {"written": int(written), "skipped": int(done.sum()),
             "path": path}
