@@ -656,6 +656,56 @@ def q_events_asof_last_order(sf_dir: str):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def _multimodal_oracle_sql() -> str:
+    """Value-level oracle for ``multimodal_decode``: the fake decode is
+    a pure function of the payload (pixel j = splitmix64(j + first 8
+    payload bytes) & 0xFF), so expected per-channel means are computed
+    here with an INDEPENDENT pure-python-int transcription of
+    splitmix64 (no totem_ray.hashing import — only the synthetic input
+    table is shared) and embedded as a VALUES literal for DuckDB."""
+    from totem_ray.functions.multimodal import synthetic_media_table
+
+    M = (1 << 64) - 1
+
+    def sm64(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & M
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & M
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & M
+        x ^= x >> 31
+        return x
+
+    t = synthetic_media_table(n=96)
+    rows = []
+    for i in range(t.num_rows):
+        if t["media_type"][i].as_py() != "image":
+            continue
+        payload = t["payload"][i].as_py()
+        h = t["height"][i].as_py() or 32
+        w = t["width"][i].as_py() or 32
+        seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+        sums = [0, 0, 0]
+        n = h * w * 3
+        for j in range(n):
+            sums[j % 3] += sm64((j + seed) & M) & 0xFF
+        means = [float(np.round(s / (h * w), 6)) for s in sums]
+        rows.append((t["media_id"][i].as_py(), h, w, *means))
+    vals = ",\n".join(
+        f"({mid}, {h}, {w}, {r!r}, {g!r}, {b!r})"
+        for mid, h, w, r, g, b in rows)
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(height AS INTEGER) AS height,
+               CAST(width AS INTEGER) AS width,
+               CAST(mean_r AS DOUBLE) AS mean_r,
+               CAST(mean_g AS DOUBLE) AS mean_g,
+               CAST(mean_b AS DOUBLE) AS mean_b
+        FROM (VALUES {vals})
+             AS t(media_id, height, width, mean_r, mean_g, mean_b)
+    """
+
+
 def q_multimodal_decode(sf_dir: str):
     import ray.data
     from totem_ray.functions.multimodal import (decode_images,
@@ -1347,4 +1397,5 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN od
               ON e.user_id = od.user_id AND od.o_orderdate <= e.ts
         """,
+        "multimodal_decode": _multimodal_oracle_sql(),
     }

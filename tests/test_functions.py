@@ -222,3 +222,25 @@ def test_multimodal_fake_decode_deterministic():
     for c in ("mean_r", "mean_g", "mean_b"):
         assert np.allclose(a[c].to_numpy(), b[c].to_numpy())
     assert (a["height"] > 0).all() and (a["width"] > 0).all()
+
+
+def test_multimodal_decode_matches_independent_oracle():
+    # the driver-grade value check: the fake decode is a pure function
+    # of the payload, so the DuckDB VALUES oracle built from an
+    # independent pure-python splitmix64 transcription must agree
+    # exactly (same compare the driver runs at sf0.01)
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    mine = e.q_multimodal_decode("/root/testdata/sf0.01").to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    orc = duckdb.sql(e.oracle_sql()["multimodal_decode"]).df() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert len(mine) == len(orc) == 32
+    cols = sorted(mine.columns)
+    assert cols == sorted(orc.columns)
+    pd.testing.assert_frame_equal(mine[cols], orc[cols])

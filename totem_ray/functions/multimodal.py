@@ -66,19 +66,21 @@ class DecodeImage:
         return np.asarray(self._pil.open(io.BytesIO(payload)))  # pragma: no cover
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, hs, ws, means = [], [], [], []
+        # metadata columns vectorized once per batch; only the payload
+        # loop is per-row (inherent to per-item decode)
         payloads = t["payload"].to_pylist()
         mh = t["height"].to_pylist()
         mw = t["width"].to_pylist()
+        hs, ws, means = [], [], []
         for i in range(t.num_rows):
             px = self._decode(payloads[i], mh[i], mw[i])
-            ids.append(t["media_id"][i].as_py())
             hs.append(px.shape[0])
             ws.append(px.shape[1])
             means.append(px.reshape(-1, 3).mean(axis=0))
         m = np.asarray(means, dtype=np.float64) if means else np.empty((0, 3))
         return pa.table({
-            "media_id": pa.array(ids, type=pa.int64()),
+            "media_id": t["media_id"].combine_chunks()
+            if isinstance(t["media_id"], pa.ChunkedArray) else t["media_id"],
             "height": pa.array(hs, type=pa.int32()),
             "width": pa.array(ws, type=pa.int32()),
             "mean_r": pa.array(m[:, 0] if len(m) else [], type=pa.float64()),
@@ -132,12 +134,13 @@ class SampleFrames:
         ids, idxs, frames = [], [], []
         payloads = t["payload"].to_pylist()
         nf = t["n_frames"].to_pylist()
+        mids = t["media_id"].to_pylist()
         for i in range(t.num_rows):
             n = max(int(nf[i] or 1), 1)
             buf = payloads[i]
             step = max(len(buf) // n, 1)
             for f in range(0, n, self.every_n):
-                ids.append(t["media_id"][i].as_py())
+                ids.append(mids[i])
                 idxs.append(f)
                 frames.append(buf[f * step:(f + 1) * step])
         return pa.table({
