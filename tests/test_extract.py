@@ -57,3 +57,62 @@ def test_multiplicity_preserved():
     pages = render_pages_table(2, e)
     out = extract_edges_batch(pages)
     assert out.num_rows == 3
+
+
+# ------------------------------------------------------- .tbin format
+def test_tbin_roundtrip_reference_fixtures():
+    # graph_initialize_binary parity (totem_graph.cu:253-310): text
+    # fixture -> write_totem_binary -> parse_totem_binary must give
+    # back the identical edge set, weights, and flags
+    import os
+
+    from totem_ray.sources.totem_format import (is_totem_binary,
+                                                parse_totem_binary,
+                                                parse_totem_file,
+                                                write_totem_binary)
+
+    for name in ("chain_100_nodes_weight_directed.totem",
+                 "star_1000_nodes_weight.totem",
+                 "chain_1000_nodes.totem",
+                 "single_node.totem"):
+        src = os.path.join("/root/reference/data", name)
+        meta = parse_totem_file(src)
+        out = f"/tmp/tbin_{name}.tbin"
+        write_totem_binary(out, meta["num_vertices"], meta["edges"],
+                           weights=meta["weights"],
+                           directed=meta["directed"])
+        assert is_totem_binary(out)
+        back = parse_totem_binary(out)
+        assert back["num_vertices"] == meta["num_vertices"]
+        assert back["num_edges"] == meta["num_edges"]
+        assert back["directed"] == meta["directed"]
+        # binary stores CSR (src-sorted); compare as sorted edge sets
+        import numpy as np
+
+        def key(m):
+            e = m["edges"]
+            w = m["weights"] if m["weights"] is not None \
+                else np.zeros(len(e))
+            o = np.lexsort((w, e[:, 1], e[:, 0]))
+            return e[o], w[o]
+        ea, wa = key(meta)
+        eb, wb = key(back)
+        assert (ea == eb).all()
+        assert (wa == wb).all()
+
+
+def test_tbin_magic_sniff_dispatch():
+    import numpy as np
+
+    from totem_ray.sources.totem_format import (read_totem_graph,
+                                                write_totem_binary)
+
+    e = np.array([[0, 1], [1, 2], [2, 0]], dtype=np.int64)
+    write_totem_binary("/tmp/tri.tbin", 3, e)
+    ds = read_totem_graph("/tmp/tri.tbin")
+    df = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert df["src"].tolist() == [0, 1, 2]
+    assert df["dst"].tolist() == [1, 2, 0]
+    # text path still dispatches through the same entry
+    ds2 = read_totem_graph("/root/reference/data/chain_100_nodes.totem")
+    assert ds2.count() > 0

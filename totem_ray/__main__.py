@@ -81,7 +81,16 @@ def main(argv=None) -> int:
         edges = pages_to_edges(rd.read_parquet(args.pages,
                                                columns=["url", "html"]))
     else:
-        edges = rd.read_parquet(args.edges)
+        import os
+
+        if os.path.isfile(args.edges) and not args.edges.endswith(".parquet"):
+            # reference-format graph file (.totem text or .tbin binary,
+            # dispatched by magic sniff — graph_initialize parity)
+            from totem_ray.sources.totem_format import read_totem_graph
+
+            edges = read_totem_graph(args.edges)
+        else:
+            edges = rd.read_parquet(args.edges)
 
     source = args.source
     if source is None and args.alg in ("bfs", "bfs_tree", "bfs_dirop",

@@ -68,3 +68,128 @@ def read_totem_edges(path: str, num_blocks: int | None = None):
     if num_blocks:
         ds = ds.repartition(num_blocks)
     return ds
+
+
+# ----------------------------------------------------------------------
+# Totem binary (.tbin) format — graph_initialize_binary /
+# graph_store_binary (src/totem/totem_graph.cu:253-310,881-921; magic
+# sniff in graph_initialize, :386-407). Little-endian CSR layout:
+#
+#   uint32 magic = 0x10102048
+#   uint32 vid_size          (sizeof(vid_t), 4 in the default build)
+#   uint32 eid_size          (sizeof(eid_t), 4; 8 with EID=64)
+#   vid_t  vertex_count
+#   eid_t  edge_count
+#   bool   valued, weighted, directed   (1 byte each)
+#   eid_t  vertices[vertex_count + 1]   (CSR row offsets)
+#   [valued]   weight_t values[vertex_count]    (uint32)
+#   vid_t  edges[edge_count]            (CSR neighbor list)
+#   [weighted] weight_t weights[edge_count]     (uint32)
+# ----------------------------------------------------------------------
+TOTEM_BINARY_MAGIC = 0x10102048
+
+
+def is_totem_binary(path: str) -> bool:
+    """The reference's magic sniff (graph_initialize,
+    totem_graph.cu:386-407): first 4 bytes == BINARY_MAGIC_WORD."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    return len(head) == 4 and \
+        int(np.frombuffer(head, dtype="<u4")[0]) == TOTEM_BINARY_MAGIC
+
+
+def parse_totem_binary(path: str) -> dict:
+    """-> same dict shape as parse_totem_file: {num_vertices,
+    num_edges, directed, edges (m, 2) int64, weights | None, values |
+    None}. The CSR is expanded to an edge table (src via np.repeat of
+    the row extents) — the engine's IR is the edge table, not CSR."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    off = 0
+
+    def take(dtype, n):
+        nonlocal off
+        a = np.frombuffer(buf, dtype=dtype, count=n, offset=off)
+        if len(a) != n:
+            raise ValueError(f"{path}: truncated .tbin "
+                             f"(wanted {n} x {dtype} at offset {off})")
+        off += a.nbytes
+        return a
+
+    magic, vid_size, eid_size = (int(x) for x in take("<u4", 3))
+    if magic != TOTEM_BINARY_MAGIC:
+        raise ValueError(f"{path}: not a Totem binary graph "
+                         f"(magic {magic:#x})")
+    if vid_size != 4 or eid_size not in (4, 8):
+        raise ValueError(f"{path}: unsupported vid/eid sizes "
+                         f"({vid_size}/{eid_size}); the reference "
+                         "builds with vid=4 and eid=4 (or 8 with EID=64)")
+    eid_dt = "<u4" if eid_size == 4 else "<u8"
+    nv = int(take("<u4", 1)[0])
+    ne = int(take(eid_dt, 1)[0])
+    valued, weighted, directed = (bool(x) for x in take("u1", 3))
+    vertices = take(eid_dt, nv + 1).astype(np.int64)
+    values = take("<u4", nv).astype(np.float64) if valued else None
+    nbrs = take("<u4", ne).astype(np.int64)
+    weights = take("<u4", ne).astype(np.float64) if weighted else None
+    src = np.repeat(np.arange(nv, dtype=np.int64), np.diff(vertices))
+    edges = np.column_stack([src, nbrs]) if ne else \
+        np.empty((0, 2), dtype=np.int64)
+    return {"num_vertices": nv, "num_edges": ne, "directed": directed,
+            "edges": edges, "weights": weights, "values": values}
+
+
+def write_totem_binary(path: str, num_vertices: int, edges: np.ndarray,
+                       weights: np.ndarray | None = None,
+                       values: np.ndarray | None = None,
+                       directed: bool = True):
+    """graph_store_binary analog (totem_graph.cu:881-921): build the
+    CSR from an (m, 2) edge array and write the reference's little-
+    endian layout. eid_size is 4 unless the edge count (or any offset)
+    needs 64 bits — matching the EID=64 build."""
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    nv, ne = int(num_vertices), len(edges)
+    if nv and edges.size and int(edges.max()) >= nv:
+        raise ValueError(f"vertex id {int(edges.max())} >= "
+                         f"num_vertices {nv}; .tbin ids are dense 0..N-1")
+    order = np.argsort(edges[:, 0], kind="stable")
+    srt = edges[order]
+    w = None if weights is None else \
+        np.asarray(weights, dtype=np.float64)[order]
+    counts = np.bincount(srt[:, 0], minlength=nv) if ne else \
+        np.zeros(nv, dtype=np.int64)
+    vertices = np.zeros(nv + 1, dtype=np.int64)
+    np.cumsum(counts, out=vertices[1:])
+    eid_dt = "<u4" if ne < (1 << 32) else "<u8"
+    eid_size = 4 if eid_dt == "<u4" else 8
+    with open(path, "wb") as f:
+        f.write(np.array([TOTEM_BINARY_MAGIC, 4, eid_size],
+                         dtype="<u4").tobytes())
+        f.write(np.array([nv], dtype="<u4").tobytes())
+        f.write(np.array([ne], dtype=eid_dt).tobytes())
+        f.write(np.array([values is not None, w is not None,
+                          bool(directed)], dtype="u1").tobytes())
+        f.write(vertices.astype(eid_dt).tobytes())
+        if values is not None:
+            f.write(np.asarray(values).astype("<u4").tobytes())
+        f.write(srt[:, 1].astype("<u4").tobytes())
+        if w is not None:
+            f.write(w.astype("<u4").tobytes())
+
+
+def read_totem_graph(path: str, num_blocks: int | None = None):
+    """graph_initialize analog: sniff the magic word and dispatch to
+    the binary or text parser; returns a Ray Dataset of
+    (src, dst[, weight])."""
+    import ray.data
+
+    meta = parse_totem_binary(path) if is_totem_binary(path) \
+        else parse_totem_file(path)
+    cols = {"src": pa.array(meta["edges"][:, 0], type=pa.int64()),
+            "dst": pa.array(meta["edges"][:, 1], type=pa.int64())}
+    if meta.get("weights") is not None:
+        cols["weight"] = pa.array(meta["weights"], type=pa.float64())
+    ds = ray.data.from_arrow(pa.table(cols))
+    if num_blocks:
+        ds = ds.repartition(num_blocks)
+    return ds
