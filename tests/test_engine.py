@@ -320,3 +320,48 @@ def test_build_from_aggregate_filtered_edges():
     lab2 = out2["result"].to_pandas().set_index("v")["label"]
     out2["engine"].shutdown()
     assert (lab2.index.to_numpy() == lab2.to_numpy()).all()  # all self
+
+
+def test_cc_dense_frontier_message_format():
+    # early dense rounds ship ONE per-slot array (8 B/slot), late thin
+    # rounds ship sparse pairs (16 B/pair) — reference bitmap scatter
+    # (totem_cc_hybrid.cu:239-263); both formats must min-combine to
+    # identical candidates
+    from types import SimpleNamespace
+
+    from totem_ray.engine.kernels import (ConnectedComponentsKernel,
+                                          _apply_min_inbox, _min_outbox)
+
+    I64MAX = np.iinfo(np.int64).max
+    size = 100
+    # every slot touched -> dense
+    src = np.arange(100, dtype=np.int64)
+    dst = np.arange(100, dtype=np.int64)   # ghost-slot ids, sorted
+    sh = SimpleNamespace(pid=0, nv=100,
+                         tgt={1: {"src": src, "dst": dst, "size": size}})
+    st = {"label": np.arange(100, dtype=np.int64) * 7,
+          "frontier": np.ones(100, dtype=bool)}
+    out = ConnectedComponentsKernel.compute(sh, st, 0)
+    assert isinstance(out[1], np.ndarray) and len(out[1]) == size
+    # dense message is strictly smaller than the sparse pair encoding
+    assert out[1].nbytes < 16 * size
+
+    # thin frontier -> sparse pairs
+    st2 = {"label": np.arange(100, dtype=np.int64) * 7,
+           "frontier": np.zeros(100, dtype=bool)}
+    st2["frontier"][:3] = True
+    out2 = ConnectedComponentsKernel.compute(sh, st2, 0)
+    assert isinstance(out2[1], tuple) and len(out2[1][0]) == 3
+
+    # both formats apply identically
+    rng = np.random.default_rng(3)
+    ud = np.unique(rng.integers(0, size, 70))
+    red = rng.integers(0, 1000, len(ud)).astype(np.int64)
+    imap = rng.permutation(200)[:size]          # unique local indices
+    dense = _min_outbox(ud, red, size, I64MAX)
+    assert isinstance(dense, np.ndarray)
+    ca = np.full(200, I64MAX, dtype=np.int64)
+    cb = np.full(200, I64MAX, dtype=np.int64)
+    _apply_min_inbox(ca, imap, dense, I64MAX)
+    _apply_min_inbox(cb, imap, (ud, red), I64MAX)
+    assert (ca == cb).all()

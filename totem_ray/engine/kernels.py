@@ -236,7 +236,7 @@ class ConnectedComponentsKernel:
             if t == sh.pid:
                 st["cand"] = (ud, red)
             else:
-                outboxes[t] = (ud, red)
+                outboxes[t] = _min_outbox(ud, red, tgt["size"], I64MAX)
         return outboxes
 
     @staticmethod
@@ -245,8 +245,8 @@ class ConnectedComponentsKernel:
         cand = np.full(sh.nv, I64MAX, dtype=np.int64)
         if len(cand_i):
             cand[cand_i] = cand_v
-        for p, (ud, red) in inboxes.items():
-            np.minimum.at(cand, sh.inbox_maps[p][ud], red)
+        for p, msg in inboxes.items():
+            _apply_min_inbox(cand, sh.inbox_maps[p], msg, I64MAX)
         better = cand < st["label"]
         st["label"] = np.where(better, cand, st["label"])
         st["frontier"] = better
@@ -563,6 +563,35 @@ def _seg_min_sparse(dst: np.ndarray, vals: np.ndarray):
     return dst[starts], np.minimum.reduceat(vals, starts)
 
 
+def _min_outbox(ud, red, size: int, fill):
+    """Message format choice for min-combine scatters: sparse
+    (slot, val) pairs while the frontier is thin, ONE dense per-slot
+    value array when more than half the target's ghost slots are
+    touched (8 B/slot beats 16 B/pair) — the Ray analog of the
+    reference's dense bitmap scatter in early CC rounds
+    (totem_cc_hybrid.cu:239-263) and engine_report_no_comm's
+    format switching (totem_bfs_hybrid.cu:58-76)."""
+    if 2 * len(ud) > size:
+        arr = np.full(size, fill, dtype=red.dtype)
+        arr[ud] = red
+        return arr
+    return (ud, red)
+
+
+def _apply_min_inbox(cand: np.ndarray, imap: np.ndarray, msg, fill):
+    """Min-combine one inbox message (sparse pair tuple or dense
+    per-slot array) into the candidate vector. Slots are unique, so
+    fancy-index min assignment replaces np.minimum.at (~10x faster)."""
+    if isinstance(msg, np.ndarray):
+        m = msg < fill
+        idx = imap[m]
+        cand[idx] = np.minimum(cand[idx], msg[m])
+    else:
+        ud, red = msg
+        idx = imap[ud]
+        cand[idx] = np.minimum(cand[idx], red)
+
+
 class BfsKernel:
     """Level-synchronous BFS (bfs_hybrid, src/alg/totem_bfs.cu /
     totem_bfs_hybrid.cu): cost[source]=0, each superstep every frontier
@@ -783,7 +812,7 @@ class SsspKernel:
             if t == sh.pid:
                 st["cand"] = (ud, red)
             else:
-                outboxes[t] = (ud, red)
+                outboxes[t] = _min_outbox(ud, red, tgt["size"], np.inf)
         return outboxes
 
     @staticmethod
@@ -792,8 +821,8 @@ class SsspKernel:
         cand = np.full(sh.nv, np.inf, dtype=np.float64)
         if len(cand_i):
             cand[cand_i] = cand_v
-        for p, (ud, red) in inboxes.items():
-            np.minimum.at(cand, sh.inbox_maps[p][ud], red)
+        for p, msg in inboxes.items():
+            _apply_min_inbox(cand, sh.inbox_maps[p], msg, np.inf)
         better = cand < st["dist"]
         st["dist"] = np.where(better, cand, st["dist"])
         st["frontier"] = better
