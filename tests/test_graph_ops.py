@@ -145,6 +145,10 @@ def test_modularity_two_cliques():
         {"v": np.arange(6, dtype=np.uint64), "label": [0, 0, 0, 1, 1, 1]}))
     q = modularity(ds, labels)
     assert 0.3 < q < 0.5
+    # forced distributed (hash-join) plan must agree exactly with the
+    # broadcast plan
+    q2 = modularity(ds, labels, broadcast_max_labels=0)
+    assert abs(q - q2) < 1e-12
 
 
 def test_sort_vertices_by_degree_dense_rank():
@@ -217,6 +221,9 @@ def test_remove_singletons_and_counts():
         {"v": np.arange(6, dtype=np.int64)}))
     kept = remove_singletons(ds, verts).to_pandas()["v"].tolist()
     assert sorted(kept) == [0, 1, 2, 3]
+    kept2 = remove_singletons(ds, verts, broadcast_max_vertices=0) \
+        .to_pandas()["v"].tolist()
+    assert sorted(kept2) == [0, 1, 2, 3]
     c = count_singletons_and_leafs(ds, num_vertices=6)
     assert c == {"singletons": 2, "leafs": 1, "vertices": 6}
 

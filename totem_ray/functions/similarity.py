@@ -49,6 +49,29 @@ def _normalize(x: np.ndarray) -> np.ndarray:
     return x / n
 
 
+def _final_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Vectorized driver-side merge of the per-block partial top-k
+    rows (bounded: Q x k x num_blocks): one lexsort by (query_id,
+    -cos_sim, neighbor_id), then the first k rows per query with a
+    running within-group rank — no per-query pandas groupby loop."""
+    p = partials[np.isfinite(partials["cos_sim"].to_numpy())]
+    if not len(p):
+        return pd.DataFrame(columns=["query_id", "neighbor_id",
+                                     "cos_sim", "knn_rank"])
+    q = p["query_id"].to_numpy()
+    s = p["cos_sim"].to_numpy()
+    n = p["neighbor_id"].to_numpy()
+    order = np.lexsort((n, -s, q))
+    q, s, n = q[order], s[order], n[order]
+    starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+    lens = np.diff(np.r_[starts, len(q)])
+    rank = np.arange(len(q)) - np.repeat(starts, lens)
+    keep = rank < k
+    return pd.DataFrame({"query_id": q[keep], "neighbor_id": n[keep],
+                         "cos_sim": s[keep],
+                         "knn_rank": rank[keep] + 1})
+
+
 def knn_brute_force(emb, queries: np.ndarray, query_ids: np.ndarray,
                     k: int = 10, id_col: str = "vec_id",
                     emb_col: str = "embedding",
@@ -81,15 +104,7 @@ def knn_brute_force(emb, queries: np.ndarray, query_ids: np.ndarray,
 
     partials = emb.map_batches(PartialTopK, batch_format="pyarrow",
                                concurrency=(1, 8)).to_pandas()
-    out = []
-    for qid, g in partials.groupby("query_id"):
-        g = g[np.isfinite(g["cos_sim"])]
-        g = g.sort_values(["cos_sim", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g = g.assign(knn_rank=np.arange(1, len(g) + 1))
-        out.append(g)
-    return pd.concat(out, ignore_index=True) if out else \
-        pd.DataFrame(columns=["query_id", "neighbor_id", "cos_sim", "knn_rank"])
+    return _final_topk(partials, k)
 
 
 def _kmeans_lite(x: np.ndarray, ncells: int, iters: int = 8,
@@ -152,12 +167,4 @@ def knn_ivf(emb, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
     partials = emb.map_batches(ProbeTopK, batch_format="pyarrow",
                                concurrency=(1, 8)).to_pandas()
-    out = []
-    for qid, g in partials.groupby("query_id"):
-        g = g[np.isfinite(g["cos_sim"])]
-        g = g.sort_values(["cos_sim", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g = g.assign(knn_rank=np.arange(1, len(g) + 1))
-        out.append(g)
-    return pd.concat(out, ignore_index=True) if out else \
-        pd.DataFrame(columns=["query_id", "neighbor_id", "cos_sim", "knn_rank"])
+    return _final_topk(partials, k)

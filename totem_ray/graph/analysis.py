@@ -83,35 +83,56 @@ def check_symmetry(edges):
     return sums.filter(expr="fwd != rev")
 
 
-def modularity(edges, labels_ds, num_partitions_hint: int = 64):
+def modularity(edges, labels_ds, num_partitions_hint: int = 64,
+               broadcast_max_labels: int = 5_000_000):
     """Newman-Girvan modularity of a vertex labeling
     (partition_modularity, src/totem/totem_partition.cu:109-140):
     Q = sum_c [ e_c/m - (deg_c / 2m)^2 ] over the symmetrized edge
-    table. ``labels_ds`` is a Dataset (v, label); broadcast as a
-    sorted lookup (small side) into the edge scan."""
-    lab = labels_ds.to_pandas()
-    order = np.argsort(lab["v"].to_numpy())
-    vs = lab["v"].to_numpy()[order].astype(np.int64)
-    ls = lab["label"].to_numpy()[order]
-    ref = ray.put((vs, ls))
+    table. ``labels_ds`` is a Dataset (v, label).
 
-    def fn(t: pa.Table) -> pa.Table:
-        v_sorted, l_sorted = ray.get(ref)
-        s = np.asarray(t["src"])
-        d = np.asarray(t["dst"])
-        ls_ = l_sorted[np.searchsorted(v_sorted, s)]
-        ld_ = l_sorted[np.searchsorted(v_sorted, d)]
-        intra = (ls_ == ld_)
-        lab_u, deg_c = np.unique(ls_, return_counts=True)
-        lab_i, e_c = np.unique(ls_[intra], return_counts=True)
-        out = pa.table({
-            "label": pa.array(np.concatenate([lab_u, lab_i])),
-            "_deg": pa.array(np.concatenate([deg_c, np.zeros_like(e_c)]), type=pa.int64()),
-            "_intra": pa.array(np.concatenate([np.zeros_like(deg_c), e_c]), type=pa.int64()),
-        })
-        return out
+    Dual plan (the triangles idiom): below ``broadcast_max_labels``
+    the labeling is broadcast as a sorted lookup (one ``ray.put``,
+    read in every task); above it the per-edge endpoint labels come
+    from two distributed hash joins — V rows never stage through the
+    driver heap."""
+    if labels_ds.count() <= broadcast_max_labels:
+        lab = labels_ds.to_pandas()
+        order = np.argsort(lab["v"].to_numpy())
+        vs = lab["v"].to_numpy()[order].astype(np.int64)
+        ls = lab["label"].to_numpy()[order]
+        ref = ray.put((vs, ls))
 
-    part = edges.map_batches(fn, batch_format="pyarrow")
+        def fn(t: pa.Table) -> pa.Table:
+            v_sorted, l_sorted = ray.get(ref)
+            s = np.asarray(t["src"])
+            d = np.asarray(t["dst"])
+            ls_ = l_sorted[np.searchsorted(v_sorted, s)]
+            ld_ = l_sorted[np.searchsorted(v_sorted, d)]
+            return _modularity_partial(ls_, ld_)
+
+        part = edges.map_batches(fn, batch_format="pyarrow")
+    else:
+        from totem_ray.graph.joins import hash_join
+
+        def as_src(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t["v"], "_ls": t["label"]})
+
+        def as_dst(t: pa.Table) -> pa.Table:
+            return pa.table({"dst": t["v"], "_ld": t["label"]})
+
+        lab_s = labels_ds.map_batches(as_src, batch_format="pyarrow")
+        lab_d = labels_ds.map_batches(as_dst, batch_format="pyarrow")
+        tagged = hash_join(
+            hash_join(edges.select_columns(["src", "dst"]), lab_s,
+                      on="src", num_buckets=num_partitions_hint),
+            lab_d, on="dst", num_buckets=num_partitions_hint)
+
+        def fn2(t: pa.Table) -> pa.Table:
+            return _modularity_partial(np.asarray(t["_ls"]),
+                                       np.asarray(t["_ld"]))
+
+        part = tagged.map_batches(fn2, batch_format="pyarrow")
+
     per_label = part.groupby("label").aggregate(
         Sum("_deg", alias_name="deg"), Sum("_intra", alias_name="intra"))
     pdf = per_label.to_pandas()
@@ -119,6 +140,20 @@ def modularity(edges, labels_ds, num_partitions_hint: int = 64):
     if m == 0:
         return 0.0
     return float((pdf["intra"] / m - (pdf["deg"] / m) ** 2).sum())
+
+
+def _modularity_partial(ls_: np.ndarray, ld_: np.ndarray) -> pa.Table:
+    """Per-batch combiner: per-label degree and intra-edge counts."""
+    intra = (ls_ == ld_)
+    lab_u, deg_c = np.unique(ls_, return_counts=True)
+    lab_i, e_c = np.unique(ls_[intra], return_counts=True)
+    return pa.table({
+        "label": pa.array(np.concatenate([lab_u, lab_i])),
+        "_deg": pa.array(np.concatenate([deg_c, np.zeros_like(e_c)]),
+                         type=pa.int64()),
+        "_intra": pa.array(np.concatenate([np.zeros_like(deg_c), e_c]),
+                           type=pa.int64()),
+    })
 
 
 def graph_summary(edges) -> "pa.Table":

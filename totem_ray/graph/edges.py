@@ -246,18 +246,29 @@ def create_bidirectional(edges):
         .groupby("_b").map_groups(residual, batch_format="pyarrow")
 
 
-def remove_singletons(edges, vertices):
+def remove_singletons(edges, vertices, broadcast_max_vertices: int = 5_000_000):
     """Drop vertices with no in- or out-edges from a vertex Dataset
     (graph_remove_singletons, totem_graph.cu:468-484): semi-join of
     the vertex universe against distinct edge endpoints. Returns the
     surviving vertex Dataset (the edge table is unchanged by
-    construction — singletons have no edges)."""
-    from totem_ray.graph.analysis import vertex_universe
-    from totem_ray.graph.joins import semi_join_broadcast
+    construction — singletons have no edges).
 
-    endpoints = vertex_universe(edges).to_pandas()["v"].to_numpy()
+    Dual plan: a broadcast key set below ``broadcast_max_vertices``
+    touched endpoints; a distributed semi hash-join above it (the
+    endpoint set never stages through the driver heap)."""
+    from totem_ray.graph.analysis import vertex_universe
+    from totem_ray.graph.joins import hash_join, semi_join_broadcast
+
+    uni = vertex_universe(edges)
     col = vertices.schema().names[0]
-    return semi_join_broadcast(vertices, endpoints, on=col)
+    if uni.count() <= broadcast_max_vertices:
+        endpoints = uni.to_pandas()["v"].to_numpy()
+        return semi_join_broadcast(vertices, endpoints, on=col)
+    if col != "v":
+        uni = uni.map_batches(
+            lambda t, _c=col: pa.table({_c: t["v"]}),
+            batch_format="pyarrow")
+    return hash_join(vertices, uni, on=col, how="semi")
 
 
 def count_singletons_and_leafs(edges, num_vertices: int | None = None,
