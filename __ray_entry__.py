@@ -244,6 +244,18 @@ def q_bfs_tree_copurchase(sf_dir: str):
     return df[df["cost"] >= 0].reset_index(drop=True)
 
 
+def q_bfs_tree_dirop_copurchase(sf_dir: str):
+    from totem_ray.algs import bfs_tree_stepwise
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir)
+    src = int(edges.min("src"))
+    out = bfs_tree_stepwise(edges, source=src, num_partitions=4)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    return df[df["cost"] >= 0].reset_index(drop=True)
+
+
 def q_sssp_copurchase(sf_dir: str):
     from totem_ray.algs import sssp
     from totem_ray.pipelines.tpch_graph import copurchase_edges
@@ -749,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient_copurchase": q_clustering_coefficient,
         "bfs_copurchase": q_bfs_copurchase,
         "bfs_tree_copurchase": q_bfs_tree_copurchase,
+        "bfs_tree_dirop_copurchase": q_bfs_tree_dirop_copurchase,
         "sssp_copurchase": q_sssp_copurchase,
         "graph_summary_pairs": q_graph_summary,
         "pcore_copurchase": q_pcore_copurchase,
@@ -1129,6 +1142,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT v, CAST(MIN(cost) AS BIGINT) AS cost FROM walk GROUP BY v
         """,
         "bfs_tree_copurchase": f"""
+            WITH RECURSIVE e AS ({_COPURCHASE_SQL}),
+            s AS (SELECT MIN(src) AS v FROM e),
+            walk(v, cost) AS (
+              SELECT v, 0 FROM s
+              UNION
+              SELECT e.dst, w.cost + 1 FROM walk w
+              JOIN e ON e.src = w.v WHERE w.cost < 12
+            ),
+            costs AS (SELECT v, CAST(MIN(cost) AS BIGINT) AS cost
+                      FROM walk GROUP BY v),
+            parents AS (
+              SELECT e.dst AS v, MIN(e.src) AS parent
+              FROM e JOIN costs cs ON cs.v = e.src
+                     JOIN costs cd ON cd.v = e.dst
+              WHERE cs.cost = cd.cost - 1 GROUP BY e.dst)
+            SELECT c.v, c.cost,
+                   CASE WHEN c.cost = 0 THEN c.v ELSE p.parent END AS parent
+            FROM costs c LEFT JOIN parents p ON p.v = c.v
+        """,
+        "bfs_tree_dirop_copurchase": f"""
             WITH RECURSIVE e AS ({_COPURCHASE_SQL}),
             s AS (SELECT MIN(src) AS v FROM e),
             walk(v, cost) AS (

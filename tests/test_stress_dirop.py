@@ -126,3 +126,36 @@ def test_apsp_chain_small():
         assert np.array_equal(d["v"].to_numpy(), np.arange(n))
         assert np.allclose(d["dist"].to_numpy(),
                            np.abs(np.arange(n) - s))
+
+
+@pytest.mark.parametrize("name,P", [("chain_100", 2), ("grid_15", 3),
+                                    ("star_1000", 4),
+                                    ("chain_4_comp_40", 2)])
+def test_graph500_stepwise_matches_bfs_tree(name, P):
+    # graph500_stepwise parity: identical (v, cost, parent) to the
+    # always-top-down bfs_tree under every direction schedule
+    from totem_ray.algs import bfs_tree, bfs_tree_stepwise
+
+    n, e = topology_edges(name)
+    a = bfs_tree(edges_from_arrays(e), source=0, num_partitions=P)
+    b = bfs_tree_stepwise(edges_from_arrays(e), source=0, num_partitions=P)
+    da = a["result"].to_pandas().sort_values("v").reset_index(drop=True)
+    db = b["result"].to_pandas().sort_values("v").reset_index(drop=True)
+    a["engine"].shutdown()
+    b["engine"].shutdown()
+    assert da.equals(db)
+
+
+def test_graph500_stepwise_goes_bottom_up_on_star():
+    from totem_ray.algs import bfs_tree_stepwise
+
+    n, e = topology_edges("star_1000")
+    out = bfs_tree_stepwise(edges_from_arrays(e), source=0,
+                            num_partitions=4)
+    bu = sum(m.get("bu_steps", 0) for m in out["metrics"])
+    df = out["result"].to_pandas().sort_values("v").reset_index(drop=True)
+    out["engine"].shutdown()
+    assert bu > 0
+    # star parents: every leaf's parent is the hub; hub's parent = hub
+    assert (df.loc[df["v"] != 0, "parent"] == 0).all()
+    assert df.loc[df["v"] == 0, "parent"].iloc[0] == 0

@@ -24,8 +24,8 @@ import sys
 import time
 
 ALGS = ["pagerank", "pagerank_pull", "cc", "labelprop", "bfs",
-        "bfs_tree", "bfs_dirop", "sssp", "closeness", "betweenness",
-        "stress", "pcore", "maxflow", "triangles",
+        "bfs_tree", "bfs_dirop", "bfs_tree_dirop", "sssp", "closeness",
+        "betweenness", "stress", "pcore", "maxflow", "triangles",
         "clustering_coefficient"]
 
 
@@ -94,7 +94,7 @@ def main(argv=None) -> int:
 
     source = args.source
     if source is None and args.alg in ("bfs", "bfs_tree", "bfs_dirop",
-                                       "sssp", "maxflow"):
+                                       "bfs_tree_dirop", "sssp", "maxflow"):
         source = int(edges.min("src"))
 
     from totem_ray import algs
@@ -102,7 +102,8 @@ def main(argv=None) -> int:
     kw: dict = {"num_partitions": args.partitions}
     run_kw: dict = {}
     if args.checkpoint_every or args.resume:
-        if args.alg in ("bfs_dirop", "closeness", "betweenness", "stress",
+        if args.alg in ("bfs_dirop", "bfs_tree_dirop", "closeness",
+                        "betweenness", "stress",
                         "maxflow", "triangles", "clustering_coefficient"):
             raise SystemExit(
                 f"--resume/--checkpoint-every are not supported for "
@@ -126,6 +127,9 @@ def main(argv=None) -> int:
     elif args.alg == "bfs_dirop":
         out = algs.bfs_stepwise(edges, source=source,
                                 undirected=not args.directed, **kw)
+    elif args.alg == "bfs_tree_dirop":
+        out = algs.bfs_tree_stepwise(edges, source=source,
+                                     undirected=not args.directed, **kw)
     elif args.alg == "sssp":
         out = algs.sssp(edges, source=source, **kw, **run_kw)
     elif args.alg == "closeness":

@@ -3,8 +3,8 @@ from totem_ray.algs.components import connected_components  # noqa: F401
 from totem_ray.algs.labelprop import label_propagation  # noqa: F401
 from totem_ray.algs.triangles import triangle_counts, clustering_coefficient  # noqa: F401
 from totem_ray.algs.traversal import (apsp, bfs, bfs_stepwise,  # noqa: F401
-                                      bfs_tree, closeness, sssp,
-                                      st_connectivity)
+                                      bfs_tree, bfs_tree_stepwise,
+                                      closeness, sssp, st_connectivity)
 from totem_ray.algs.pcore import pcore  # noqa: F401
 from totem_ray.algs.betweenness import betweenness  # noqa: F401
 from totem_ray.algs.stress import stress  # noqa: F401

@@ -49,6 +49,31 @@ def bfs_tree(edges, source: int, num_partitions: int = 4, partitioner=None,
                 checkpoint_every, resume)
 
 
+def bfs_tree_stepwise(edges, source: int, num_partitions: int = 4,
+                      partitioner=None, vertices=None,
+                      engine: BspEngine | None = None, alpha: float = 0.1,
+                      undirected: bool = True,
+                      max_supersteps: int = 100_000) -> dict:
+    """Direction-optimizing Graph500 BFS tree
+    (graph500_stepwise_hybrid, src/alg/totem_graph500_stepwise_hybrid
+    .cu): ``bfs_tree``'s (cost, min-id parent) output with
+    ``bfs_stepwise``'s bottom-up switch when the global frontier
+    exceeds ``alpha`` * |V|. Output is identical to ``bfs_tree`` on
+    every input; same symmetric-graph assumption as ``bfs_stepwise``
+    (pass ``undirected=False`` on directed graphs — every superstep
+    then runs top-down)."""
+    if engine is None:
+        engine = BspEngine(num_partitions, partitioner)
+        engine.build(edges, vertices_ds=vertices)
+    out = engine.run("bfs_tree_dirop",
+                     {"source": int(source),
+                      "alpha": float(alpha) if undirected else 2.0,
+                      "total_vertices": engine.total_vertices},
+                     max_supersteps=max_supersteps)
+    out["engine"] = engine
+    return out
+
+
 def bfs_stepwise(edges, source: int, num_partitions: int = 4,
                  partitioner=None, vertices=None,
                  engine: BspEngine | None = None, alpha: float = 0.1,

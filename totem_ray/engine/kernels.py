@@ -1226,6 +1226,120 @@ DirOptBfsKernel.state_table = BfsKernel.state_table
 DirOptBfsKernel.load_state = BfsKernel.load_state
 
 
+class Graph500StepwiseKernel:
+    """Direction-optimizing BFS tree (graph500_stepwise_hybrid,
+    src/alg/totem_graph500_stepwise_hybrid.cu): Graph500Kernel's
+    (level, min-id-parent) tracking combined with DirOptBfsKernel's
+    global 10% direction switch.
+
+    Top-down supersteps push lexmin (dst, level, parent) triples;
+    bottom-up supersteps ship frontier MEMBERSHIP per ghost slot (one
+    byte per slot) and each unvisited vertex scans its own adjacency,
+    adopting its MINIMUM-id frontier neighbor as parent — the same
+    min-parent rule the top-down lexmin applies, so the result is
+    bitwise identical to ``bfs_tree`` under every direction schedule.
+    Same symmetric-graph assumption as DirOptBfsKernel (bottom-up
+    traverses stored edges against their direction)."""
+
+    name = "bfs_tree_dirop"
+    needs_global_hook = True
+
+    @staticmethod
+    def init(sh, st, source: int, total_vertices: int = 0,
+             alpha: float = 0.1):
+        Graph500Kernel.init(sh, st, source)
+        st["N"] = int(total_vertices)
+        st["alpha"] = float(alpha)
+
+    @classmethod
+    def compute(cls, sh, st, superstep: int):
+        mode = DirOptBfsKernel._mode(sh, st, superstep)
+        st["_mode"] = mode
+        cost, frontier = st["cost"], st["frontier"]
+        outboxes = {}
+        if mode == "bu":
+            st["cand"] = None
+            for p, idx_arr in sh.inbox_maps.items():
+                outboxes[p] = ("bu", frontier[idx_arr])
+            return outboxes
+        st["cand"] = (np.empty(0, np.int64),) * 3
+        for t, tgt in sh.tgt.items():
+            m = frontier[tgt["src"]]
+            if not m.any():
+                continue
+            src_i = tgt["src"][m]
+            trip = Graph500Kernel._lexmin_per_dst(
+                tgt["dst"][m], cost[src_i] + 1, sh.verts[src_i])
+            if t == sh.pid:
+                st["cand"] = trip
+            else:
+                outboxes[t] = ("td", trip)
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        mode = st.pop("_mode")
+        if mode == "bu":
+            st.pop("cand", None)
+            # min frontier-neighbor id per vertex through the
+            # src-major adjacency (I64MAX = no frontier neighbor)
+            nbr_id = np.full(sh.ne, I64MAX, dtype=np.int64)
+            for t in range(sh.P):
+                m = sh.adj_owner == t
+                if not m.any():
+                    continue
+                if t == sh.pid:
+                    f = st["frontier"][sh.adj_idx[m]]
+                    ids = sh.verts[sh.adj_idx[m]]
+                else:
+                    _, gf = inboxes[t]
+                    f = gf[sh.adj_idx[m]]
+                    ids = sh.ghosts[t][sh.adj_idx[m]]
+                nbr_id[m] = np.where(f, ids, I64MAX)
+            parent_min = np.full(sh.nv, I64MAX, dtype=np.int64)
+            if sh.ne:
+                mins = np.minimum.reduceat(
+                    nbr_id, np.minimum(sh.adj_indptr[:-1], sh.ne - 1))
+                deg_nz = np.diff(sh.adj_indptr) > 0
+                parent_min[deg_nz] = mins[deg_nz]
+            newly = (st["cost"] == I64MAX) & (parent_min < I64MAX)
+            st["cost"][newly] = superstep + 1
+            st["parent"][newly] = parent_min[newly]
+            st["frontier"] = newly
+            return {"changed": int(newly.sum()), "bu_steps": 1}
+        cand_c = np.full(sh.nv, I64MAX, dtype=np.int64)
+        cand_p = np.full(sh.nv, I64MAX, dtype=np.int64)
+        ud, c, p = st.pop("cand")
+        pieces = [(ud, c, p)] + \
+            [(sh.inbox_maps[q][u], cc, pp)
+             for q, (_, (u, cc, pp)) in inboxes.items()]
+        for idx, cc, pp in pieces:
+            if not len(idx):
+                continue
+            bc = cand_c[idx]
+            better = (cc < bc) | ((cc == bc) & (pp < cand_p[idx]))
+            cand_c[idx[better]] = cc[better]
+            cand_p[idx[better]] = pp[better]
+        better = cand_c < st["cost"]
+        st["cost"] = np.where(better, cand_c, st["cost"])
+        st["parent"] = np.where(better, cand_p, st["parent"])
+        st["frontier"] = better
+        return {"changed": int(better.sum()), "bu_steps": 0}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return agg["changed"] == 0
+
+    result = None       # bound below (same contract as Graph500Kernel)
+    state_table = None
+    load_state = None
+
+
+Graph500StepwiseKernel.result = Graph500Kernel.result
+Graph500StepwiseKernel.state_table = Graph500Kernel.state_table
+Graph500StepwiseKernel.load_state = Graph500Kernel.load_state
+
+
 HINF = np.int64(1) << 62
 _MF_EPS = 1e-9
 
@@ -1601,5 +1715,6 @@ KERNELS = {
     BrandesBackKernel.name: BrandesBackKernel,
     StressBackKernel.name: StressBackKernel,
     DirOptBfsKernel.name: DirOptBfsKernel,
+    Graph500StepwiseKernel.name: Graph500StepwiseKernel,
     MaxflowKernel.name: MaxflowKernel,
 }
