@@ -212,12 +212,30 @@ class GraphShard:
             if len(sel):
                 ghosts[q] = np.unique(self._dst[sel])
         self.ghosts = ghosts
-        return ghosts
+        # payloads go to the object store; the driver relays only the
+        # refs, and each owner pulls directly from this shard's plasma
+        # (peer-to-peer — ghost lists never ride a driver RPC; at 10^10
+        # vertices the driver heap cannot stage P x ghost-list bytes)
+        return {q: ray.put(ids) for q, ids in ghosts.items()}
+
+    @staticmethod
+    def _resolve_refs(d: dict) -> dict:
+        """Replace ObjectRef values with their objects (one batched
+        get); plain arrays pass through (direct-call tests)."""
+        keys = [k for k, v in d.items() if isinstance(v, ray.ObjectRef)]
+        if not keys:
+            return d
+        vals = ray.get([d[k] for k in keys])
+        out = dict(d)
+        out.update(zip(keys, vals))
+        return out
 
     def finalize(self, incoming: dict[int, np.ndarray]) -> dict:
         """Phase 2: fix the owned vertex set (srcs + locally-owned dsts
         + explicitly routed vertices + vertices other shards reference),
-        build the CSR views and inbox maps."""
+        build the CSR views and inbox maps. ``incoming`` values may be
+        ObjectRefs (pulled directly from the sender's plasma)."""
+        incoming = self._resolve_refs(incoming)
         _sel_local = self._owner_order[self._owner_bounds[self.pid]:
                                        self._owner_bounds[self.pid + 1]]
         parts = [self._src]
@@ -308,13 +326,18 @@ class GraphShard:
                 continue
             ids, counts = np.unique(self._src[m], return_counts=True)
             out[p] = (ids, counts)
-        return out
+        # object-store refs, not values: the driver relays refs and
+        # each owner pulls the payload peer-to-peer (see prepare)
+        return {p: ray.put(v) for p, v in out.items()}
 
     def finalize_pull(self, incoming: dict[int, tuple]) -> dict:
         """Phase 2 (pull): fix the owned vertex set, accumulate global
         out-degrees, and return per-requester index arrays into this
         shard's vertex order (so requesters can address the contrib
-        vector directly)."""
+        vector directly). ``incoming`` values may be ObjectRefs;
+        replies are returned as refs for the same peer-to-peer
+        reason."""
+        incoming = self._resolve_refs(incoming)
         parts = [self._dst]
         m_own = self._src_owner == self.pid
         parts.append(self._src[m_own])
@@ -340,7 +363,7 @@ class GraphShard:
         for q, (ids, counts) in incoming.items():
             idx = np.searchsorted(self.verts, ids)
             np.add.at(out_deg, idx, counts)
-            replies[q] = idx
+            replies[q] = ray.put(idx)
         self.pull_out_deg = out_deg
         self._vert_chunks = []
         return {"pid": self.pid, "nv": self.nv, "ne": self.ne,
@@ -348,7 +371,9 @@ class GraphShard:
 
     def adopt_pull_indices(self, idx_by_owner: dict[int, np.ndarray]) -> dict:
         """Phase 3 (pull): build per-source-owner in-edge groups
-        (src index into the OWNER's vertex order, dst local index)."""
+        (src index into the OWNER's vertex order, dst local index).
+        ``idx_by_owner`` values may be ObjectRefs."""
+        idx_by_owner = self._resolve_refs(idx_by_owner)
         # dst may be owned by a peer? No: edges were routed by dst
         # owner, so every local dst is owned here.
         dst_local = np.searchsorted(self.verts, self._dst)
