@@ -183,7 +183,9 @@ def bench_headline(ncpu: int, scale: int = None, ef: int = None,
     gteps = edges * iters / t_exec / 1e9
     return {"sec": t_exec, "build_sec": t_build, "iterations": iters,
             "edges": edges, "vertices": verts, "gteps": gteps,
-            "converged": out["converged"], "num_partitions": P}
+            "converged": out["converged"], "num_partitions": P,
+            "build_timings": {k: round(v, 3) for k, v in
+                              getattr(eng, "build_timings", {}).items()}}
 
 
 def bench_sf_queries(sf_dir: str, ncpu: int) -> dict:

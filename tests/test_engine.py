@@ -238,7 +238,7 @@ def test_split_edge_block_is_shard_selective():
     dst = rng.integers(0, 1000, 500).astype(np.int64)
     t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
     parts = _ray.get(list(_split_edge_block.options(num_returns=P)
-                          .remote(t, part, "src", P)))
+                          .remote([t], part, "src", P)))
     total = 0
     for p, sub in enumerate(parts):
         if sub is None:
@@ -249,7 +249,8 @@ def test_split_edge_block_is_shard_selective():
     assert total == 500                    # nothing lost, nothing doubled
 
     vparts = _ray.get(list(_split_vertex_block.options(num_returns=P)
-                           .remote(pa.table({"id": pa.array(src)}), part, P)))
+                           .remote([pa.table({"id": pa.array(src)})],
+                                   part, P)))
     vtotal = 0
     for p, sub in enumerate(vparts):
         if sub is None:
@@ -264,7 +265,7 @@ def test_split_edge_block_is_shard_selective():
     empty = pa.table({"src": pa.array([], pa.int64()),
                       "dst": pa.array([], pa.int64())})
     eparts = _ray.get(list(_split_edge_block.options(num_returns=P)
-                           .remote(empty, part, "src", P)))
+                           .remote([empty], part, "src", P)))
     assert all(s is None for s in eparts)
 
 

@@ -46,18 +46,32 @@ from totem_ray.graph.partition import HashPartitioner
 from totem_ray.hashing import lineage_hash
 
 
+def _resolve_blocks(blks) -> list:
+    """A split task receives either raw blocks or a LIST of ObjectRefs
+    (refs nested in a container are not auto-resolved by Ray)."""
+    if blks and isinstance(blks[0], ray.ObjectRef):
+        blks = ray.get(list(blks))
+    return blks
+
+
 @ray.remote
-def _split_edge_block(blk, partitioner, key: str, P: int):
-    """Split one routed block into P per-shard sub-tables (None when a
-    shard gets no rows). A pure function of its input block, so Ray
-    task retries are idempotent; with ``num_returns=P`` each sub-table
-    is its own object and a shard fetches ONLY its 1/P share — the
-    multi-node analog of partition_set_initialize
-    (totem_partition.cu:596-636), where each partition holds only its
-    subgraph (no P-way broadcast of the full edge table)."""
-    t = GraphShard._as_table(blk)
-    if t.num_rows == 0 or key not in t.column_names:
+def _split_edge_block(blks, partitioner, key: str, P: int):
+    """Split a GROUP of routed blocks into P per-shard sub-tables
+    (None when a shard gets no rows). A pure function of its input
+    blocks, so Ray task retries are idempotent; with
+    ``num_returns=P`` each sub-table is its own object and a shard
+    fetches ONLY its 1/P share — the multi-node analog of
+    partition_set_initialize (totem_partition.cu:596-636), where each
+    partition holds only its subgraph (no P-way broadcast of the full
+    edge table). Grouping ~2P tasks over all input blocks keeps the
+    object count at O(P^2) regardless of how many blocks the upstream
+    read produced (208 input blocks x 32 shards was 6.6k tiny plasma
+    objects; grouped it is ~2k right-sized ones)."""
+    ts = [GraphShard._as_table(b) for b in _resolve_blocks(blks)]
+    ts = [t for t in ts if t.num_rows > 0 and key in t.column_names]
+    if not ts:
         return tuple([None] * P) if P > 1 else None
+    t = pa.concat_tables(ts) if len(ts) > 1 else ts[0]
     k = t[key]
     k = np.asarray(k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k)
     pid = partitioner.pid_np(k)
@@ -69,16 +83,18 @@ def _split_edge_block(blk, partitioner, key: str, P: int):
 
 
 @ray.remote
-def _split_vertex_block(blk, partitioner, P: int):
+def _split_vertex_block(blks, partitioner, P: int):
     """Same contract for an explicit vertex universe: first column is
     the vertex id; emit per-shard unique ``v`` tables."""
-    t = GraphShard._as_table(blk)
-    if t.num_rows == 0:
+    ts = [GraphShard._as_table(b) for b in _resolve_blocks(blks)]
+    ts = [t for t in ts if t.num_rows > 0]
+    if not ts:
         return tuple([None] * P) if P > 1 else None
-    col = t[t.column_names[0]]
-    v = np.unique(np.asarray(col.combine_chunks()
-                             if isinstance(col, pa.ChunkedArray) else col)
-                  .astype(np.int64))
+    cols = [t[t.column_names[0]] for t in ts]
+    v = np.unique(np.concatenate(
+        [np.asarray(c.combine_chunks()
+                    if isinstance(c, pa.ChunkedArray) else c)
+         .astype(np.int64) for c in cols]))
     pid = partitioner.pid_np(v)
     order = np.argsort(pid, kind="stable")
     bounds = np.searchsorted(pid[order], np.arange(P + 1))
@@ -86,6 +102,15 @@ def _split_vertex_block(blk, partitioner, P: int):
                                    type=pa.int64())})
            if bounds[p + 1] > bounds[p] else None for p in range(P)]
     return tuple(out) if P > 1 else out[0]
+
+
+def _ref_groups(refs: list, P: int) -> list[list]:
+    """Slice the block-ref list into ~2P contiguous groups (one split
+    task each). Contiguous slices preserve locality: consecutive
+    blocks of a materialized dataset tend to live on the same node."""
+    ntasks = max(1, min(len(refs), 2 * P))
+    per = (len(refs) + ntasks - 1) // ntasks
+    return [refs[i:i + per] for i in range(0, len(refs), per)]
 
 
 class BspEngine:
@@ -151,11 +176,19 @@ class BspEngine:
         # broadcast of the full edge table). Split tasks schedule next
         # to their input block, so the only cross-node traffic is the
         # actual shuffle.
+        t_start = time.perf_counter()
         part_ref = ray.put(partitioner)
-        ds = edges_ds.select_columns(cols).materialize()
+        if sch is not None and set(sch.names) == set(cols):
+            # skip the projection pass (a second full copy through
+            # plasma) when the schema already matches
+            ds = edges_ds.materialize()
+        else:
+            ds = edges_ds.select_columns(cols).materialize()
         refs = ds.to_arrow_refs()
+        t_mat = time.perf_counter()
         split = [_split_edge_block.options(num_returns=self.P)
-                 .remote(r, part_ref, key, self.P) for r in refs]
+                 .remote(g, part_ref, key, self.P)
+                 for g in _ref_groups(refs, self.P)]
         if self.P == 1:
             per_shard = [split]
         else:
@@ -163,12 +196,16 @@ class BspEngine:
         ray.get([s.ingest_edge_parts.remote(per_shard[p])
                  for p, s in enumerate(shards)])
         del ds, refs, split, per_shard  # unpin before CSR build
+        t_ingest = time.perf_counter()
+        self.build_timings = {"materialize_sec": t_mat - t_start,
+                              "split_ingest_sec": t_ingest - t_mat}
 
         if vertices_ds is not None:
             vds = vertices_ds.materialize()
             vrefs = vds.to_arrow_refs()
             vsplit = [_split_vertex_block.options(num_returns=self.P)
-                      .remote(r, part_ref, self.P) for r in vrefs]
+                      .remote(g, part_ref, self.P)
+                      for g in _ref_groups(vrefs, self.P)]
             if self.P == 1:
                 vper = [vsplit]
             else:
@@ -184,12 +221,14 @@ class BspEngine:
             # index arrays, (3) requesters adopt the indices
             announced = ray.get([s.prepare_pull.remote(partitioner)
                                  for s in shards])
+            t_prep = time.perf_counter()
             incoming_p: list[dict] = [dict() for _ in range(self.P)]
             for q, by_owner in enumerate(announced):
                 for p, payload in by_owner.items():
                     incoming_p[p][q] = payload
             infos = ray.get([s.finalize_pull.remote(incoming_p[p])
                              for p, s in enumerate(shards)])
+            t_fin = time.perf_counter()
             idx_for: list[dict[int, np.ndarray]] = [dict()
                                                     for _ in range(self.P)]
             for p, info in enumerate(infos):
@@ -197,9 +236,16 @@ class BspEngine:
                     idx_for[q][p] = idx
             ray.get([s.adopt_pull_indices.remote(idx_for[q])
                      for q, s in enumerate(shards)])
+            t_adopt = time.perf_counter()
+            self.build_timings.update(
+                prepare_sec=t_prep - t_ingest,
+                finalize_sec=t_fin - t_prep,
+                adopt_sec=t_adopt - t_fin)
             self.build_info = infos
             self.total_vertices = sum(i["nv"] for i in infos)
             self.total_edges = sum(i["ne"] for i in infos)
+            self.build_timings["exchange_sec"] = \
+                time.perf_counter() - t_ingest
             return self
 
         # two-phase ghost exchange
@@ -212,6 +258,7 @@ class BspEngine:
                                    for p, s in enumerate(shards)])
         self.total_vertices = sum(i["nv"] for i in self.build_info)
         self.total_edges = sum(i["ne"] for i in self.build_info)
+        self.build_timings["exchange_sec"] = time.perf_counter() - t_ingest
         return self
 
     # ------------------------------------------------------------------

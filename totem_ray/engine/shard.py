@@ -319,12 +319,20 @@ class GraphShard:
         self._src_owner = partitioner.pid_np(self._src) if len(self._src) \
             else np.empty(0, dtype=np.int64)
         self.pid_fn = partitioner.pid_np
+        # ONE stable sort by owner replaces P masked scans here and in
+        # adopt_pull_indices (same idiom as prepare)
+        self._pull_order = np.argsort(self._src_owner, kind="stable")
+        self._pull_bounds = np.searchsorted(
+            self._src_owner[self._pull_order], np.arange(self.P + 1))
+        self._pull_ghost_ids: dict[int, np.ndarray] = {}
         out: dict[int, tuple] = {}
         for p in range(self.P):
-            m = self._src_owner == p
-            if p == self.pid or not m.any():
+            sel = self._pull_order[self._pull_bounds[p]:
+                                   self._pull_bounds[p + 1]]
+            if p == self.pid or not len(sel):
                 continue
-            ids, counts = np.unique(self._src[m], return_counts=True)
+            ids, counts = np.unique(self._src[sel], return_counts=True)
+            self._pull_ghost_ids[p] = ids
             out[p] = (ids, counts)
         # object-store refs, not values: the driver relays refs and
         # each owner pulls the payload peer-to-peer (see prepare)
@@ -339,8 +347,9 @@ class GraphShard:
         reason."""
         incoming = self._resolve_refs(incoming)
         parts = [self._dst]
-        m_own = self._src_owner == self.pid
-        parts.append(self._src[m_own])
+        sel_own = self._pull_order[self._pull_bounds[self.pid]:
+                                   self._pull_bounds[self.pid + 1]]
+        parts.append(self._src[sel_own])
         if self._vert_chunks:
             parts.extend(self._vert_chunks)
         parts.extend(ids for ids, _ in incoming.values())
@@ -354,8 +363,8 @@ class GraphShard:
         self.ne = len(self._src)
 
         out_deg = np.zeros(self.nv, dtype=np.int64)
-        if m_own.any():
-            ids, counts = np.unique(self._src[m_own], return_counts=True)
+        if len(sel_own):
+            ids, counts = np.unique(self._src[sel_own], return_counts=True)
             keep = self.pid_fn(ids) == self.pid
             np.add.at(out_deg, np.searchsorted(self.verts, ids[keep]),
                       counts[keep])
@@ -379,18 +388,20 @@ class GraphShard:
         dst_local = np.searchsorted(self.verts, self._dst)
         self.pull_src: dict[int, dict[str, np.ndarray]] = {}
         for p in range(self.P):
-            m = self._src_owner == p
-            if not m.any():
+            sel = self._pull_order[self._pull_bounds[p]:
+                                   self._pull_bounds[p + 1]]
+            if not len(sel):
                 continue
             if p == self.pid:
-                sidx = np.searchsorted(self.verts, self._src[m])
+                sidx = np.searchsorted(self.verts, self._src[sel])
             else:
-                ghost_ids = np.unique(self._src[m])
-                pos = np.searchsorted(ghost_ids, self._src[m])
+                ghost_ids = self._pull_ghost_ids[p]
+                pos = np.searchsorted(ghost_ids, self._src[sel])
                 sidx = idx_by_owner[p][pos]
-            self.pull_src[p] = {"sidx": sidx, "dst": dst_local[m]}
+            self.pull_src[p] = {"sidx": sidx, "dst": dst_local[sel]}
         self.weighted = False
         del self._src, self._dst, self._src_owner
+        del self._pull_order, self._pull_bounds, self._pull_ghost_ids
         return {"pid": self.pid}
 
     # ------------------------------------------------------------------
