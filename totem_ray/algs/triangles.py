@@ -587,32 +587,94 @@ def _triangle_counts_join(oriented, num_buckets: int,
     wc = oriented.map_batches(wedges, batch_size=None,
                               batch_format="pyarrow")
 
-    def canon_edge(t: pa.Table) -> pa.Table:
+    # A wedge (u; lo, hi) closes iff the edge between lo and hi
+    # exists. Instead of a generic row join, both sides exchange on
+    # the same fingerprint-hash bucket and the per-bucket merge is a
+    # sorted-fingerprint membership probe (numpy searchsorted +
+    # duplicate-run scan — the distributed twin of the broadcast
+    # plan's probe). Edge rows ship 16 B of fingerprint; a false
+    # positive needs both 64-bit halves to collide (~never). Credits
+    # are emitted straight from the merge — no second pass.
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        lo = np.asarray(t["lo"])
+        wh1, _ = _edge_fingerprints(lo, np.asarray(t["hi"]))
+        return pa.table({
+            "u": t["u"], "lo": t["lo"], "hi": t["hi"],
+            "_side": pa.array(np.zeros(len(lo), dtype=np.int8)),
+            "_b": pa.array((wh1 % int(num_join_partitions))
+                           .astype(np.int64)),
+        })
+
+    def edge_fp(t: pa.Table) -> pa.Table:
         a = np.asarray(t["a"])
         b = np.asarray(t["b"])
         lo = np.minimum(a, b)
         hi = np.maximum(a, b)
-        return pa.table({"lo": pa.array(lo, type=pa.int64()),
-                         "hi": pa.array(hi, type=pa.int64())})
+        h1, h2 = _edge_fingerprints(lo, hi)
+        n = len(a)
+        return pa.table({
+            "u": pa.array(np.zeros(n, dtype=np.int64)),
+            "lo": pa.array(h1.view(np.int64)),   # fingerprint halves
+            "hi": pa.array(h2.view(np.int64)),   # ride the id columns
+            "_side": pa.array(np.ones(n, dtype=np.int8)),
+            "_b": pa.array((h1 % int(num_join_partitions))
+                           .astype(np.int64)),
+        })
 
-    ec = oriented.map_batches(canon_edge, batch_format="pyarrow")
-    # a wedge (u; lo, hi) closes iff the oriented edge between lo and
-    # hi exists — an existence check, so a SEMI join: no right
-    # payload, each closing wedge row kept exactly once.
-    closed = hash_join(wc, ec, on=["lo", "hi"], how="semi",
-                       num_buckets=num_join_partitions,
-                       left_cols=["u", "lo", "hi"],
-                       right_cols=["lo", "hi"])
+    tagged = wc.map_batches(tag_wedge, batch_format="pyarrow").union(
+        oriented.map_batches(edge_fp, batch_format="pyarrow"))
 
-    def credits(t: pa.Table) -> pa.Table:
-        v = np.concatenate([np.asarray(t["u"]), np.asarray(t["lo"]),
-                            np.asarray(t["hi"])])
+    def close(t: pa.Table) -> pa.Table:
+        side = np.asarray(t["_side"])
+        lo = np.asarray(t["lo"])
+        hi = np.asarray(t["hi"])
+        em = side == 1
+        eh1 = lo[em].view(np.uint64)
+        eh2 = hi[em].view(np.uint64)
+        order = np.lexsort((eh2, eh1))
+        eh1, eh2 = eh1[order], eh2[order]
+        wm = ~em
+        wlo, whi = lo[wm], hi[wm]
+        u = np.asarray(t["u"])[wm]
+        wh1, wh2 = _edge_fingerprints(wlo, whi)
+        hit = _probe_fp_sorted(eh1, eh2, wh1, wh2)
+        if not hit.any():
+            return pa.table({"v": pa.array([], type=pa.int64()),
+                             "_t": pa.array([], type=pa.int64())})
+        v = np.concatenate([u[hit], wlo[hit], whi[hit]])
         vu, cnt = np.unique(v, return_counts=True)
         return pa.table({"v": pa.array(vu, type=pa.int64()),
                          "_t": pa.array(cnt, type=pa.int64())})
 
-    per_batch = closed.map_batches(credits, batch_format="pyarrow")
-    return per_batch.groupby("v").aggregate(Sum("_t", alias_name="triangles"))
+    per_bucket = tagged.groupby("_b").map_groups(close,
+                                                 batch_format="pyarrow")
+    return per_bucket.groupby("v").aggregate(Sum("_t", alias_name="triangles"))
+
+
+def _probe_fp_sorted(eh1: np.ndarray, eh2: np.ndarray,
+                     wh1: np.ndarray, wh2: np.ndarray) -> np.ndarray:
+    """Membership of (wh1, wh2) in the (eh1, eh2)-lexsorted
+    fingerprint table: one searchsorted, then a vectorized scan along
+    each duplicate-h1 run (runs are ~1 long — independent 64-bit
+    hashes)."""
+    n = len(eh1)
+    hit = np.zeros(len(wh1), dtype=bool)
+    if n == 0 or len(wh1) == 0:
+        return hit
+    pos = np.searchsorted(eh1, wh1, side="left")
+    active = np.flatnonzero(pos < n)
+    k = 0
+    while len(active):
+        p = pos[active] + k
+        ok = p < n
+        active, p = active[ok], p[ok]
+        m1 = eh1[p] == wh1[active]
+        active, p = active[m1], p[m1]
+        m2 = eh2[p] == wh2[active]
+        hit[active[m2]] = True
+        active = active[~m2]
+        k += 1
+    return hit
 
 
 def clustering_coefficient(edges, num_buckets: int = 64,
