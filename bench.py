@@ -342,6 +342,7 @@ def run_once(headline_only: bool = False) -> dict:
         "extra": {"gteps": round(head["gteps"], 4),
                   "cpu_canary_sort10m_sec": canaries[0],
                   "cpu_canary": canary_summary(canaries),
+                  "build_timings": head.get("build_timings"),
                   "iterations": head["iterations"],
                   "edges": head["edges"],
                   "vertices": head["vertices"],

@@ -291,15 +291,26 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
         return pa.table({"h1": pa.array(h1, type=pa.uint64()),
                          "h2": pa.array(h2, type=pa.uint64())})
 
-    fp_sorted = oriented.map_batches(fingerprint,
-                                     batch_format="pyarrow").sort("h1")
+    fp = oriented.map_batches(fingerprint, batch_format="pyarrow")
+    # the driver concatenates all E fingerprints either way (that IS
+    # the broadcast plan's footprint, 16 B/edge under the
+    # broadcast_max_edges gate); below ~20M edges one driver-side
+    # argsort beats a Dataset all-to-all sort's fixed cost, above it
+    # the distributed sort does the O(E log E) work and the driver
+    # only memcpy-concatenates the range-partitioned sorted blocks
+    driver_sort_max = 20_000_000
+    distributed = oriented.count() > driver_sort_max
+    src = fp.sort("h1") if distributed else fp
     h1_parts, h2_parts = [], []
-    for blk in _ray.get(fp_sorted.to_arrow_refs()):
+    for blk in _ray.get(src.to_arrow_refs()):
         if blk.num_rows:
             h1_parts.append(np.asarray(blk["h1"], dtype=np.uint64))
             h2_parts.append(np.asarray(blk["h2"], dtype=np.uint64))
     h1 = np.concatenate(h1_parts) if h1_parts else np.empty(0, np.uint64)
     h2 = np.concatenate(h2_parts) if h2_parts else np.empty(0, np.uint64)
+    if not distributed and len(h1):
+        order = np.argsort(h1, kind="stable")
+        h1, h2 = h1[order], h2[order]
     # bucket index over the top bits of h1: probes become ONE random
     # access into the index + a <= max_run linear check, instead of a
     # log2(E) binary search (each step a cache miss)
