@@ -244,3 +244,23 @@ def test_multimodal_decode_matches_independent_oracle():
     cols = sorted(mine.columns)
     assert cols == sorted(orc.columns)
     pd.testing.assert_frame_equal(mine[cols], orc[cols])
+
+
+def test_asof_join_rejects_big_int64_value_columns():
+    # ids above 2^53 would silently degrade to float64 in the pandas
+    # merge_asof hop — the guard must refuse instead
+    import pytest
+    import ray.data as _rd
+
+    from totem_ray.functions.windows import as_of_join
+
+    left = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([10, 20], pa.int64())}))
+    right = _rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "rts": pa.array([5], pa.int64()),
+        "big_id": pa.array([(1 << 60) + 7], pa.int64())}))
+    with pytest.raises(ValueError, match="2\\^53"):
+        as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
+                   value_cols=["big_id"])

@@ -90,9 +90,37 @@ def as_of_join(left, right, key: str, ts_left: str, ts_right: str,
                suffix: str = ""):
     """As-of (backward) join: for each left row, the latest right row
     of the same key with ts_right <= ts_left. Implemented as bucketed
-    union + per-bucket pandas merge_asof (sorted within bucket)."""
+    union + per-bucket pandas merge_asof (sorted within bucket).
+
+    Precision note: ``merge_asof`` has no Arrow equivalent, so value
+    columns hop Arrow -> pandas -> Arrow per bucket. An int64 value
+    column that contains nulls degrades to float64 in that hop and
+    loses exactness above 2^53; this function raises on that
+    combination rather than silently corrupting ids (keys and the two
+    ``ts`` columns are required null-free by the sort anyway)."""
     lsch = left.schema()
     rsch = right.schema()
+    for c in value_cols:
+        typ = dict(zip(rsch.names, rsch.types)).get(c)
+        if typ is not None and pa.types.is_integer(typ) and typ.bit_width == 64:
+            # a null ANYWHERE in the column (including the nulls the
+            # left side pads for unmatched rows is fine — those stay
+            # null) only matters if real values exceed 2^53; cheap
+            # guard: scan once for magnitude
+            import pyarrow.compute as pc
+
+            mx = right.map_batches(
+                lambda t, _c=c: pa.table({"m": pa.array(
+                    [pc.max(pc.abs(t[_c].combine_chunks()
+                                   .cast(pa.int64()))).as_py() or 0],
+                    type=pa.int64())}),
+                batch_format="pyarrow").max("m")
+            if mx is not None and int(mx) > (1 << 53):
+                raise ValueError(
+                    f"as_of_join value column {c!r} holds int64 ids above "
+                    f"2^53 ({int(mx)}); the pandas merge_asof hop would "
+                    "degrade them to float64 — pre-map ids to a dense "
+                    "range or join on a separate pass")
     ltypes = dict(zip(lsch.names, lsch.types))
     rtypes = dict(zip(rsch.names, rsch.types))
     lplain = [c for c in lsch.names if c not in (key, ts_left)]
