@@ -632,7 +632,7 @@ class BfsKernel:
             if t == sh.pid:
                 cand_i, cand_v = ud, red
             else:
-                outboxes[t] = (ud, red)
+                outboxes[t] = _min_outbox(ud, red, tgt["size"], I64MAX)
         st["cand"] = (cand_i, cand_v)
         return outboxes
 
@@ -642,8 +642,8 @@ class BfsKernel:
         cand = np.full(sh.nv, I64MAX, dtype=np.int64)
         if len(cand_i):
             cand[cand_i] = cand_v
-        for p, (ud, red) in inboxes.items():
-            np.minimum.at(cand, sh.inbox_maps[p][ud], red)
+        for p, msg in inboxes.items():
+            _apply_min_inbox(cand, sh.inbox_maps[p], msg, I64MAX)
         better = cand < st["cost"]
         st["cost"] = np.where(better, cand, st["cost"])
         st["frontier"] = better
