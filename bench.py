@@ -134,6 +134,29 @@ def ensure_pages(scale: int, ef: int = 8) -> str:
     return path
 
 
+def warm_cluster(ncpu: int):
+    """Spin up the Ray worker pool and import the library in every
+    worker BEFORE any timed phase: a tiny end-to-end build+run. The
+    first build of a fresh session otherwise absorbs worker-process
+    launch + ray/numpy/pyarrow imports (measured 10x the steady-state
+    build on this host) — cold-start cost that Totem's time_init does
+    not include either (its process is already running when the timer
+    starts, src/benchmark/totem_benchmark_binary.cu:177-204)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from totem_ray.engine.bsp import BspEngine
+
+    rng = np.random.default_rng(3)
+    t = pa.table({"src": pa.array(rng.integers(0, 256, 4096),
+                                  type=pa.int64()),
+                  "dst": pa.array(rng.integers(0, 256, 4096),
+                                  type=pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(max(4, ncpu)).materialize()
+    with BspEngine(max(4, min(32, ncpu))) as eng:
+        eng.build(ds).run("pagerank", {"mode": "rounds", "rounds": 2})
+
+
 def bench_headline(ncpu: int, scale: int = None, ef: int = None,
                    num_partitions: int = None) -> dict:
     """RMAT PageRank to convergence: GTEPS + iterations.
@@ -311,6 +334,7 @@ def run_once(headline_only: bool = False) -> dict:
     for f in sorted(os.listdir(edges_path)):
         if f.endswith(".parquet"):
             pq.read_table(os.path.join(edges_path, f))
+    warm_cluster(ncpu)
 
     head = bench_headline(ncpu)
     queries = {"rmat_pagerank": head["sec"],

@@ -24,9 +24,13 @@ import sys
 import time
 
 ALGS = ["pagerank", "pagerank_pull", "cc", "labelprop", "bfs",
-        "bfs_tree", "bfs_dirop", "bfs_tree_dirop", "sssp", "closeness",
-        "betweenness", "stress", "pcore", "maxflow", "triangles",
-        "clustering_coefficient"]
+        "bfs_tree", "bfs_dirop", "bfs_tree_dirop", "sssp", "apsp",
+        "closeness", "betweenness", "stress", "pcore", "maxflow",
+        "triangles", "clustering_coefficient"]
+
+# source-loop sweeps: --resume/--checkpoint-dir mean per-source
+# partial checkpoints (algs/sweep.py), not per-superstep ones
+SWEEP_ALGS = ("closeness", "betweenness", "stress", "apsp")
 
 
 def _parser() -> argparse.ArgumentParser:
@@ -41,6 +45,10 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--source", type=int, default=None,
                    help="source vertex (bfs/sssp/...); default: min src")
     p.add_argument("--sink", type=int, default=None, help="maxflow sink")
+    p.add_argument("--sample", type=int, default=None,
+                   help="source-sample size for closeness/betweenness/"
+                        "stress (default 8) and apsp (default: every "
+                        "vertex)")
     p.add_argument("--out", default=None,
                    help="output parquet dir (omit to print row count only)")
     p.add_argument("--resumable-out", action="store_true",
@@ -101,16 +109,23 @@ def main(argv=None) -> int:
 
     kw: dict = {"num_partitions": args.partitions}
     run_kw: dict = {}
+    sweep_kw: dict = {}
     if args.checkpoint_every or args.resume:
-        if args.alg in ("bfs_dirop", "bfs_tree_dirop", "closeness",
-                        "betweenness", "stress",
+        if args.alg in ("bfs_dirop", "bfs_tree_dirop",
                         "maxflow", "triangles", "clustering_coefficient"):
             raise SystemExit(
                 f"--resume/--checkpoint-every are not supported for "
                 f"{args.alg}; a run would silently recompute from scratch")
-        run_kw = {"checkpoint_dir": args.checkpoint_dir,
-                  "checkpoint_every": args.checkpoint_every or 10,
-                  "resume": args.resume}
+        if args.alg in SWEEP_ALGS:
+            if not args.checkpoint_dir:
+                raise SystemExit(f"{args.alg} checkpointing is per-source "
+                                 "and needs an explicit --checkpoint-dir")
+            sweep_kw = {"checkpoint_dir": args.checkpoint_dir,
+                        "resume": args.resume}
+        else:
+            run_kw = {"checkpoint_dir": args.checkpoint_dir,
+                      "checkpoint_every": args.checkpoint_every or 10,
+                      "resume": args.resume}
 
     if args.alg in ("pagerank", "pagerank_pull"):
         out = algs.pagerank(edges, direction="pull"
@@ -132,12 +147,22 @@ def main(argv=None) -> int:
                                      undirected=not args.directed, **kw)
     elif args.alg == "sssp":
         out = algs.sssp(edges, source=source, **kw, **run_kw)
+    elif args.alg == "apsp":
+        srcs = None
+        if args.sample:
+            first = edges.select_columns(["src"]).groupby("src").count() \
+                .sort("src").limit(args.sample).take_all()
+            srcs = [r["src"] for r in first]
+        out = algs.apsp(edges, sources=srcs, **kw, **sweep_kw)
     elif args.alg == "closeness":
-        out = algs.closeness(edges, **kw)
+        out = algs.closeness(edges, sample=args.sample or 8,
+                             **kw, **sweep_kw)
     elif args.alg == "betweenness":
-        out = algs.betweenness(edges, **kw)
+        out = algs.betweenness(edges, sample=args.sample or 8,
+                               **kw, **sweep_kw)
     elif args.alg == "stress":
-        out = algs.stress(edges, **kw)
+        out = algs.stress(edges, sample=args.sample or 8,
+                          **kw, **sweep_kw)
     elif args.alg == "pcore":
         out = algs.pcore(edges, **kw, **run_kw)
     elif args.alg == "maxflow":
@@ -166,7 +191,7 @@ def main(argv=None) -> int:
         n = res.count()
 
     metrics = {k: v for k, v in out.items()
-               if k in ("iterations", "max_flow", "sources")}
+               if k in ("iterations", "max_flow", "sources", "sweep")}
     eng = out.get("engine")
     if eng is not None:
         metrics["total_vertices"] = eng.total_vertices

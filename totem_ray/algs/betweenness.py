@@ -19,15 +19,23 @@ from totem_ray.engine.bsp import BspEngine
 
 def betweenness(edges, sources=None, sample: int = 8,
                 num_partitions: int = 4, partitioner=None, vertices=None,
-                engine: BspEngine | None = None) -> dict:
+                engine: BspEngine | None = None,
+                checkpoint_dir: str | None = None,
+                resume: bool = False) -> dict:
     """Returns {result: Dataset(v, betweenness), sources, engine}.
 
     ``sources=None`` uses the ``sample`` smallest vertex ids
     (deterministic sampling stand-in for the reference's RNG sample);
     pass every vertex id for exact scores. Sampled scores scale by
     V / num_samples per the reference.
+
+    With ``checkpoint_dir`` every finished source's dependency partial
+    is persisted atomically; ``resume=True`` skips finished sources
+    (algs/sweep.py).
     """
     from ray.data.aggregate import Sum
+
+    from totem_ray.algs.sweep import sweep_sources, union_all
 
     if engine is None:
         engine = BspEngine(num_partitions, partitioner)
@@ -37,13 +45,11 @@ def betweenness(edges, sources=None, sample: int = 8,
             .groupby("src").count().sort("src").limit(sample).take_all()
         sources = [r["src"] for r in first]
 
-    per_source = []
-    for s in sources:
-        fwd = engine.run("bfs_sigma", {"source": int(s)})
+    def run_one(src_id: int):
+        fwd = engine.run("bfs_sigma", {"source": src_id})
         max_level = fwd["result"].max("cost")
         back = engine.run("brandes_back", {"max_level": int(max_level)},
                           max_supersteps=max(int(max_level), 1))
-        src_id = int(s)
 
         def drop_source(t: pa.Table, _s=src_id) -> pa.Table:
             keep = np.asarray(t["v"]) != _s
@@ -52,13 +58,14 @@ def betweenness(edges, sources=None, sample: int = 8,
                                  np.asarray(t["delta"],
                                             dtype=np.float64)[keep])})
 
-        per_source.append(back["result"].map_batches(
-            drop_source, batch_format="pyarrow"))
+        return back["result"].map_batches(drop_source,
+                                          batch_format="pyarrow")
 
-    allp = per_source[0]
-    for p in per_source[1:]:
-        allp = allp.union(p)
-    agg = allp.groupby("v").aggregate(Sum("_d", alias_name="betweenness"))
+    per_source, sweep_info = sweep_sources(
+        engine, "betweenness", sources, run_one,
+        checkpoint_dir=checkpoint_dir, resume=resume)
+    agg = union_all(per_source) \
+        .groupby("v").aggregate(Sum("_d", alias_name="betweenness"))
 
     scale = 1.0
     if len(sources) < engine.total_vertices:
@@ -73,4 +80,5 @@ def betweenness(edges, sources=None, sample: int = 8,
         })
 
     return {"result": agg.map_batches(fin, batch_format="pyarrow"),
-            "sources": list(map(int, sources)), "engine": engine}
+            "sources": list(map(int, sources)), "engine": engine,
+            "sweep": sweep_info}

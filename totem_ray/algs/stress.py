@@ -19,15 +19,23 @@ from totem_ray.engine.bsp import BspEngine
 
 def stress(edges, sources=None, sample: int = 8, num_partitions: int = 4,
            partitioner=None, vertices=None,
-           engine: BspEngine | None = None) -> dict:
+           engine: BspEngine | None = None,
+           checkpoint_dir: str | None = None,
+           resume: bool = False) -> dict:
     """Returns {result: Dataset(v, stress), sources, engine}.
 
     ``sources=None`` uses the ``sample`` smallest vertex ids
     (deterministic stand-in for full-source exactness — the reference
     loops every source, totem_stress.cu:330). ``stress`` is the raw
     sum of per-source contributions over the chosen sources (the
-    reference applies no sampling scale)."""
+    reference applies no sampling scale).
+
+    With ``checkpoint_dir`` every finished source's contribution
+    partial is persisted atomically; ``resume=True`` skips finished
+    sources (algs/sweep.py)."""
     from ray.data.aggregate import Sum
+
+    from totem_ray.algs.sweep import sweep_sources, union_all
 
     if engine is None:
         engine = BspEngine(num_partitions, partitioner)
@@ -37,13 +45,11 @@ def stress(edges, sources=None, sample: int = 8, num_partitions: int = 4,
             .groupby("src").count().sort("src").limit(sample).take_all()
         sources = [r["src"] for r in first]
 
-    per_source = []
-    for s in sources:
-        fwd = engine.run("bfs_sigma", {"source": int(s)})
+    def run_one(src_id: int):
+        fwd = engine.run("bfs_sigma", {"source": src_id})
         max_level = fwd["result"].max("cost")
         back = engine.run("stress_back", {"max_level": int(max_level)},
                           max_supersteps=max(int(max_level), 1))
-        src_id = int(s)
 
         def drop_source(t: pa.Table, _s=src_id) -> pa.Table:
             keep = np.asarray(t["v"]) != _s
@@ -52,12 +58,13 @@ def stress(edges, sources=None, sample: int = 8, num_partitions: int = 4,
                                  np.asarray(t["contrib"],
                                             dtype=np.float64)[keep])})
 
-        per_source.append(back["result"].map_batches(
-            drop_source, batch_format="pyarrow"))
+        return back["result"].map_batches(drop_source,
+                                          batch_format="pyarrow")
 
-    allp = per_source[0]
-    for p in per_source[1:]:
-        allp = allp.union(p)
-    agg = allp.groupby("v").aggregate(Sum("_c", alias_name="stress"))
+    per_source, sweep_info = sweep_sources(
+        engine, "stress", sources, run_one,
+        checkpoint_dir=checkpoint_dir, resume=resume)
+    agg = union_all(per_source) \
+        .groupby("v").aggregate(Sum("_c", alias_name="stress"))
     return {"result": agg, "sources": list(map(int, sources)),
-            "engine": engine}
+            "engine": engine, "sweep": sweep_info}

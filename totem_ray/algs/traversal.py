@@ -107,7 +107,8 @@ def bfs_stepwise(edges, source: int, num_partitions: int = 4,
 
 
 def apsp(edges, sources=None, num_partitions: int = 4, partitioner=None,
-         vertices=None, engine: BspEngine | None = None) -> dict:
+         vertices=None, engine: BspEngine | None = None,
+         checkpoint_dir: str | None = None, resume: bool = False) -> dict:
     """All-pairs shortest paths (apsp_cpu/gpu, src/alg/totem_apsp.cu:
     one Dijkstra/SSSP per vertex into a |V|^2 distance matrix).
 
@@ -140,10 +141,10 @@ def apsp(edges, sources=None, num_partitions: int = 4, partitioner=None,
             .groupby("v").count().sort("v").take_all()
         sources = [r["v"] for r in rows]
 
-    per_source = []
-    for s in sources:
-        out = engine.run("sssp", {"source": int(s)})
-        src_id = int(s)
+    from totem_ray.algs.sweep import sweep_sources, union_all
+
+    def run_one(src_id: int):
+        out = engine.run("sssp", {"source": src_id})
 
         def tag(t: pa.Table, _s=src_id) -> pa.Table:
             d = np.asarray(t["dist"], dtype=np.float64)
@@ -155,13 +156,14 @@ def apsp(edges, sources=None, num_partitions: int = 4, partitioner=None,
                 "dist": pa.array(d[keep], type=pa.float64()),
             })
 
-        per_source.append(out["result"].map_batches(
-            tag, batch_format="pyarrow"))
-    allp = per_source[0]
-    for p in per_source[1:]:
-        allp = allp.union(p)
-    return {"result": allp, "sources": list(map(int, sources)),
-            "engine": engine}
+        return out["result"].map_batches(tag, batch_format="pyarrow")
+
+    per_source, sweep_info = sweep_sources(
+        engine, "apsp", sources, run_one,
+        checkpoint_dir=checkpoint_dir, resume=resume)
+    return {"result": union_all(per_source),
+            "sources": list(map(int, sources)),
+            "engine": engine, "sweep": sweep_info}
 
 
 def st_connectivity(edges, source: int, target: int,
@@ -180,7 +182,9 @@ def st_connectivity(edges, source: int, target: int,
 
 def closeness(edges, sources=None, sample: int = 8,
               num_partitions: int = 4, partitioner=None, vertices=None,
-              engine: BspEngine | None = None) -> dict:
+              engine: BspEngine | None = None,
+              checkpoint_dir: str | None = None,
+              resume: bool = False) -> dict:
     """Closeness centrality (closeness_unweighted_cpu/gpu,
     src/alg/totem_closeness.cu): cc(v) = (reached(v) - 1) / sum of
     hop distances from the source set to v.
@@ -216,16 +220,19 @@ def closeness(edges, sources=None, sample: int = 8,
             "_r": pa.array((cost >= 0).astype(np.int64), type=pa.int64()),
         })
 
-    per_source = []
-    for s in sources:
-        out = engine.run("bfs", {"source": int(s)})
-        per_source.append(out["result"].map_batches(
-            as_partial, batch_format="pyarrow"))
-    allp = per_source[0]
-    for p in per_source[1:]:
-        allp = allp.union(p)
-    agg = allp.groupby("v").aggregate(Sum("_d", alias_name="dist_sum"),
-                                      Sum("_r", alias_name="reached"))
+    from totem_ray.algs.sweep import sweep_sources, union_all
+
+    def run_one(src_id: int):
+        out = engine.run("bfs", {"source": src_id})
+        return out["result"].map_batches(as_partial,
+                                         batch_format="pyarrow")
+
+    per_source, sweep_info = sweep_sources(
+        engine, "closeness", sources, run_one,
+        checkpoint_dir=checkpoint_dir, resume=resume)
+    agg = union_all(per_source) \
+        .groupby("v").aggregate(Sum("_d", alias_name="dist_sum"),
+                                Sum("_r", alias_name="reached"))
 
     def fin(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -237,7 +244,8 @@ def closeness(edges, sources=None, sample: int = 8,
                          "closeness": pa.array(cc, type=pa.float64())})
 
     return {"result": agg.map_batches(fin, batch_format="pyarrow"),
-            "sources": list(sources), "engine": engine}
+            "sources": list(sources), "engine": engine,
+            "sweep": sweep_info}
 
 
 def sssp(edges, source: int, num_partitions: int = 4, partitioner=None,
