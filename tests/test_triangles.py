@@ -94,6 +94,14 @@ def test_both_physical_plans_agree():
         .sort_values("v").reset_index(drop=True)
     assert fast.equals(join)
     assert fast["triangles"].sum() > 0
+    # degree attachment via distributed hash joins (past the
+    # driver-degrees gate) must agree as well
+    joind = triangle_counts(edges_from_arrays(e), num_buckets=8,
+                            num_join_partitions=8,
+                            broadcast_max_edges=0,
+                            driver_degrees_max=0).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert fast.equals(joind)
 
 
 def test_block_splitting_does_not_fragment_sources():

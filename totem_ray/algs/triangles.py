@@ -104,20 +104,43 @@ def _block_degrees(bucketed) -> tuple[np.ndarray, np.ndarray]:
 
 def _oriented_edges(simple_und, num_join_partitions: int,
                     broadcast_max_vertices: int = 50_000_000,
-                    src_bucket_of=None):
+                    src_bucket_of=None, degrees=None):
     """Orient each undirected edge toward the higher (degree, id)
     endpoint; keep one row per undirected edge.
 
     Degree attachment picks a physical plan: a broadcast sorted
     (v, degree) array when the vertex set fits (16 B/vertex, one
     object-store copy per node), else two distributed hash joins
-    against the degree table.
+    against the degree table. Callers holding a src-bucketed layout
+    can pass ``degrees=(sorted_verts, deg)`` (from ``_block_degrees``
+    — a map + driver combine) to skip the degree groupby shuffle
+    entirely.
 
     Returns (oriented_ds, bucket_of): ``bucket_of`` is the src keying
     that produced the output blocks (``src_bucket_of`` of the caller's
     layout for the broadcast branch — orientation is 1:1 per block —
     or hash_join's bucket hash for the join branch), for downstream
     split detection."""
+    if degrees is not None:
+        import ray as _ray
+
+        ref = _ray.put(degrees)
+
+        def orient_d(t: pa.Table) -> pa.Table:
+            verts, deg = _ray.get(ref)
+            s = np.asarray(t["src"])
+            d = np.asarray(t["dst"])
+            ds_ = deg[np.searchsorted(verts, s)]
+            dd = deg[np.searchsorted(verts, d)]
+            fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
+            return pa.table({
+                "a": pa.array(s[fwd], type=pa.int64()),
+                "b": pa.array(d[fwd], type=pa.int64()),
+            })
+
+        return simple_und.map_batches(orient_d, batch_size=None,
+                                      batch_format="pyarrow"), src_bucket_of
+
     deg_ds = degree_table(simple_und, alias="degree").materialize()
     if deg_ds.count() <= broadcast_max_vertices:
         import ray as _ray
@@ -411,6 +434,7 @@ def triangle_counts(edges, num_buckets: int = 64,
                     num_join_partitions: int = 32,
                     _simple_und=None, _bucketed=None,
                     broadcast_max_edges: int = 100_000_000,
+                    driver_degrees_max: int = 50_000_000,
                     assume_simple: bool = False):
     """Dataset (v, triangles) — exact per-vertex triangle counts.
 
@@ -441,7 +465,8 @@ def triangle_counts(edges, num_buckets: int = 64,
             simple_und = drop_self_loops(symmetrize(edges))
         bucketed = _bucket_dedup_by_src(simple_und, num_buckets)
 
-    if bucketed.count() // 2 <= broadcast_max_edges:
+    n_bucketed = bucketed.count()
+    if n_bucketed // 2 <= broadcast_max_edges:
         verts, deg = _block_degrees(bucketed)
         ref = _ray.put((verts, deg))
 
@@ -461,9 +486,15 @@ def triangle_counts(edges, num_buckets: int = 64,
         oriented = _ensure_src_whole(oriented, num_buckets,
                                      oriented.count())
         return _triangle_counts_broadcast(oriented, num_buckets)
+    # degrees fit the driver whenever nv (<= 2E) is modest: skip the
+    # degree groupby shuffle via per-block partials. Past the gate the
+    # distributed degree joins run as before.
+    degs = _block_degrees(bucketed) if n_bucketed <= driver_degrees_max \
+        else None
     oriented, bucket_of = _oriented_edges(
         bucketed, num_join_partitions,
-        src_bucket_of=lambda a: hash_partition(a, num_buckets))
+        src_bucket_of=lambda a: hash_partition(a, num_buckets),
+        degrees=degs)
     oriented = oriented.materialize()
     oriented = _ensure_src_whole(oriented, num_join_partitions,
                                  oriented.count(), bucket_of=bucket_of)
