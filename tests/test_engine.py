@@ -366,3 +366,19 @@ def test_cc_dense_frontier_message_format():
     _apply_min_inbox(ca, imap, dense, I64MAX)
     _apply_min_inbox(cb, imap, (ud, red), I64MAX)
     assert (ca == cb).all()
+
+
+def test_build_empty_dataset_zero_blocks():
+    """A derived dataset that kept nothing materializes to zero blocks;
+    build must produce an empty graph, not crash in _ref_groups."""
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([1, 2], type=pa.int64()),
+        "dst": pa.array([2, 3], type=pa.int64())}))
+    empty = ds.filter(lambda r: False)
+    eng = BspEngine(2)
+    eng.build(empty)
+    assert eng.total_vertices == 0 and eng.total_edges == 0
+    eng.shutdown()

@@ -116,3 +116,24 @@ def test_tbin_magic_sniff_dispatch():
     # text path still dispatches through the same entry
     ds2 = read_totem_graph("/root/reference/data/chain_100_nodes.totem")
     assert ds2.count() > 0
+
+
+def test_tbin_writer_rejects_nonu32_weights(tmp_path):
+    """weight_t is uint32 — fractional / negative / >=2^32 weights must
+    raise instead of silently truncating through astype."""
+    import pytest
+
+    from totem_ray.sources.totem_format import write_totem_binary
+
+    e = np.array([[0, 1], [1, 2]])
+    for bad in ([0.5, 1.0], [-1.0, 1.0], [2.0 ** 32, 1.0],
+                [np.nan, 1.0]):
+        with pytest.raises(ValueError, match="uint32"):
+            write_totem_binary(str(tmp_path / "g.tbin"), 3, e,
+                               weights=np.array(bad))
+    with pytest.raises(ValueError, match="uint32"):
+        write_totem_binary(str(tmp_path / "g.tbin"), 3, e,
+                           values=np.array([1.5, 2.0, 3.0]))
+    # in-domain floats that ARE integers round-trip fine
+    write_totem_binary(str(tmp_path / "ok.tbin"), 3, e,
+                       weights=np.array([3.0, 4.0]))

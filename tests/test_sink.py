@@ -78,3 +78,32 @@ def test_string_key_rejected_early(tmp_path):
                                  "val": pa.array([1, 2], pa.int64())}))
     with pytest.raises(ValueError, match="integer id"):
         write_parquet_resumable(ds, str(tmp_path / "out"), key="k")
+
+
+def test_legacy_hive_layout_migrates(tmp_path):
+    """A sink written by the old part=NNNNN layout must migrate in
+    place on the next run (rename, not rewrite-next-to-stale-dups)."""
+    path = str(tmp_path / "out")
+    write_parquet_resumable(_mkds(), path, key="v", num_partitions=8)
+    # simulate the pre-rename layout
+    os.remove(os.path.join(path, "_ALL_DONE"))
+    for p in range(8):
+        os.rename(os.path.join(path, f"part-{p:05d}"),
+                  os.path.join(path, f"part={p:05d}"))
+    res = write_parquet_resumable(_mkds(), path, key="v", num_partitions=8)
+    assert res["written"] == 0 and res["skipped"] == 8
+    assert not any(n.startswith("part=") for n in os.listdir(path))
+    back = rd.read_parquet(path).to_pandas()
+    assert len(back) == 1000 and sorted(back.columns) == ["v", "val"]
+
+
+def test_mixed_legacy_and_new_layout_rejected(tmp_path):
+    path = str(tmp_path / "out")
+    write_parquet_resumable(_mkds(), path, key="v", num_partitions=8)
+    os.remove(os.path.join(path, "_ALL_DONE"))
+    # a legacy dir whose migrated name collides with an existing one
+    os.makedirs(os.path.join(path, "part=00003"))
+    import pytest
+
+    with pytest.raises(ValueError, match="both"):
+        write_parquet_resumable(_mkds(), path, key="v", num_partitions=8)

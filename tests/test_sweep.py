@@ -127,3 +127,57 @@ def test_sweep_resume_identical_result(tmp_path, alg):
     for c in want.columns:
         np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(),
                                    rtol=1e-12, err_msg=f"{alg}.{c}")
+
+
+def test_sweep_lineage_tracks_graph_content(tmp_path):
+    """Two graphs with equal |V|,|E| but different edges (or weights)
+    must not share a sweep lineage — |V|,|E|-only identity let a
+    checkpoint from a different graph silently mix into a resume."""
+    import ray.data
+
+    def run_one(s):
+        return ray.data.from_arrow(pa.table({
+            "v": pa.array([s], type=pa.int64())}))
+
+    e1 = np.array([[0, 1], [1, 2], [2, 3], [3, 0]])
+    e2 = np.array([[0, 2], [2, 1], [1, 3], [3, 0]])  # same counts
+    eng1 = BspEngine(2)
+    eng1.build(edges_from_arrays(e1, num_blocks=2))
+    eng2 = BspEngine(2)
+    eng2.build(edges_from_arrays(e2, num_blocks=2))
+    assert eng1.total_vertices == eng2.total_vertices
+    assert eng1.total_edges == eng2.total_edges
+    ck = str(tmp_path / "lin")
+    _, i1 = sweep_sources(eng1, "toy", [0], run_one, checkpoint_dir=ck)
+    _, i2 = sweep_sources(eng2, "toy", [0], run_one, checkpoint_dir=ck,
+                          resume=True)
+    assert i1["lineage"] != i2["lineage"]
+    assert i2["sources_loaded"] == 0 and i2["sources_run"] == 1
+
+    # weights-only change must also fork the lineage
+    w1 = np.ones(4)
+    w2 = np.array([1.0, 1.0, 2.0, 1.0])
+    eng3 = BspEngine(2)
+    eng3.build(edges_from_arrays(e1, weights=w1, num_blocks=2))
+    eng4 = BspEngine(2)
+    eng4.build(edges_from_arrays(e1, weights=w2, num_blocks=2))
+    _, i3 = sweep_sources(eng3, "toy", [0], run_one, checkpoint_dir=ck)
+    _, i4 = sweep_sources(eng4, "toy", [0], run_one, checkpoint_dir=ck,
+                          resume=True)
+    assert i3["lineage"] != i4["lineage"]
+    for e in (eng1, eng2, eng3, eng4):
+        e.shutdown()
+
+
+def test_graph_fp_partition_count_invariant():
+    """The content fingerprint is a sum over shard-exclusive slices,
+    so it must not depend on the partition count (a resume at a
+    different P reuses the same per-source partials)."""
+    n, e = topology_edges("grid_15")
+    fps = []
+    for P in (1, 2, 4):
+        eng = BspEngine(P)
+        eng.build(edges_from_arrays(e, num_blocks=3))
+        fps.append(eng.graph_fp)
+        eng.shutdown()
+    assert fps[0] == fps[1] == fps[2] != 0

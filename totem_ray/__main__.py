@@ -110,7 +110,7 @@ def main(argv=None) -> int:
     kw: dict = {"num_partitions": args.partitions}
     run_kw: dict = {}
     sweep_kw: dict = {}
-    if args.checkpoint_every or args.resume:
+    if args.checkpoint_every or args.resume or args.checkpoint_dir:
         if args.alg in ("bfs_dirop", "bfs_tree_dirop",
                         "maxflow", "triangles", "clustering_coefficient"):
             raise SystemExit(

@@ -40,8 +40,12 @@ def sweep_sources(engine, alg: str, sources, run_one: Callable,
     """
     import ray.data
 
+    # graph_fp is a content fingerprint of the edge multiset (weights
+    # included) — |V|,|E| alone would let a different graph with equal
+    # counts silently mix into a resumed sweep
     lineage = lineage_hash("sweep", alg, engine.total_vertices,
-                           engine.total_edges)
+                           engine.total_edges,
+                           getattr(engine, "graph_fp", 0))
     base = None
     if checkpoint_dir:
         base = os.path.join(checkpoint_dir, lineage)
@@ -75,10 +79,20 @@ def sweep_sources(engine, alg: str, sources, run_one: Callable,
 
 
 def _write_done(marker: str, content: str):
-    """Durable marker write: fsync data dir first (so the parquet
-    renames are durable before the marker can be), then the marker —
-    same crash discipline as sources/sink.py."""
+    """Durable marker write: fsync every data FILE (write_parquet runs
+    in worker processes and does not fsync), then the directory, then
+    the marker — same crash discipline as sources/sink.py. Otherwise a
+    host crash could make _DONE durable while the parquet pages are
+    not, and resume would permanently skip a corrupt partial."""
     d = os.path.dirname(marker)
+    for name in os.listdir(d):
+        p = os.path.join(d, name)
+        if os.path.isfile(p):
+            fd = os.open(p, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
     fd = os.open(d, os.O_RDONLY)
     try:
         os.fsync(fd)

@@ -83,22 +83,43 @@ def _bucket_dedup_by_src(edges, num_buckets: int):
         .materialize()
 
 
-def _block_degrees(bucketed) -> tuple[np.ndarray, np.ndarray]:
+def _block_degrees(bucketed, max_vertices: int | None = None):
     """Exact (verts, degree) from src-bucketed deduped edges: per-block
     partial counts, combined on the driver (a map + small collect, no
     groupby shuffle). The combine makes this exact even when Ray's
     dynamic block splitting fragments a bucket across blocks
     (target_max_block_size) — a source then contributes partials from
-    more than one block."""
+    more than one block.
+
+    With ``max_vertices`` the collect streams with an early abort and
+    returns ``None`` once the vertex universe outgrows the driver gate
+    (the caller falls back to the distributed degree joins)."""
     def part(t: pa.Table) -> pa.Table:
         v, c = np.unique(np.asarray(t["src"]), return_counts=True)
         return pa.table({"v": pa.array(v, type=pa.int64()),
                          "deg": pa.array(c, type=pa.int64())})
 
-    degp = bucketed.map_batches(part, batch_format="pyarrow").to_pandas()
-    vs, inv = np.unique(degp["v"].to_numpy(), return_inverse=True)
+    vs_parts, dg_parts, total = [], [], 0
+    stream = bucketed.map_batches(part, batch_size=None,
+                                  batch_format="pyarrow")
+    for blk in stream.iter_batches(batch_format="pyarrow"):
+        if blk.num_rows == 0:
+            continue
+        vs_parts.append(np.asarray(blk.column("v").combine_chunks()))
+        dg_parts.append(np.asarray(blk.column("deg").combine_chunks()))
+        total += blk.num_rows
+        # abort before the driver heap outgrows the gate (partials can
+        # repeat a src only when block splitting fragmented a bucket,
+        # so 2x the vertex cap bounds the raw stream)
+        if max_vertices is not None and total > 2 * max_vertices:
+            return None
+    if not vs_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    vs, inv = np.unique(np.concatenate(vs_parts), return_inverse=True)
+    if max_vertices is not None and len(vs) > max_vertices:
+        return None
     deg = np.zeros(len(vs), dtype=np.int64)
-    np.add.at(deg, inv, degp["deg"].to_numpy())
+    np.add.at(deg, inv, np.concatenate(dg_parts))
     return vs, deg
 
 
@@ -282,7 +303,8 @@ def _edge_fingerprints(lo: np.ndarray, hi: np.ndarray):
 
 
 def _triangle_counts_broadcast(oriented, num_buckets: int,
-                               wedge_chunk: int = 8_000_000):
+                               wedge_chunk: int = 8_000_000,
+                               n_edges: int | None = None):
     """Fast path: close wedges inline against a broadcast sorted
     edge-fingerprint array — no wedge shuffle, no join. Each source
     bucket generates its wedges in bounded chunks and emits only
@@ -322,7 +344,9 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
     # the distributed sort does the O(E log E) work and the driver
     # only memcpy-concatenates the range-partitioned sorted blocks
     driver_sort_max = 20_000_000
-    distributed = oriented.count() > driver_sort_max
+    if n_edges is None:  # caller usually knows the count already
+        n_edges = oriented.count()
+    distributed = n_edges > driver_sort_max
     src = fp.sort("h1") if distributed else fp
     h1_parts, h2_parts = [], []
     for blk in _ray.get(src.to_arrow_refs()):
@@ -483,23 +507,27 @@ def triangle_counts(edges, num_buckets: int = 64,
         oriented = bucketed.map_batches(orient_b, batch_size=None,
                                         batch_format="pyarrow") \
             .materialize()
-        oriented = _ensure_src_whole(oriented, num_buckets,
-                                     oriented.count())
-        return _triangle_counts_broadcast(oriented, num_buckets)
-    # degrees fit the driver whenever nv (<= 2E) is modest: skip the
-    # degree groupby shuffle via per-block partials. Past the gate the
-    # distributed degree joins run as before.
-    degs = _block_degrees(bucketed) if n_bucketed <= driver_degrees_max \
-        else None
+        n_oriented = oriented.count()
+        oriented = _ensure_src_whole(oriented, num_buckets, n_oriented)
+        return _triangle_counts_broadcast(oriented, num_buckets,
+                                          n_edges=n_oriented)
+    # degrees fit the driver whenever the VERTEX universe is modest
+    # (power-law web graphs: V << E): stream the per-block partials
+    # with an early abort at ``driver_degrees_max`` vertices
+    # (16 B/vertex on the driver) and skip the degree groupby shuffle.
+    # Past the gate _block_degrees returns None and the distributed
+    # degree joins run as before.
+    degs = _block_degrees(bucketed, max_vertices=driver_degrees_max)
     oriented, bucket_of = _oriented_edges(
         bucketed, num_join_partitions,
         src_bucket_of=lambda a: hash_partition(a, num_buckets),
         degrees=degs)
     oriented = oriented.materialize()
+    n_oriented = oriented.count()
     oriented = _ensure_src_whole(oriented, num_join_partitions,
-                                 oriented.count(), bucket_of=bucket_of)
+                                 n_oriented, bucket_of=bucket_of)
     return _triangle_counts_join(oriented, num_buckets,
-                                 num_join_partitions)
+                                 num_join_partitions, n_edges=n_oriented)
 
 
 def _bloom_alloc(n_edges: int, bits_per_edge: int = 16):
@@ -555,7 +583,8 @@ def _bloom_probe(bloom: np.ndarray, mask: np.uint64,
 def _triangle_counts_join(oriented, num_buckets: int,
                           num_join_partitions: int,
                           wedge_chunk: int = 4_000_000,
-                          bloom_max_edges: int = 2_000_000_000):
+                          bloom_max_edges: int = 2_000_000_000,
+                          n_edges: int | None = None):
     """Distributed path: wedges generated IN PLACE from the
     src-grouped oriented blocks (both producers — ``orient_b`` over
     the src-bucketed layout and ``_oriented_edges`` ending on its src
@@ -569,7 +598,8 @@ def _triangle_counts_join(oriented, num_buckets: int,
     object-store gate, just with the full wedge shuffle."""
     import ray as _ray
 
-    n_edges = oriented.count()
+    if n_edges is None:
+        n_edges = oriented.count()
     bloom_ref = None
     if 0 < n_edges <= bloom_max_edges:
         bloom, bmask = _edge_bloom(oriented, n_edges)

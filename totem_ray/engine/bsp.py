@@ -108,6 +108,8 @@ def _ref_groups(refs: list, P: int) -> list[list]:
     """Slice the block-ref list into ~2P contiguous groups (one split
     task each). Contiguous slices preserve locality: consecutive
     blocks of a materialized dataset tend to live on the same node."""
+    if not refs:  # zero-block dataset (e.g. a filter kept nothing)
+        return []
     ntasks = max(1, min(len(refs), 2 * P))
     per = (len(refs) + ntasks - 1) // ntasks
     return [refs[i:i + per] for i in range(0, len(refs), per)]
@@ -244,6 +246,8 @@ class BspEngine:
             self.build_info = infos
             self.total_vertices = sum(i["nv"] for i in infos)
             self.total_edges = sum(i["ne"] for i in infos)
+            self.graph_fp = sum(i.get("edge_fp", 0)
+                                for i in infos) % (1 << 64)
             self.build_timings["exchange_sec"] = \
                 time.perf_counter() - t_ingest
             return self
@@ -258,6 +262,8 @@ class BspEngine:
                                    for p, s in enumerate(shards)])
         self.total_vertices = sum(i["nv"] for i in self.build_info)
         self.total_edges = sum(i["ne"] for i in self.build_info)
+        self.graph_fp = sum(i.get("edge_fp", 0)
+                            for i in self.build_info) % (1 << 64)
         self.build_timings["exchange_sec"] = time.perf_counter() - t_ingest
         return self
 
@@ -283,7 +289,8 @@ class BspEngine:
             params["total_vertices"] = self.total_vertices
         lineage = lineage_hash(alg, sorted(params.items()),
                                self.partitioner.describe(),
-                               self.total_vertices, self.total_edges)
+                               self.total_vertices, self.total_edges,
+                               getattr(self, "graph_fp", 0))
 
         start_step = 0
         restored = False

@@ -44,6 +44,28 @@ from totem_ray.engine.kernels import KERNELS
 I64MAX = np.iinfo(np.int64).max
 
 
+def _content_fp(src, dst, w, vert_chunks) -> int:
+    """Order-independent multiset fingerprint of this shard's slice of
+    the graph (wrap-around uint64 sum of per-edge / per-vertex
+    splitmix64 hashes). Each edge and each explicitly-routed vertex
+    lands on exactly one shard, so the SUM across shards is a
+    partition-count-independent content hash of the whole graph —
+    lineage identity for checkpoints (two graphs with equal |V|,|E|
+    but different edges/weights must not share a lineage)."""
+    from totem_ray.hashing import as_u64, splitmix64
+
+    fp = np.uint64(0)
+    if len(src):
+        h = splitmix64(splitmix64(as_u64(src)) ^ as_u64(dst))
+        if w is not None:
+            h = splitmix64(h ^ np.asarray(w, dtype=np.float64)
+                           .view(np.uint64))
+        fp += h.sum(dtype=np.uint64)
+    for v in vert_chunks:
+        fp += splitmix64(as_u64(v)).sum(dtype=np.uint64)
+    return int(fp)
+
+
 class GraphShard:
     def __init__(self, pid: int, num_partitions: int, group_size: int = 8):
         self.pid = pid
@@ -248,6 +270,8 @@ class GraphShard:
             np.empty(0, dtype=np.int64)
         self.nv = len(self.verts)
         self.ne = len(self._src)
+        self.edge_fp = _content_fp(self._src, self._dst, self._w,
+                                   self._vert_chunks)
         self._vert_chunks = []
 
         # inbox maps: p's ghost list order -> my local indices
@@ -294,6 +318,7 @@ class GraphShard:
         del self._src, self._dst, self._dst_owner, self._w
         del self._owner_order, self._owner_bounds
         return {"pid": self.pid, "nv": self.nv, "ne": self.ne,
+                "edge_fp": self.edge_fp,
                 "ghost_vertices": int(sum(len(g) for g in self.ghosts.values()))}
 
     # ------------------------------------------------------------------
@@ -361,6 +386,8 @@ class GraphShard:
         self.verts = self.verts[own]
         self.nv = len(self.verts)
         self.ne = len(self._src)
+        self.edge_fp = _content_fp(self._src, self._dst, None,
+                                   self._vert_chunks)
 
         out_deg = np.zeros(self.nv, dtype=np.int64)
         if len(sel_own):
@@ -376,7 +403,7 @@ class GraphShard:
         self.pull_out_deg = out_deg
         self._vert_chunks = []
         return {"pid": self.pid, "nv": self.nv, "ne": self.ne,
-                "replies": replies}
+                "edge_fp": self.edge_fp, "replies": replies}
 
     def adopt_pull_indices(self, idx_by_owner: dict[int, np.ndarray]) -> dict:
         """Phase 3 (pull): build per-source-owner in-edge groups

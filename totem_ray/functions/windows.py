@@ -100,21 +100,28 @@ def as_of_join(left, right, key: str, ts_left: str, ts_right: str,
     ``ts`` columns are required null-free by the sort anyway)."""
     lsch = left.schema()
     rsch = right.schema()
-    for c in value_cols:
-        typ = dict(zip(rsch.names, rsch.types)).get(c)
-        if typ is not None and pa.types.is_integer(typ) and typ.bit_width == 64:
-            # a null ANYWHERE in the column (including the nulls the
-            # left side pads for unmatched rows is fine — those stay
-            # null) only matters if real values exceed 2^53; cheap
-            # guard: scan once for magnitude
-            import pyarrow.compute as pc
+    rtypes_guard = dict(zip(rsch.names, rsch.types))
+    i64_cols = [c for c in value_cols
+                if (t := rtypes_guard.get(c)) is not None
+                and pa.types.is_integer(t) and t.bit_width == 64]
+    if i64_cols:
+        # a null ANYWHERE in a 64-bit value column (including the
+        # nulls the left side pads for unmatched rows — those stay
+        # null) only matters if real values exceed 2^53; cheap guard:
+        # ONE pass over the right side computes every column's max
+        # magnitude at once
+        import pyarrow.compute as pc
 
-            mx = right.map_batches(
-                lambda t, _c=c: pa.table({"m": pa.array(
-                    [pc.max(pc.abs(t[_c].combine_chunks()
-                                   .cast(pa.int64()))).as_py() or 0],
-                    type=pa.int64())}),
-                batch_format="pyarrow").max("m")
+        def maxes(t: pa.Table) -> pa.Table:
+            return pa.table({c: pa.array(
+                [pc.max(pc.abs(t[c].combine_chunks()
+                               .cast(pa.int64()))).as_py() or 0],
+                type=pa.int64()) for c in i64_cols})
+
+        row = right.map_batches(maxes, batch_format="pyarrow") \
+            .max(i64_cols)
+        for c in i64_cols:
+            mx = row if np.isscalar(row) else row.get(f"max({c})")
             if mx is not None and int(mx) > (1 << 53):
                 raise ValueError(
                     f"as_of_join value column {c!r} holds int64 ids above "

@@ -95,6 +95,9 @@ def modularity(edges, labels_ds, num_partitions_hint: int = 64,
     read in every task); above it the per-edge endpoint labels come
     from two distributed hash joins — V rows never stage through the
     driver heap."""
+    # materialize once: the count gate and the collect (or joins)
+    # below are separate consumers of the same labeling pipeline
+    labels_ds = labels_ds.materialize()
     if labels_ds.count() <= broadcast_max_labels:
         lab = labels_ds.to_pandas()
         order = np.argsort(lab["v"].to_numpy())

@@ -259,7 +259,9 @@ def remove_singletons(edges, vertices, broadcast_max_vertices: int = 5_000_000):
     from totem_ray.graph.analysis import vertex_universe
     from totem_ray.graph.joins import hash_join, semi_join_broadcast
 
-    uni = vertex_universe(edges)
+    # materialize once: the count gate and the collect/semi-join below
+    # would otherwise each execute the full endpoint pipeline
+    uni = vertex_universe(edges).materialize()
     col = vertices.schema().names[0]
     if uni.count() <= broadcast_max_vertices:
         endpoints = uni.to_pandas()["v"].to_numpy()

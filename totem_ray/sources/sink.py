@@ -94,6 +94,25 @@ def write_parquet_resumable(ds, path: str, key: str,
                 f"integer id (got {ktype}); hash string keys to int64 "
                 f"first (totem_ray.hashing.hash_strings_i64)")
     os.makedirs(path, exist_ok=True)
+    # migrate a pre-rename layout (partition dirs were once named
+    # part=NNNNN, which read_parquet's hive partitioning mis-parses
+    # into a spurious 'part' column): identical content, new name —
+    # rename in place so resume still skips the finished partitions
+    # instead of rewriting them next to stale duplicates
+    migrated = 0
+    for name in sorted(os.listdir(path)):
+        old = os.path.join(path, name)
+        if not (name.startswith("part=") and os.path.isdir(old)):
+            continue
+        new = os.path.join(path, "part-" + name.split("=", 1)[1])
+        if os.path.exists(new):
+            raise ValueError(
+                f"{path} contains both {name} and {os.path.basename(new)}; "
+                "remove one before resuming")
+        os.rename(old, new)
+        migrated += 1
+    if migrated:
+        _fsync_dir(path)
     # the partition count IS the resume contract: persist it and
     # refuse a mismatched re-run (a different count would silently
     # skip/duplicate rows against the old partition files)

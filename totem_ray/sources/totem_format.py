@@ -152,10 +152,25 @@ def write_totem_binary(path: str, num_vertices: int, edges: np.ndarray,
     if nv and edges.size and int(edges.max()) >= nv:
         raise ValueError(f"vertex id {int(edges.max())} >= "
                          f"num_vertices {nv}; .tbin ids are dense 0..N-1")
+
+    def _check_u32(a, what: str) -> np.ndarray:
+        # the format's weight_t is uint32 — a fractional / negative /
+        # >= 2^32 value would be silently truncated by astype, so
+        # refuse out-of-domain data (same contract as the dense-id
+        # guard above)
+        a = np.asarray(a, dtype=np.float64)
+        bad = ~np.isfinite(a) | (a < 0) | (a >= 2 ** 32) | (a != np.floor(a))
+        if bad.any():
+            raise ValueError(
+                f".tbin {what} are uint32; value "
+                f"{a[bad][0]!r} is not representable (must be an "
+                "integer in [0, 2^32))")
+        return a
     order = np.argsort(edges[:, 0], kind="stable")
     srt = edges[order]
-    w = None if weights is None else \
-        np.asarray(weights, dtype=np.float64)[order]
+    w = None if weights is None else _check_u32(weights, "weights")[order]
+    if values is not None:
+        values = _check_u32(values, "values")
     counts = np.bincount(srt[:, 0], minlength=nv) if ne else \
         np.zeros(nv, dtype=np.int64)
     vertices = np.zeros(nv + 1, dtype=np.int64)
