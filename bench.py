@@ -148,11 +148,20 @@ def warm_cluster(ncpu: int):
     from totem_ray.engine.bsp import BspEngine
 
     rng = np.random.default_rng(3)
-    t = pa.table({"src": pa.array(rng.integers(0, 256, 4096),
+    # sized to fault in the object-store pages the headline build will
+    # use (~16 B/edge x 3 passes): the FIRST pass over fresh plasma
+    # pages pays the page-fault + zeroing cost (measured ~2x on the
+    # whole build at s20), which a long-lived cluster never sees again
+    n = 8_000_000 if ncpu >= 16 else 500_000
+    t = pa.table({"src": pa.array(rng.integers(0, 1 << 19, n),
                                   type=pa.int64()),
-                  "dst": pa.array(rng.integers(0, 256, 4096),
+                  "dst": pa.array(rng.integers(0, 1 << 19, n),
                                   type=pa.int64())})
-    ds = ray.data.from_arrow(t).repartition(max(4, ncpu)).materialize()
+    ds = ray.data.from_arrow(t).repartition(max(4, 2 * ncpu)).materialize()
+    with BspEngine(max(4, min(32, ncpu))) as eng:
+        eng.build(ds, route_by="dst").run(
+            "pagerank_pull", {"mode": "rounds", "rounds": 2,
+                              "total_vertices": 1 << 19})
     with BspEngine(max(4, min(32, ncpu))) as eng:
         eng.build(ds).run("pagerank", {"mode": "rounds", "rounds": 2})
 

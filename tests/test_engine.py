@@ -243,9 +243,11 @@ def test_split_edge_block_is_shard_selective():
     for p, sub in enumerate(parts):
         if sub is None:
             continue
+        # payload is a dict of numpy column slices (see
+        # bsp._split_edge_block: numpy slices pickle only their bytes)
         pids = part.pid_np(np.asarray(sub["src"]))
         assert (pids == p).all()          # strictly this shard's rows
-        total += sub.num_rows
+        total += len(sub["src"])
     assert total == 500                    # nothing lost, nothing doubled
 
     vparts = _ray.get(list(_split_vertex_block.options(num_returns=P)

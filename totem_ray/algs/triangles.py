@@ -537,13 +537,30 @@ def _bloom_alloc(n_edges: int, bits_per_edge: int = 16):
 
 _BLOOM_ONES = np.left_shift(np.uint8(1), np.arange(8, dtype=np.uint8))
 
+# bit-position scatter strategy gate: below this a boolean temp array +
+# np.packbits(bitorder='little') replaces np.bitwise_or.at (an
+# unbuffered ufunc loop, ~20x slower) — 2^30 bits = a 128 MB bool temp
+_BLOOM_BOOL_MAX_BITS = 1 << 30
+
+
+def _bloom_scatter(bloom: np.ndarray, positions: np.ndarray) -> None:
+    """Set bit ``p`` of the packed little-endian bitmap for every p in
+    ``positions`` (duplicates fine)."""
+    m_bits = len(bloom) << 3
+    if m_bits <= _BLOOM_BOOL_MAX_BITS:
+        tmp = np.zeros(m_bits, dtype=bool)
+        tmp[positions.astype(np.int64)] = True
+        bloom |= np.packbits(tmp, bitorder="little")
+    else:
+        np.bitwise_or.at(
+            bloom, (positions >> np.uint64(3)).astype(np.int64),
+            _BLOOM_ONES[(positions & np.uint64(7)).astype(np.int64)])
+
 
 def _bloom_set(bloom: np.ndarray, mask: np.uint64,
                h1: np.ndarray, h2: np.ndarray) -> None:
-    for h in (h1, h2):
-        p = h & mask
-        np.bitwise_or.at(bloom, (p >> np.uint64(3)).astype(np.int64),
-                         _BLOOM_ONES[(p & np.uint64(7)).astype(np.int64)])
+    _bloom_scatter(bloom, np.concatenate([h1 & mask, h2 & mask])
+                   if len(h1) else np.empty(0, np.uint64))
 
 
 def _edge_bloom(oriented, n_edges: int, bits_per_edge: int = 16):
@@ -551,22 +568,34 @@ def _edge_bloom(oriented, n_edges: int, bits_per_edge: int = 16):
     edge-fingerprint halves) over the canonicalized oriented edge set.
     ~2 bytes/edge, ~1.4% false-positive rate — 8x smaller than the
     16 B/edge exact-fingerprint broadcast, so it stays broadcastable
-    well past the broadcast gate. Built by streaming ONLY the h1/h2
-    columns through the driver once (8+8 B/edge); at 2e9 edges that is
-    a 32 GB stream into a 4 GB bitmap — past that the caller skips the
-    pre-filter entirely and the semi join runs unpruned."""
+    well past the broadcast gate.
+
+    Built distributed: each block hashes its own edges and emits only
+    its UNIQUE set-bit positions (<= 8 B/position after per-block
+    dedup, vs 16 B/edge of raw fingerprints), and the driver scatters
+    them into the bitmap vectorized (bool temp + packbits under
+    ``_BLOOM_BOOL_MAX_BITS``). At 2e9 edges the position stream is
+    ~16 GB into a 4 GB bitmap — past ``bloom_max_edges`` the caller
+    skips the pre-filter entirely and the semi join runs unpruned."""
     bloom, mask = _bloom_alloc(n_edges, bits_per_edge)
 
-    def fp(t: pa.Table) -> pa.Table:
+    def positions(t: pa.Table) -> pa.Table:
         a = np.asarray(t["a"])
         b = np.asarray(t["b"])
         h1, h2 = _edge_fingerprints(np.minimum(a, b), np.maximum(a, b))
-        return pa.table({"h1": pa.array(h1, type=pa.uint64()),
-                         "h2": pa.array(h2, type=pa.uint64())})
+        p = np.unique(np.concatenate([h1 & mask, h2 & mask]))
+        return pa.table({"p": pa.array(p, type=pa.uint64())})
 
-    for blk in oriented.map_batches(fp, batch_format="pyarrow") \
-                       .iter_batches(batch_format="pyarrow"):
-        _bloom_set(bloom, mask, np.asarray(blk["h1"]), np.asarray(blk["h2"]))
+    # batch_size=None on BOTH sides: whole blocks in, whole blocks out
+    # (the default 256-row iter batches would re-run the scatter — and
+    # its bool temp allocation — thousands of times per million edges)
+    for blk in oriented.map_batches(positions, batch_size=None,
+                                    batch_format="pyarrow") \
+                       .iter_batches(batch_size=None,
+                                     batch_format="pyarrow"):
+        if blk.num_rows:
+            _bloom_scatter(bloom,
+                           np.asarray(blk.column("p").combine_chunks()))
     return bloom, mask
 
 

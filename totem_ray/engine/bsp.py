@@ -77,7 +77,16 @@ def _split_edge_block(blks, partitioner, key: str, P: int):
     pid = partitioner.pid_np(k)
     order = np.argsort(pid, kind="stable")
     bounds = np.searchsorted(pid[order], np.arange(P + 1))
-    out = [t.take(order[bounds[p]:bounds[p + 1]])
+    # ONE gather per column, then contiguous numpy slices per shard:
+    # pickling a numpy slice copies exactly the slice's bytes, where a
+    # sliced Arrow table pickles its FULL parent buffers (measured:
+    # a 1000-row slice of a 1M-row table serializes all 16 MB) and a
+    # per-partition Table.take is P separate gathers
+    cols = [np.asarray(c.combine_chunks()
+                       if isinstance(c, pa.ChunkedArray) else c)[order]
+            for c in (t[n] for n in t.column_names)]
+    names = t.column_names
+    out = [dict(zip(names, (c[bounds[p]:bounds[p + 1]] for c in cols)))
            if bounds[p + 1] > bounds[p] else None for p in range(P)]
     return tuple(out) if P > 1 else out[0]
 

@@ -142,24 +142,38 @@ class GraphShard:
 
     def ingest_edge_parts(self, refs: list) -> int:
         """Shard-selective ingest: each ref is THIS shard's pre-split
-        sub-table of one routed block (or None when the block had no
-        rows for this shard). The shard fetches only its 1/P share —
-        see bsp._split_edge_block. One batched get (sequential gets
-        would serialize on RPC latency)."""
+        sub-part of one routed block (a dict of numpy columns from
+        bsp._split_edge_block, or an Arrow table from older callers;
+        None when the block had no rows for this shard). The shard
+        fetches only its 1/P share. One batched get (sequential gets
+        would serialize on RPC latency).
+
+        Chunks are kept as ZERO-COPY plasma views: prepare()'s
+        consolidation pass concatenates them into the actor heap once
+        and drops the views — the build path touches each edge byte
+        once here instead of copy-per-chunk + concat (the plasma
+        sub-parts stay pinned only until prepare runs, which in
+        BspEngine.build is the immediately following RPC)."""
         n = 0
         for t in ray.get(list(refs)):
             if t is None:
                 continue
-            t = self._as_table(t)
-            if t.num_rows == 0:
+            if isinstance(t, dict):
+                src = np.asarray(t["src"], dtype=np.int64)
+                dst = np.asarray(t["dst"], dtype=np.int64)
+                w = np.asarray(t["weight"], dtype=np.float64) \
+                    if "weight" in t else None
+            else:
+                t = self._as_table(t)
+                if t.num_rows == 0:
+                    continue
+                src = self._np(t["src"]).astype(np.int64, copy=False)
+                dst = self._np(t["dst"]).astype(np.int64, copy=False)
+                w = self._np(t["weight"]).astype(np.float64, copy=False) \
+                    if "weight" in t.column_names else None
+            if not len(src):
                 continue
-            src = self._np(t["src"]).astype(np.int64, copy=False)
-            dst = self._np(t["dst"]).astype(np.int64, copy=False)
-            w = self._np(t["weight"]).astype(np.float64, copy=False) \
-                if "weight" in t.column_names else None
-            # copy out of plasma so the sub-block is not pinned by views
-            self._edge_chunks.append((src.copy(), dst.copy(),
-                                      None if w is None else w.copy()))
+            self._edge_chunks.append((src, dst, w))
             n += len(src)
         return n
 
@@ -389,16 +403,21 @@ class GraphShard:
         self.edge_fp = _content_fp(self._src, self._dst, None,
                                    self._vert_chunks)
 
+        # bincount, not np.add.at: same reduction, ~20x faster (add.at
+        # is an unbuffered ufunc loop; this runs once per build but over
+        # every owned vertex)
         out_deg = np.zeros(self.nv, dtype=np.int64)
         if len(sel_own):
             ids, counts = np.unique(self._src[sel_own], return_counts=True)
             keep = self.pid_fn(ids) == self.pid
-            np.add.at(out_deg, np.searchsorted(self.verts, ids[keep]),
-                      counts[keep])
+            out_deg += np.bincount(np.searchsorted(self.verts, ids[keep]),
+                                   weights=counts[keep],
+                                   minlength=self.nv).astype(np.int64)
         replies: dict[int, np.ndarray] = {}
         for q, (ids, counts) in incoming.items():
             idx = np.searchsorted(self.verts, ids)
-            np.add.at(out_deg, idx, counts)
+            out_deg += np.bincount(idx, weights=counts,
+                                   minlength=self.nv).astype(np.int64)
             replies[q] = ray.put(idx)
         self.pull_out_deg = out_deg
         self._vert_chunks = []
