@@ -45,3 +45,27 @@ def test_cli_triangles_from_pages(tmp_path, capsys):
                  "--partitions", "2"]) == 0
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row["rows"] == 1000
+
+
+def test_cli_degree_partitioner_same_results(tmp_path, capsys):
+    """--partitioner degree-high must change only PLACEMENT: pagerank
+    output is partitioner-invariant, and the stats report Totem's
+    rmt_edge metric for the chosen strategy."""
+    d = _edges_dir(tmp_path)
+    outs = {}
+    for part in ("hash", "degree-high"):
+        out = str(tmp_path / f"pr_{part}")
+        assert main(["pagerank", "--edges", d, "--partitions", "4",
+                     "--partitioner", part, "--alpha", "0.3",
+                     "--partition-stats", "--out", out]) == 0
+        row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert row["partition_stats"]["kind"] == \
+            ("hash" if part == "hash" else "degree")
+        assert 0.0 <= row["partition_stats"]["rmt_edge_frac"] <= 1.0
+        import ray.data
+
+        outs[part] = ray.data.read_parquet(out).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+    assert (outs["hash"]["v"] == outs["degree-high"]["v"]).all()
+    np.testing.assert_allclose(outs["hash"]["rank"],
+                               outs["degree-high"]["rank"], rtol=1e-12)

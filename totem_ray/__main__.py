@@ -42,6 +42,25 @@ def _parser() -> argparse.ArgumentParser:
     src.add_argument("--edges", help="parquet dir/file with src,dst[,weight]")
     src.add_argument("--pages", help="parquet dir/file with url,html pages")
     p.add_argument("--partitions", type=int, default=8)
+    p.add_argument("--partitioner", choices=["hash", "degree-high",
+                                             "degree-low"],
+                   default="hash",
+                   help="vertex-placement strategy (the reference "
+                        "CLI's partitioning algorithm: RANDOM / "
+                        "sorted-degree walks, "
+                        "totem_benchmark_cmdline.cu): hash = stateless "
+                        "id hash; degree-high/low = pin the vertices "
+                        "covering an --alpha share of edges (walked "
+                        "from the high/low end of the degree order) "
+                        "to partition 0, Totem's big-partition "
+                        "placement")
+    p.add_argument("--alpha", type=float, default=0.2,
+                   help="edge share for the degree partitioner's "
+                        "pinned partition (reference -a)")
+    p.add_argument("--partition-stats", action="store_true",
+                   help="also report the remote-edge fraction of the "
+                        "chosen partitioning (Totem's rmt_edge header "
+                        "column; costs one extra edge scan)")
     p.add_argument("--source", type=int, default=None,
                    help="source vertex (bfs/sssp/...); default: min src")
     p.add_argument("--sink", type=int, default=None, help="maxflow sink")
@@ -107,7 +126,27 @@ def main(argv=None) -> int:
 
     from totem_ray import algs
 
-    kw: dict = {"num_partitions": args.partitions}
+    partitioner = None
+    part_stats = None
+    if args.partitioner != "hash":
+        from totem_ray.graph.edges import degree_table
+        from totem_ray.graph.partition import DegreePartitioner
+
+        # the degree walk and the engine build both consume the edge
+        # pipeline — materialize once
+        edges = edges.materialize()
+        partitioner = DegreePartitioner.from_degrees(
+            degree_table(edges), args.partitions, alpha=args.alpha,
+            descending=args.partitioner == "degree-high")
+    if args.partition_stats:
+        from totem_ray.graph.partition import (HashPartitioner,
+                                               partition_stats)
+
+        part_stats = partition_stats(
+            edges, partitioner or HashPartitioner(args.partitions))
+
+    kw: dict = {"num_partitions": args.partitions,
+                "partitioner": partitioner}
     run_kw: dict = {}
     sweep_kw: dict = {}
     if args.checkpoint_every or args.resume or args.checkpoint_dir:
@@ -192,6 +231,8 @@ def main(argv=None) -> int:
 
     metrics = {k: v for k, v in out.items()
                if k in ("iterations", "max_flow", "sources", "sweep")}
+    if part_stats is not None:
+        metrics["partition_stats"] = part_stats
     eng = out.get("engine")
     if eng is not None:
         metrics["total_vertices"] = eng.total_vertices
