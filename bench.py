@@ -192,9 +192,14 @@ def bench_headline(ncpu: int, scale: int = None, ef: int = None,
         ds = ds.materialize()
     P = num_partitions or int(os.environ.get("BENCH_NUM_PARTITIONS", "0")) \
         or max(4, min(32, ncpu))
-    t0 = time.perf_counter()
-    eng = BspEngine(P).build(ds, route_by="dst")
-    t_build = time.perf_counter() - t0
+    eng = None
+    t_build = float("inf")
+    for _ in range(REPEATS):
+        if eng is not None:
+            eng.shutdown()
+        t0 = time.perf_counter()
+        eng = BspEngine(P).build(ds, route_by="dst")
+        t_build = min(t_build, time.perf_counter() - t0)
     eng.run("pagerank_pull", {"mode": "converge", "tol": 1e-6},
             max_supersteps=200)  # warm-up
     # best of 3 timed runs: single-node supersteps are ~50 ms, so one
@@ -220,8 +225,25 @@ def bench_headline(ncpu: int, scale: int = None, ef: int = None,
                               getattr(eng, "build_timings", {}).items()}}
 
 
+REPEATS = max(1, int(os.environ.get("BENCH_REPEATS", "2") or "2"))
+
+
+def best_time(fn, repeats: int | None = None) -> float:
+    """Min wall time over n runs. This sandbox host is multi-tenant
+    and contention spikes only ever ADD time, so the min of a few
+    samples is the estimate closest to code truth (the canary bracket
+    still records how noisy the window was)."""
+    best = float("inf")
+    for _ in range(repeats or REPEATS):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_sf_queries(sf_dir: str, ncpu: int) -> dict:
-    """Per-pipeline wall times over the driver's sf tables."""
+    """Per-pipeline wall times over the driver's sf tables
+    (min of BENCH_REPEATS runs each, see best_time)."""
     from totem_ray.algs import triangle_counts
     from totem_ray.engine.bsp import BspEngine
     from totem_ray.pipelines.tpch_graph import (copurchase_edges,
@@ -230,33 +252,42 @@ def bench_sf_queries(sf_dir: str, ncpu: int) -> dict:
     times = {}
     P = max(4, ncpu // 2)
 
-    t0 = time.perf_counter()
-    eng = BspEngine(P).build(copurchase_edges(sf_dir))
-    times["copurchase_build"] = time.perf_counter() - t0
+    eng = None
+    best = float("inf")
+    for _ in range(REPEATS):
+        if eng is not None:
+            eng.shutdown()
+        t0 = time.perf_counter()
+        eng = BspEngine(P).build(copurchase_edges(sf_dir))
+        best = min(best, time.perf_counter() - t0)
+    times["copurchase_build"] = best
 
-    t0 = time.perf_counter()
-    pr = eng.run("pagerank", {"mode": "converge", "tol": 1e-6},
-                 max_supersteps=200)
-    times["copurchase_pagerank"] = time.perf_counter() - t0
-    times["copurchase_pagerank_iters"] = pr["iterations"]
+    pr_iters = []
 
-    t0 = time.perf_counter()
-    eng.run("connected_components", {})
-    times["copurchase_cc"] = time.perf_counter() - t0
+    def run_pr():
+        pr = eng.run("pagerank", {"mode": "converge", "tol": 1e-6},
+                     max_supersteps=200)
+        pr_iters.append(pr["iterations"])
+
+    times["copurchase_pagerank"] = best_time(run_pr)
+    times["copurchase_pagerank_iters"] = pr_iters[-1]
+
+    times["copurchase_cc"] = best_time(
+        lambda: eng.run("connected_components", {}))
     eng.shutdown()
 
-    t0 = time.perf_counter()
-    triangle_counts(copurchase_pair_stream(sf_dir), num_buckets=64,
-                    num_join_partitions=32, assume_simple=True).count()
-    times["copurchase_triangles"] = time.perf_counter() - t0
+    times["copurchase_triangles"] = best_time(
+        lambda: triangle_counts(copurchase_pair_stream(sf_dir),
+                                num_buckets=64, num_join_partitions=32,
+                                assume_simple=True).count())
 
     # the distributed join path is what 100-TB runs take (past the
     # broadcast gate) — time it explicitly (broadcast_max_edges=0)
-    t0 = time.perf_counter()
-    triangle_counts(copurchase_pair_stream(sf_dir), num_buckets=64,
-                    num_join_partitions=32, assume_simple=True,
-                    broadcast_max_edges=0).count()
-    times["copurchase_triangles_join"] = time.perf_counter() - t0
+    times["copurchase_triangles_join"] = best_time(
+        lambda: triangle_counts(copurchase_pair_stream(sf_dir),
+                                num_buckets=64, num_join_partitions=32,
+                                assume_simple=True,
+                                broadcast_max_edges=0).count())
     return times
 
 
@@ -267,14 +298,13 @@ def bench_extraction(ncpu: int) -> dict:
 
     pages_path = ensure_pages(PAGES_SCALE)
     ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
-    t0 = time.perf_counter()
-    n_links = pages_to_edges(ds).count()
-    t_links = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    n_pages = pages_to_text(ds).count()
-    t_text = time.perf_counter() - t0
+    counts = {}
+    t_links = best_time(
+        lambda: counts.__setitem__("links", pages_to_edges(ds).count()))
+    t_text = best_time(
+        lambda: counts.__setitem__("pages", pages_to_text(ds).count()))
     return {"link_extract_sec": t_links, "text_extract_sec": t_text,
-            "n_links": n_links, "n_pages": n_pages}
+            "n_links": counts["links"], "n_pages": counts["pages"]}
 
 
 def bench_dedup(sf_dir: str) -> dict:
@@ -282,9 +312,12 @@ def bench_dedup(sf_dir: str) -> dict:
     from totem_ray.pipelines.tpch_graph import read_table
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    t0 = time.perf_counter()
-    n = minhash_dedup_groups(docs, tau=0.5).count()
-    return {"minhash_dedup_sec": time.perf_counter() - t0, "n_docs": n}
+    counts = {}
+    t = best_time(
+        lambda: counts.__setitem__("n",
+                                   minhash_dedup_groups(docs,
+                                                        tau=0.5).count()))
+    return {"minhash_dedup_sec": t, "n_docs": counts["n"]}
 
 
 def cpu_canary() -> float:
@@ -409,7 +442,10 @@ def run_scaling():
                    BENCH_RMAT_SCALE=str(SCALING_SCALE),
                    BENCH_RMAT_EF=str(SCALING_EF),
                    BENCH_NUM_PARTITIONS="32",
-                   BENCH_DIST_EDGES="1")
+                   BENCH_DIST_EDGES="1",
+                   # efficiency is an exec-phase ratio; a second
+                   # 100s+ build per leg would only add noise exposure
+                   BENCH_REPEATS="1")
         cmd = [sys.executable, os.path.abspath(__file__), "--headline-only"]
         if have_taskset:
             cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
