@@ -136,3 +136,71 @@ def test_hash_join_matches_pandas(lrows, rrows):
     got_s = got[key].sort_values(key).reset_index(drop=True)
     exp_s = exp[key].sort_values(key).reset_index(drop=True)
     assert got_s.equals(exp_s)
+
+
+@given(_edges_strategy(max_n=16, max_m=40),
+       st.lists(st.integers(1, 9), min_size=40, max_size=40))
+@_SET
+def test_sssp_matches_dijkstra(ne, ws):
+    n, pairs = ne
+    if not pairs:
+        return
+    import heapq
+
+    from totem_ray.algs import sssp
+
+    e = np.array(pairs, dtype=np.int64)
+    w = np.array(ws[:len(pairs)], dtype=np.float64)
+    src = int(e[:, 0].min())
+    out = sssp(edges_from_arrays(e, weights=w), source=src,
+               num_partitions=3)
+    got = out["result"].to_pandas().set_index("v")["dist"].to_dict()
+    out["engine"].shutdown()
+
+    adj = {}
+    for (a, b), wt in zip(pairs, w):
+        adj.setdefault(a, []).append((b, float(wt)))
+    dist = {src: 0.0}
+    pq = [(0.0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, np.inf):
+            continue
+        for v, wt in adj.get(u, ()):
+            nd = d + wt
+            if nd < dist.get(v, np.inf):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    for v in {x for p in pairs for x in p}:
+        want = dist.get(v, np.inf)
+        g = got.get(v, np.inf)
+        if np.isinf(want):
+            assert g is None or np.isinf(g) or g != g, (v, g)
+        else:
+            assert abs(g - want) < 1e-9, (v, g, want)
+
+
+@given(_edges_strategy(max_n=16, max_m=40))
+@_SET
+def test_bfs_dirop_matches_bfs(ne):
+    """Direction-optimizing BFS must equal plain BFS level-for-level
+    on any symmetrized graph (the dirop bottom-up phase's documented
+    symmetric-input assumption)."""
+    n, pairs = ne
+    if not pairs:
+        return
+    from totem_ray.algs import bfs
+    from totem_ray.algs.traversal import bfs_stepwise
+
+    e = np.array(_sym(pairs), dtype=np.int64)
+    src = int(e[:, 0].min())
+    a = bfs(edges_from_arrays(e), source=src, num_partitions=3)
+    want = a["result"].to_pandas().set_index("v")["cost"].to_dict()
+    a["engine"].shutdown()
+    # low switch threshold forces bottom-up supersteps to engage even
+    # on these tiny graphs
+    b = bfs_stepwise(edges_from_arrays(e), source=src, num_partitions=3,
+                     undirected=True, alpha=0.01)
+    got = b["result"].to_pandas().set_index("v")["cost"].to_dict()
+    b["engine"].shutdown()
+    assert got == want
