@@ -77,3 +77,34 @@ def test_incomplete_checkpoint_skipped(tmp_path):
     # fell back to the previous complete superstep
     assert out["resumed_from"] == steps[-2] + 1
     eng.shutdown()
+
+
+def test_labelprop_resume_identical_result(tmp_path):
+    """Regression: label_propagation restore crashed with a TypeError
+    (per-scalar np.asarray over pyarrow list scalars) — the list
+    columns now round-trip via LargeListArray offsets + flatten."""
+    ckpt = str(tmp_path / "lp_ckpt")
+    n, e = topology_edges("grid_15")
+    params = {"max_support": None, "max_iterations": None}
+
+    eng = BspEngine(3).build(edges_from_arrays(e))
+    full = eng.run("label_propagation", params)
+    ref = full["result"].to_pandas().sort_values("v")["label"].to_numpy()
+    total_iters = full["iterations"]
+    eng.shutdown()
+
+    # interrupted run: same params (lineage match), cut at superstep 4
+    eng = BspEngine(3).build(edges_from_arrays(e))
+    partial = eng.run("label_propagation", params, max_supersteps=4,
+                      checkpoint_dir=ckpt, checkpoint_every=2)
+    assert not partial["converged"]
+    eng.shutdown()
+
+    eng = BspEngine(3).build(edges_from_arrays(e))
+    resumed = eng.run("label_propagation", params, checkpoint_dir=ckpt,
+                      checkpoint_every=2, resume=True)
+    assert resumed["resumed_from"] == 4  # checkpoints at steps 1, 3
+    got = resumed["result"].to_pandas().sort_values("v")["label"].to_numpy()
+    eng.shutdown()
+    assert np.array_equal(got, ref)
+    assert resumed["iterations"] == total_iters

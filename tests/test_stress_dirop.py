@@ -159,3 +159,48 @@ def test_graph500_stepwise_goes_bottom_up_on_star():
     # star parents: every leaf's parent is the hub; hub's parent = hub
     assert (df.loc[df["v"] != 0, "parent"] == 0).all()
     assert df.loc[df["v"] == 0, "parent"].iloc[0] == 0
+
+
+def test_bottom_up_trailing_isolated_vertex():
+    """Regression: the bottom-up segmented reduction used a clamped
+    reduceat start (min(indptr, ne-1)) that TRUNCATED the last
+    edge-owning vertex's adjacency segment whenever trailing
+    zero-out-degree vertices existed — a vertex whose only frontier
+    neighbor sat in the final adjacency slot was never discovered
+    (wrong cost / parent, or -1)."""
+    import pyarrow as pa
+    import ray.data
+
+    from totem_ray.algs.traversal import bfs_tree, bfs_tree_stepwise
+
+    pairs = np.array([[0, 1], [1, 2], [2, 3], [1, 3]])
+    e = np.concatenate([pairs, pairs[:, ::-1]])
+    # isolated vertex 9 sorts LAST on the single shard -> trailing
+    # zero-degree CSR rows after vertex 3's adjacency
+    verts = ray.data.from_arrow(pa.table({"v": pa.array(
+        [0, 1, 2, 3, 9], type=pa.int64())}))
+
+    want = bfs(edges_from_arrays(e), source=0, num_partitions=1,
+               vertices=verts)
+    w = want["result"].to_pandas().set_index("v")["cost"].to_dict()
+    want["engine"].shutdown()
+    assert w == {0: 0, 1: 1, 2: 2, 3: 2, 9: -1}
+
+    # alpha=0.01 forces bottom-up supersteps immediately
+    got = bfs_stepwise(edges_from_arrays(e), source=0, num_partitions=1,
+                       vertices=verts, alpha=0.01)
+    g = got["result"].to_pandas().set_index("v")["cost"].to_dict()
+    assert any(m.get("bu_steps", 0) > 0 for m in got["metrics"])
+    got["engine"].shutdown()
+    assert g == w
+
+    wt = bfs_tree(edges_from_arrays(e), source=0, num_partitions=1,
+                  vertices=verts)
+    wtree = wt["result"].to_pandas().set_index("v")[["cost", "parent"]]
+    wt["engine"].shutdown()
+    gt = bfs_tree_stepwise(edges_from_arrays(e), source=0,
+                           num_partitions=1, vertices=verts, alpha=0.01)
+    gtree = gt["result"].to_pandas().set_index("v")[["cost", "parent"]]
+    assert any(m.get("bu_steps", 0) > 0 for m in gt["metrics"])
+    gt["engine"].shutdown()
+    assert (wtree.sort_index() == gtree.sort_index()).all().all()

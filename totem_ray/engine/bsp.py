@@ -436,8 +436,15 @@ class BspEngine:
 
 
 def _agg_stats(stats: list[dict]) -> dict:
+    """Per-superstep global reduction of shard stats. Keys are SUMMED
+    across shards, except ``max_*`` keys which take the max (e.g.
+    BfsSigmaKernel's ``max_level`` is per-shard max semantics —
+    summing it inflated the reported level up to P-fold)."""
     agg: dict[str, float] = {}
     for s in stats:
         for k, v in s.items():
-            agg[k] = agg.get(k, 0) + v
+            if k.startswith("max_"):
+                agg[k] = max(agg.get(k, v), v)
+            else:
+                agg[k] = agg.get(k, 0) + v
     return agg

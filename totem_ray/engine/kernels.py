@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from totem_ray.nputil import group_ordinal as _group_ordinal
-from totem_ray.nputil import group_starts_sizes, slice_offsets
+from totem_ray.nputil import slice_gather
 
 I64MAX = np.iinfo(np.int64).max
 
@@ -89,7 +89,8 @@ class PageRankKernel:
         for p, arr in inboxes.items():
             np.add.at(acc, sh.inbox_maps[p], arr)  # one dense slot per sender
         N, d = st["N"], st["d"]
-        r_new = (1.0 - d) / N + d * acc
+        # N==0 tolerated like init (empty graph -> no ranks to update)
+        r_new = ((1.0 - d) / N if N else 0.0) + d * acc
         if st["mode"] == "rounds":
             if superstep < st["rounds"] - 1:
                 stored = r_new.copy()
@@ -169,7 +170,8 @@ class PageRankPullKernel:
             acc += np.bincount(grp["dst"], weights=vec[grp["sidx"]],
                                minlength=sh.nv)
         N, d = st["N"], st["d"]
-        r_new = (1.0 - d) / N + d * acc
+        # N==0 tolerated like init (empty graph -> no ranks to update)
+        r_new = ((1.0 - d) / N if N else 0.0) + d * acc
         if st["mode"] == "rounds":
             if superstep < st["rounds"] - 1:
                 stored = r_new.copy()
@@ -366,9 +368,8 @@ class LabelPropagationKernel:
         for p, idx_arr in sh.inbox_maps.items():
             counts = vptr[idx_arr + 1] - vptr[idx_arr]
             total = int(counts.sum())
-            starts = vptr[idx_arr]
-            gather = np.repeat(starts, counts) + \
-                slice_offsets(counts) if total else np.empty(0, np.int64)
+            gather = slice_gather(vptr[idx_arr], counts) if total \
+                else np.empty(0, np.int64)
             pos = np.repeat(np.arange(len(idx_arr), dtype=np.int64), counts)
             outboxes[p] = (pos, st["row_l"][gather], st["row_p"][gather])
         st["_vptr"] = vptr
@@ -401,7 +402,7 @@ class LabelPropagationKernel:
                 ptr, labs, probs = gstate[t]
                 nbr_ids = sh.ghosts[t][e_i]
             counts = ptr[e_i + 1] - ptr[e_i]
-            gather = np.repeat(ptr[e_i], counts) + slice_offsets(counts)
+            gather = slice_gather(ptr[e_i], counts)
             exp_v.append(np.repeat(e_v, counts))
             exp_l.append(labs[gather])
             exp_p.append(probs[gather])
@@ -469,17 +470,21 @@ class LabelPropagationKernel:
 
     @staticmethod
     def state_table(sh, st) -> pa.Table:
+        # zero-loop list columns: one offsets vector + the flat value
+        # arrays (the per-vertex Python slice/tolist loop this replaces
+        # was O(nv) interpreted work per checkpoint interval)
         vptr = np.searchsorted(st["row_v"], np.arange(sh.nv + 1))
+        # large_list: int64 offsets — a web-scale shard's flat support
+        # rows can exceed int32
+        offs = pa.array(vptr.astype(np.int64))
         return pa.table({
             "v": pa.array(sh.verts, type=pa.int64()),
             "label": pa.array(st["label"], type=pa.int64()),
             "stable": pa.array(st["stable"], type=pa.int64()),
-            "support_l": pa.array([st["row_l"][vptr[i]:vptr[i + 1]].tolist()
-                                   for i in range(sh.nv)],
-                                  type=pa.list_(pa.int64())),
-            "support_p": pa.array([st["row_p"][vptr[i]:vptr[i + 1]].tolist()
-                                   for i in range(sh.nv)],
-                                  type=pa.list_(pa.float64())),
+            "support_l": pa.LargeListArray.from_arrays(
+                offs, pa.array(st["row_l"], type=pa.int64())),
+            "support_p": pa.LargeListArray.from_arrays(
+                offs, pa.array(st["row_p"], type=pa.float64())),
         })
 
     @staticmethod
@@ -492,16 +497,19 @@ class LabelPropagationKernel:
         lab[idx] = np.asarray(t["label"])
         stab[idx] = np.asarray(t["stable"])
         st["label"], st["stable"] = lab, stab
+        # decode via the ListArray's flat values + offsets (iterating
+        # the column yields pyarrow scalars numpy cannot coerce — the
+        # old per-scalar np.asarray loop crashed every restore)
         sup_l = t["support_l"].combine_chunks()
         sup_p = t["support_p"].combine_chunks()
-        counts = np.asarray([len(sup_l[i]) for i in range(len(sup_l))])
+        loff = np.asarray(sup_l.offsets, dtype=np.int64)
+        counts = np.diff(loff)
         row_v = np.repeat(idx, counts)
-        row_l = np.concatenate([np.asarray(sup_l[i], dtype=np.int64)
-                                for i in range(len(sup_l))]) if counts.sum() else np.empty(0, np.int64)
-        row_p = np.concatenate([np.asarray(sup_p[i], dtype=np.float64)
-                                for i in range(len(sup_p))]) if counts.sum() else np.empty(0, np.float64)
+        row_l = np.asarray(sup_l.flatten(), dtype=np.int64)
+        row_p = np.asarray(sup_p.flatten(), dtype=np.float64)
         order = np.lexsort((row_l, row_v))
-        st["row_v"], st["row_l"], st["row_p"] = row_v[order], row_l[order], row_p[order]
+        st["row_v"], st["row_l"], st["row_p"] = \
+            row_v[order], row_l[order], row_p[order]
 
 
 class DegreeKernel:
@@ -561,6 +569,24 @@ def _seg_min_sparse(dst: np.ndarray, vals: np.ndarray):
     """dst must be sorted ascending; -> (unique_dst, min val per dst)."""
     starts = np.concatenate([[0], np.flatnonzero(np.diff(dst)) + 1])
     return dst[starts], np.minimum.reduceat(vals, starts)
+
+
+def _seg_reduceat(ufunc, arr: np.ndarray, indptr: np.ndarray, identity):
+    """Segmented ``ufunc.reduceat`` over CSR ``indptr`` that is SAFE
+    for empty segments ANYWHERE, including trailing zero-degree
+    vertices: reduceat runs over the non-empty segments only — their
+    retained starts are strictly increasing and < len(arr), and each
+    retained segment's true end equals the next retained start (an
+    empty segment shares its successor's start). The clamp idiom this
+    replaces (``np.minimum(indptr[:-1], len(arr) - 1)``) silently
+    TRUNCATED the last edge-owning vertex's segment whenever trailing
+    empty segments existed, dropping its final edge from the
+    reduction. Empty segments get ``identity``."""
+    out = np.full(len(indptr) - 1, identity, dtype=arr.dtype)
+    nz = indptr[:-1] < indptr[1:]
+    if nz.any():
+        out[nz] = ufunc.reduceat(arr, indptr[:-1][nz])
+    return out
 
 
 def _min_outbox(ud, red, size: int, fill):
@@ -1168,7 +1194,11 @@ class DirOptBfsKernel:
             if t == sh.pid:
                 st["cand"] = (ud, red)
             else:
-                outboxes[t] = ("td", (ud, red))
+                # dense per-slot array on wide frontiers (the exact
+                # steps direction-optimization targets), sparse pairs
+                # otherwise — same format switch as BfsKernel
+                outboxes[t] = ("td", _min_outbox(ud, red, tgt["size"],
+                                                 I64MAX))
         return outboxes
 
     @staticmethod
@@ -1191,11 +1221,8 @@ class DirOptBfsKernel:
             # any frontier neighbor? segmented OR over the CSR rows
             hit = np.zeros(sh.nv, dtype=bool)
             if sh.ne:
-                sums = np.add.reduceat(flags.astype(np.int64),
-                                       np.minimum(sh.adj_indptr[:-1],
-                                                  sh.ne - 1))
-                deg_nz = np.diff(sh.adj_indptr) > 0
-                hit[deg_nz] = sums[deg_nz] > 0
+                hit = _seg_reduceat(np.logical_or, flags,
+                                    sh.adj_indptr, False)
             newly = unvisited & hit
             st["cost"][newly] = superstep + 1
             st["frontier"] = newly
@@ -1205,8 +1232,8 @@ class DirOptBfsKernel:
         if len(cand_i):
             cand[cand_i] = cand_v
         for p, payload in inboxes.items():
-            tag, (ud, red) = payload
-            np.minimum.at(cand, sh.inbox_maps[p][ud], red)
+            tag, msg = payload
+            _apply_min_inbox(cand, sh.inbox_maps[p], msg, I64MAX)
         better = cand < st["cost"]
         st["cost"] = np.where(better, cand, st["cost"])
         st["frontier"] = better
@@ -1298,10 +1325,8 @@ class Graph500StepwiseKernel:
                 nbr_id[m] = np.where(f, ids, I64MAX)
             parent_min = np.full(sh.nv, I64MAX, dtype=np.int64)
             if sh.ne:
-                mins = np.minimum.reduceat(
-                    nbr_id, np.minimum(sh.adj_indptr[:-1], sh.ne - 1))
-                deg_nz = np.diff(sh.adj_indptr) > 0
-                parent_min[deg_nz] = mins[deg_nz]
+                parent_min = _seg_reduceat(np.minimum, nbr_id,
+                                           sh.adj_indptr, I64MAX)
             newly = (st["cost"] == I64MAX) & (parent_min < I64MAX)
             st["cost"][newly] = superstep + 1
             st["parent"][newly] = parent_min[newly]
@@ -1495,10 +1520,7 @@ class MaxflowKernel:
             eh = np.where(resid, h_edge, HINF)
             h_prime = np.full(sh.nv, HINF, dtype=np.int64)
             if ne:
-                mins = np.minimum.reduceat(
-                    eh, np.minimum(vptr[:-1], ne - 1))
-                nz = np.diff(vptr) > 0
-                h_prime[nz] = mins[nz]
+                h_prime = _seg_reduceat(np.minimum, eh, vptr, HINF)
             active = (excess > _MF_EPS) & (height < N) & ~excl
             if not active.any():
                 break
@@ -1594,7 +1616,13 @@ class MaxflowKernel:
             "maxflow checkpointing needs the per-edge flow vector; "
             "rerun from scratch (the reference is likewise fail-stop)")
 
-    load_state = state_table
+    @staticmethod
+    def load_state(sh, st, t):
+        # a bare `load_state = state_table` alias would die with an
+        # arity TypeError before reaching the informative message
+        raise NotImplementedError(
+            "maxflow checkpointing needs the per-edge flow vector; "
+            "rerun from scratch (the reference is likewise fail-stop)")
 
 
 class PCoreKernel:
