@@ -264,3 +264,116 @@ def test_asof_join_rejects_big_int64_value_columns():
     with pytest.raises(ValueError, match="2\\^53"):
         as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
                    value_cols=["big_id"])
+
+
+def test_asof_join_rejects_big_int64_left_payload():
+    # the LEFT side's payload columns get null-padded on right rows of
+    # a bucket block and hop through pandas too — the guard must cover
+    # both sides
+    import pytest
+    import ray.data as _rd
+
+    from totem_ray.functions.windows import as_of_join
+
+    left = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([10, 20], pa.int64()),
+        "event_id": pa.array([(1 << 60) + 1, 2], pa.int64())}))
+    right = _rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "rts": pa.array([5], pa.int64()),
+        "v": pa.array([1.5], pa.float64())}))
+    with pytest.raises(ValueError, match="left payload"):
+        as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
+                   value_cols=["v"])
+
+
+def test_asof_join_empty_bucket_keeps_value_dtype():
+    # a bucket with zero right rows must pad value columns with TYPED
+    # nulls: a bare np.nan made string columns float64 in that bucket
+    # and the blocks' schemas no longer unified
+    import ray.data as _rd
+
+    from totem_ray.functions.windows import as_of_join
+
+    # many keys so some hash buckets have left rows but no right rows
+    n = 64
+    left = _rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(np.full(n, 100), pa.int64())}))
+    right = _rd.from_arrow(pa.table({
+        "k": pa.array([0], pa.int64()),
+        "rts": pa.array([5], pa.int64()),
+        "name": pa.array(["x"], pa.string())}))
+    out = as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
+                     value_cols=["name"]).to_pandas()
+    assert len(out) == n
+    assert (out["r_name"].dropna() == "x").all()
+    assert out["r_name"].notna().sum() == 1
+
+
+def test_minhash_short_docs_not_merged():
+    # docs with fewer than shingle_k tokens have no shingles and used
+    # to keep the all-sentinel signature — every pair of unrelated
+    # short docs matched with jaccard_est 1.0 and merged
+    from totem_ray.functions.dedup import (minhash_dedup_groups,
+                                           minhash_lsh_candidates)
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["foo bar", "baz qux",
+                          "a long enough document with many words",
+                          "a long enough document with many words"]),
+    }))
+    cand = minhash_lsh_candidates(docs).to_pandas()
+    short_pairs = cand[(cand["a"] == 1) & (cand["b"] == 2)]
+    assert len(short_pairs) == 0
+    groups = minhash_dedup_groups(docs, tau=0.8).to_pandas() \
+        .set_index("doc_id")["dup_group"].to_dict()
+    assert groups[1] == 1 and groups[2] == 2     # own groups
+    assert groups[3] == groups[4] == 3           # real clones merge
+
+
+def test_simhash_blocking_full_recall_at_radius_8():
+    # pigeonhole blocking: pairs differing 2-2-2-2 across the old
+    # fixed 16-bit chunks were missed at max_hamming=8
+    from totem_ray.functions import dedup as dd
+    from totem_ray.functions.dedup import simhash_near_dup_pairs
+
+    base = np.uint64(0x0123456789ABCDEF)
+    # flip 2 bits in each 16-bit quarter -> hamming 8, no shared quarter
+    flip = np.uint64(0)
+    for q in range(4):
+        flip |= np.uint64(0b11) << np.uint64(16 * q + 3)
+    other = base ^ flip
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a", "b"])}))
+
+    import totem_ray.functions.dedup as dmod
+
+    def fake_sigs(docs_, id_col="doc_id"):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "simhash": pa.array(np.array([base, other]).view(np.int64)),
+        }))
+
+    orig = dmod.simhash_signatures
+    dmod.simhash_signatures = fake_sigs
+    try:
+        pairs = simhash_near_dup_pairs(docs, max_hamming=8).to_pandas()
+    finally:
+        dmod.simhash_signatures = orig
+    assert len(pairs) == 1
+    assert int(pairs.iloc[0]["hamming"]) == 8
+
+
+def test_exact_dedup_custom_id_col():
+    from totem_ray.functions.dedup import exact_dedup
+
+    docs = rd.from_arrow(pa.table({
+        "my_id": pa.array([10, 20, 30], pa.int64()),
+        "text": pa.array(["same", "same", "other"])}))
+    out = exact_dedup(docs, id_col="my_id").to_pandas()
+    assert sorted(out["my_id"]) == [10, 30]

@@ -33,6 +33,18 @@ from totem_ray.nputil import (composite_group_starts, group_starts_sizes,
 
 TOKEN_SPLIT_RE = r"\s+"
 
+_SENTINEL = np.iinfo(np.int64).max
+
+
+def _shuffle_group(*cols, buckets: int = 64) -> np.ndarray:
+    """Deterministic shuffle-bucket id from one or more int64 columns
+    (splitmix64 fold) — the shared keying for the candidate-pair
+    groupbys below."""
+    g = np.zeros(len(cols[0]), dtype=np.uint64)
+    for c in cols:
+        g = splitmix64(g ^ as_u64(np.asarray(c)))
+    return (g % buckets).astype(np.int64)
+
 
 # ----------------------------------------------------------------------
 # exact dedup
@@ -44,7 +56,7 @@ def exact_dedup(docs, id_col: str = "doc_id"):
     doc, not the text."""
     from totem_ray.functions.text import doc_fingerprints
 
-    fps = doc_fingerprints(docs, normalize=False)
+    fps = doc_fingerprints(docs, normalize=False, id_col=id_col)
     return fps.groupby("fingerprint") \
               .aggregate(Min(id_col, alias_name=id_col)) \
               .select_columns([id_col])
@@ -158,6 +170,13 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
     def to_bands(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col])
         sig = _decode_sigs(t["sig"], num_perm)
+        # a doc with fewer than shingle_k tokens has NO shingles and
+        # keeps the all-sentinel signature; two such docs would match
+        # on every band with jaccard_est 1.0 and merge unrelated short
+        # docs — no shingles means no MinHash identity, so emit no
+        # band rows (exact_dedup still catches identical short texts)
+        real = sig[:, 0] != _SENTINEL
+        ids, sig = ids[real], sig[real]
         bh = np.empty((len(ids), bands), dtype=np.int64)
         for b in range(bands):
             chunk = as_u64(np.ascontiguousarray(
@@ -179,9 +198,8 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
     band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
 
     def add_g(t: pa.Table) -> pa.Table:
-        g = splitmix64(as_u64(np.asarray(t["bhash"]))
-                       ^ as_u64(np.asarray(t["band"]))) % 64
-        return t.append_column("_g", pa.array(g.astype(np.int64)))
+        g = _shuffle_group(t["bhash"], t["band"])
+        return t.append_column("_g", pa.array(g))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # all (band, bhash) groups of one shuffle bucket, vectorized
@@ -253,8 +271,11 @@ def simhash_signatures(docs, id_col: str = "doc_id"):
             order = np.argsort(doc, kind="stable")
             doc_s = doc[order]
             h = as_u64(tok[order])
+            # int32 halves the transient (n_tokens, 64) matrix vs
+            # int64; reduceat accumulates in the same dtype, safe to
+            # 2^31 tokens per batch group
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64) * 2 - 1
+                    & np.uint64(1)).astype(np.int32) * 2 - 1
             starts, _ = group_starts_sizes(doc_s)
             votes = np.add.reduceat(bits, starts, axis=0)
             sig = (votes > 0).astype(np.uint64)
@@ -277,21 +298,36 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 def simhash_near_dup_pairs(docs, max_hamming: int = 3,
                            id_col: str = "doc_id", max_bucket: int = 2000):
     """(a, b, hamming) pairs with hamming distance <= max_hamming.
-    Candidates blocked on 16-bit signature chunks (two signatures
-    within hamming 3 of each other share at least one of 4 chunks)."""
+
+    Candidates blocked on ``max_hamming + 1`` disjoint signature bit
+    chunks: by pigeonhole, two signatures within ``max_hamming`` bits
+    of each other agree EXACTLY on at least one chunk, so the blocking
+    has full recall for ANY radius (the previous fixed 4x16-bit split
+    only guaranteed recall to hamming 3 — a pair differing 2-2-2-2
+    across the four chunks was silently missed at max_hamming=8).
+    Narrower chunks at larger radii mean more candidates per bucket —
+    the standard recall/cost tradeoff (HmSearch)."""
     sigs = simhash_signatures(docs, id_col)
+    n_chunks = int(max_hamming) + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63] (got {max_hamming})")
+    widths = np.full(n_chunks, 64 // n_chunks, dtype=np.int64)
+    widths[:64 % n_chunks] += 1
+    offs = np.concatenate([[0], np.cumsum(widths)[:-1]])
 
     def to_chunks(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col])
         h = as_u64(np.asarray(t["simhash"]))
         rows = []
         chunk_ids = []
-        for c in range(4):
-            rows.append(((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).view(np.int64))
+        for c in range(n_chunks):
+            mask = np.uint64((1 << int(widths[c])) - 1)
+            rows.append(((h >> np.uint64(int(offs[c]))) & mask).view(np.int64))
             chunk_ids.append(np.full(len(ids), c, dtype=np.int64))
         return pa.table({
-            id_col: pa.array(np.tile(ids, 4), type=pa.int64()),
-            "sig": pa.array(np.tile(np.asarray(t["simhash"]), 4), type=pa.int64()),
+            id_col: pa.array(np.tile(ids, n_chunks), type=pa.int64()),
+            "sig": pa.array(np.tile(np.asarray(t["simhash"]), n_chunks),
+                            type=pa.int64()),
             "chunk": pa.array(np.concatenate(chunk_ids)),
             "chash": pa.array(np.concatenate(rows)),
         })
@@ -299,9 +335,8 @@ def simhash_near_dup_pairs(docs, max_hamming: int = 3,
     chunk_rows = sigs.map_batches(to_chunks, batch_format="pyarrow")
 
     def add_g(t: pa.Table) -> pa.Table:
-        g = splitmix64(as_u64(np.asarray(t["chash"]))
-                       ^ as_u64(np.asarray(t["chunk"]))) % 64
-        return t.append_column("_g", pa.array(g.astype(np.int64)))
+        g = _shuffle_group(t["chash"], t["chunk"])
+        return t.append_column("_g", pa.array(g))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["chunk", "chash", id_col], kind="stable") \
@@ -349,8 +384,7 @@ def ngram_jaccard_pairs(docs, tau: float = 0.5, shingle_k: int = 3,
     doc_counts = rows.groupby("doc").aggregate(Count(alias_name="nsh"))
 
     def add_g(t: pa.Table) -> pa.Table:
-        g = splitmix64(as_u64(np.asarray(t["sh"]))) % 64
-        return t.append_column("_g", pa.array(g.astype(np.int64)))
+        return t.append_column("_g", pa.array(_shuffle_group(t["sh"])))
 
     def group_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # all shingle groups of one shuffle bucket, vectorized
@@ -414,7 +448,7 @@ def embedding_near_dup_pairs(emb, tau: float = 0.9, block_col: str | None = None
     scale path — approximate: only same-bucket pairs are compared).
     With neither, one global block (brute force; small inputs only).
     """
-    from totem_ray.functions.similarity import _as_matrix
+    from totem_ray.functions.similarity import _as_matrix, _normalize
 
     def add_block(t: pa.Table) -> pa.Table:
         if block_col:
@@ -440,10 +474,7 @@ def embedding_near_dup_pairs(emb, tau: float = 0.9, block_col: str | None = None
                              "b": pa.array([], type=pa.int64()),
                              "cos_sim": pa.array([], type=pa.float64())})
         ids = np.asarray(t[id_col]).astype(np.int64)
-        x = _as_matrix(t[emb_col])
-        n = np.linalg.norm(x, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        xn = x / n
+        xn = _normalize(_as_matrix(t[emb_col]))
         sims = xn @ xn.T
         iu = np.triu_indices(len(ids), k=1)
         s = sims[iu]

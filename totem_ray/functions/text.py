@@ -115,8 +115,9 @@ def lang_id(docs, concurrency=(1, 8), batch_size: int = 4096):
                             concurrency=concurrency, batch_size=batch_size)
 
 
-def doc_fingerprints(docs, normalize: bool = True):
-    """(doc_id, fingerprint) — stable 64-bit content fingerprint of
+def doc_fingerprints(docs, normalize: bool = True,
+                     id_col: str = "doc_id"):
+    """(id_col, fingerprint) — stable 64-bit content fingerprint of
     the (optionally whitespace-normalized, lowercased) text. The
     exact-dedup key."""
     def fn(t: pa.Table) -> pa.Table:
@@ -126,7 +127,7 @@ def doc_fingerprints(docs, normalize: bool = True):
             txt = pc.replace_substring_regex(txt, r"\s+", " ")
             txt = pc.utf8_trim_whitespace(txt)
         fp = hash_strings_i64(txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt)
-        return pa.table({"doc_id": t["doc_id"],
+        return pa.table({id_col: t[id_col],
                          "fingerprint": pa.array(fp, type=pa.int64())})
 
     return docs.map_batches(fn, batch_format="pyarrow")

@@ -86,51 +86,54 @@ def session_windows(events, gap_s: int = 1800, key: str = "user_id",
 
 
 def as_of_join(left, right, key: str, ts_left: str, ts_right: str,
-               value_cols: list[str], num_buckets: int = 32,
-               suffix: str = ""):
+               value_cols: list[str], num_buckets: int = 32):
     """As-of (backward) join: for each left row, the latest right row
     of the same key with ts_right <= ts_left. Implemented as bucketed
     union + per-bucket pandas merge_asof (sorted within bucket).
+    Output columns are prefixed ``l_`` / ``r_``.
 
-    Precision note: ``merge_asof`` has no Arrow equivalent, so value
-    columns hop Arrow -> pandas -> Arrow per bucket. An int64 value
-    column that contains nulls degrades to float64 in that hop and
-    loses exactness above 2^53; this function raises on that
-    combination rather than silently corrupting ids (keys and the two
-    ``ts`` columns are required null-free by the sort anyway)."""
+    Precision note: ``merge_asof`` has no Arrow equivalent, so payload
+    columns hop Arrow -> pandas -> Arrow per bucket. An int64 column
+    that contains nulls degrades to float64 in that hop and loses
+    exactness above 2^53 — and BOTH sides get null padding here (left
+    payload columns are null on right-side rows of a bucket block and
+    vice versa), so the guard scans the int64 payload columns of BOTH
+    inputs and raises rather than silently corrupting ids (keys and
+    the two ``ts`` columns are required null-free by the sort
+    anyway)."""
+    import pyarrow.compute as pc
+
     lsch = left.schema()
     rsch = right.schema()
-    rtypes_guard = dict(zip(rsch.names, rsch.types))
-    i64_cols = [c for c in value_cols
-                if (t := rtypes_guard.get(c)) is not None
-                and pa.types.is_integer(t) and t.bit_width == 64]
-    if i64_cols:
-        # a null ANYWHERE in a 64-bit value column (including the
-        # nulls the left side pads for unmatched rows — those stay
-        # null) only matters if real values exceed 2^53; cheap guard:
-        # ONE pass over the right side computes every column's max
-        # magnitude at once
-        import pyarrow.compute as pc
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    lplain = [c for c in lsch.names if c not in (key, ts_left)]
 
+    def _guard_i64(ds, types, cols, side):
+        i64 = [c for c in cols
+               if (t := types.get(c)) is not None
+               and pa.types.is_integer(t) and t.bit_width == 64]
+        if not i64:
+            return
+        # ONE pass computes every column's max magnitude at once
         def maxes(t: pa.Table) -> pa.Table:
             return pa.table({c: pa.array(
                 [pc.max(pc.abs(t[c].combine_chunks()
                                .cast(pa.int64()))).as_py() or 0],
-                type=pa.int64()) for c in i64_cols})
+                type=pa.int64()) for c in i64})
 
-        row = right.map_batches(maxes, batch_format="pyarrow") \
-            .max(i64_cols)
-        for c in i64_cols:
+        row = ds.map_batches(maxes, batch_format="pyarrow").max(i64)
+        for c in i64:
             mx = row if np.isscalar(row) else row.get(f"max({c})")
             if mx is not None and int(mx) > (1 << 53):
                 raise ValueError(
-                    f"as_of_join value column {c!r} holds int64 ids above "
+                    f"as_of_join {side} column {c!r} holds int64 ids above "
                     f"2^53 ({int(mx)}); the pandas merge_asof hop would "
                     "degrade them to float64 — pre-map ids to a dense "
                     "range or join on a separate pass")
-    ltypes = dict(zip(lsch.names, lsch.types))
-    rtypes = dict(zip(rsch.names, rsch.types))
-    lplain = [c for c in lsch.names if c not in (key, ts_left)]
+
+    _guard_i64(right, rtypes, value_cols, "value")
+    _guard_i64(left, ltypes, lplain, "left payload")
     lcols = [f"l_{c}" for c in lplain]
     rcols = [f"r_{c}" for c in value_cols]
 
@@ -172,7 +175,11 @@ def as_of_join(left, right, key: str, ts_left: str, ts_right: str,
         else:
             out = l.copy()
             for c in rcols:
-                out[c] = np.nan
+                # dtype-preserving empty padding: a bare np.nan would
+                # make this bucket's r_ columns float64 while matched
+                # buckets keep the true dtype (string/datetime/...),
+                # and the blocks' schemas would no longer unify
+                out[c] = pd.Series(index=out.index, dtype=r[c].dtype)
         out = out.rename(columns={"_ts": ts_left})
         out[ts_left] = out[ts_left].astype("datetime64[us]")
         return out

@@ -41,6 +41,17 @@ def broadcast_lookup(ds, small_df: pd.DataFrame, key: str, on: str,
     keys = small[key].to_numpy()
     cols = {c: small[c].to_numpy() for c in (columns or
                                              [c for c in small.columns if c != key])}
+    sch = ds.schema()
+    if sch is not None:
+        clash = [c for c in cols if c in sch.names]
+        if clash:
+            # append_column would create DUPLICATE field names — a
+            # far-from-the-join-site failure on the first downstream
+            # select; fail here instead
+            raise ValueError(
+                f"broadcast_lookup: column(s) {clash} already exist on "
+                "the Dataset; rename the small-table columns or pass "
+                "columns=[...] excluding them")
     ref = ray.put((keys, cols))
 
     class Lookup:
