@@ -129,3 +129,36 @@ def test_block_splitting_does_not_fragment_sources():
         assert len(gotj) == n and (gotj["triangles"] == expect).all()
     finally:
         ctx.target_max_block_size = old
+
+
+def test_wedge_chunks_split_inside_hub_group():
+    """Element-sliced chunking: a chunk boundary may fall INSIDE one
+    source's group (the old group-sliced loop materialized a hub's
+    whole quadratic wedge set at once); counts must stay exact."""
+    from totem_ray.algs.triangles import _wedge_chunks
+
+    # one source with forward degree 9 -> 36 pairs
+    a = np.full(9, 7, dtype=np.int64)
+    b = np.arange(10, 19, dtype=np.int64)
+    chunks = list(_wedge_chunks(a, b, wedge_chunk=5))
+    assert len(chunks) > 3                     # split within the group
+    tot = sum(len(u) for u, _, _ in chunks)
+    assert tot == 9 * 8 // 2
+    seen = set()
+    for u, lo, hi in chunks:
+        assert (u == 7).all() and (lo < hi).all()
+        seen.update(zip(lo.tolist(), hi.tolist()))
+    assert len(seen) == 36                     # all distinct pairs, once
+
+    # end-to-end: K8 counts stay exact with a tiny chunk
+    import pyarrow as pa
+    import ray.data
+
+    from totem_ray.algs.triangles import triangle_counts
+    from totem_ray.graph.edges import edges_from_arrays
+
+    e = np.array([[x, y] for x in range(8) for y in range(8) if x != y])
+    for kw in ({}, {"broadcast_max_edges": 0}):
+        got = triangle_counts(edges_from_arrays(e), num_buckets=4, **kw)
+        df = got.to_pandas()
+        assert (df["triangles"] == 21).all() and len(df) == 8, (kw, df)

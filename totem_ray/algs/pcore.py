@@ -31,6 +31,12 @@ def pcore(edges, start: int = 0, step: int = 1, num_partitions: int = 4,
 
         ids = edges.take(1)
         vid = ids[0]["src"] if ids else None
+        if vid is None and vertices is not None:
+            # edgeless single-vertex graph: recover the id from the
+            # explicit vertex universe (same fallback as pagerank's
+            # special case) instead of emitting a null row
+            row = vertices.take(1)[0]
+            vid = row[next(iter(row))]
         result = ray.data.from_pandas(pd.DataFrame(
             {"v": [vid], "round": [engine.total_edges]}))
         return {"result": result, "iterations": 0, "converged": True,

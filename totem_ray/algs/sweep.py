@@ -105,6 +105,11 @@ def _write_done(marker: str, content: str):
 
 
 def union_all(parts: list):
+    if not parts:
+        raise ValueError(
+            "sweep produced no per-source partials (empty source list "
+            "— an empty or src-less edge table derives zero sources); "
+            "pass explicit sources= or check the input)")
     ds = parts[0]
     for p in parts[1:]:
         ds = ds.union(p)

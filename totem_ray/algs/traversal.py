@@ -173,11 +173,17 @@ def st_connectivity(edges, source: int, target: int,
     {connected: bool, cost: hop distance or -1}. Implemented as BFS
     from ``source`` (the reference's bidirectional search is a
     constant-factor optimization)."""
+    own_engine = engine is None
     out = bfs(edges, source, num_partitions, partitioner, vertices, engine)
     row = out["result"].filter(expr=f"v == {int(target)}").take(1)
-    out["engine"].shutdown()
+    if own_engine:
+        # only tear down an engine this call created — a caller-
+        # provided engine stays alive for reuse (the module's
+        # engine-reuse contract)
+        out["engine"].shutdown()
     cost = int(row[0]["cost"]) if row else -1
-    return {"connected": cost >= 0, "cost": cost}
+    return {"connected": cost >= 0, "cost": cost,
+            "engine": None if own_engine else out["engine"]}
 
 
 def closeness(edges, sources=None, sample: int = 8,

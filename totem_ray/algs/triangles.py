@@ -44,7 +44,37 @@ from ray.data.aggregate import Sum
 from totem_ray.graph.edges import drop_self_loops, degree_table, symmetrize
 from totem_ray.graph.joins import hash_join
 from totem_ray.hashing import hash_partition
-from totem_ray.nputil import slice_offsets
+from totem_ray.nputil import group_starts_sizes, slice_offsets
+
+
+def _wedge_chunks(a: np.ndarray, b: np.ndarray, wedge_chunk: int):
+    """Yield (u, lo, hi) candidate-wedge arrays in <= ~wedge_chunk-pair
+    chunks from one src-grouped block's forward edges.
+
+    ELEMENT-sliced, not group-sliced: a chunk boundary may fall inside
+    a source group (element e contributes its pairs with the group's
+    earlier elements only — at most the group size, which degree
+    orientation bounds by ~sqrt(2E)). The previous group-sliced loop
+    forced at least one WHOLE group per chunk, so a single hub's
+    quadratic wedge set (~7e7 wedges for a forward degree of 12k)
+    materialized at once regardless of wedge_chunk."""
+    order = np.argsort(a, kind="stable")
+    a, b = a[order], b[order]
+    starts, sizes = group_starts_sizes(a)
+    gstart = np.repeat(starts, sizes)            # group start per element
+    ords = np.arange(len(a), dtype=np.int64) - gstart
+    cum = np.concatenate([[0], np.cumsum(ords)])
+    e0, n = 0, len(a)
+    while e0 < n:
+        e1 = int(np.searchsorted(cum, cum[e0] + wedge_chunk, "right")) - 1
+        e1 = max(e1, e0 + 1)
+        cnt = ords[e0:e1]
+        second = np.repeat(np.arange(e0, e1, dtype=np.int64), cnt)
+        if len(second):
+            first = np.repeat(gstart[e0:e1], cnt) + slice_offsets(cnt)
+            x, y = b[first], b[second]
+            yield a[second], np.minimum(x, y), np.maximum(x, y)
+        e0 = e1
 
 
 def _rename(ds, mapping: dict):
@@ -384,31 +414,8 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
         eblm, ebmask = _ray.get(ref_blm)
         a = np.asarray(t["a"])
         b = np.asarray(t["b"])
-        order = np.argsort(a, kind="stable")
-        a, b = a[order], b[order]
-        starts = np.concatenate([[0], np.flatnonzero(np.diff(a) != 0) + 1])
-        sizes = np.diff(np.concatenate([starts, [len(a)]]))
-        pair_counts = sizes * (sizes - 1) // 2
-        cum = np.concatenate([[0], np.cumsum(pair_counts)])
         out_v, out_t = [], []
-        g0 = 0
-        while g0 < len(starts):
-            g1 = int(np.searchsorted(cum, cum[g0] + wedge_chunk, "right"))
-            g1 = max(g1 - 1, g0 + 1)
-            rstart = starts[g0]
-            rend = starts[g1] if g1 < len(starts) else len(a)
-            al, bl = a[rstart:rend], b[rstart:rend]
-            lstarts = starts[g0:g1] - rstart
-            lsizes = sizes[g0:g1]
-            # enumerate pairs (first < second) within each source group
-            ords = np.arange(len(al)) - np.repeat(lstarts, lsizes)
-            second = np.repeat(np.arange(len(al)), ords)
-            first = np.repeat(np.repeat(lstarts, lsizes), ords) + \
-                slice_offsets(ords)
-            x = bl[first]
-            y = bl[second]
-            lo = np.minimum(x, y)
-            hi = np.maximum(x, y)
+        for u_arr, lo, hi in _wedge_chunks(a, b, wedge_chunk):
             wh1, wh2 = _edge_fingerprints(lo, hi)
             n = len(eh1)
             hit = np.zeros(len(wh1), dtype=bool)
@@ -429,12 +436,10 @@ def _triangle_counts_broadcast(oriented, num_buckets: int,
                     hitc |= mk
                 hit[ci] = hitc
             if hit.any():
-                u = al[second[hit]]  # wedge centers, hits only
-                v = np.concatenate([u, lo[hit], hi[hit]])
+                v = np.concatenate([u_arr[hit], lo[hit], hi[hit]])
                 vu, cnt = np.unique(v, return_counts=True)
                 out_v.append(vu)
                 out_t.append(cnt)
-            g0 = g1
         if out_v:
             v = np.concatenate(out_v)
             c = np.concatenate(out_t)
@@ -641,31 +646,8 @@ def _triangle_counts_join(oriented, num_buckets: int,
         a = np.asarray(t["a"])
         b = np.asarray(t["b"])
         blm = _ray.get(bloom_ref) if bloom_ref is not None else None
-        order = np.argsort(a, kind="stable")
-        a, b = a[order], b[order]
-        starts = np.concatenate([[0], np.flatnonzero(np.diff(a) != 0) + 1])
-        sizes = np.diff(np.concatenate([starts, [len(a)]]))
-        pair_counts = sizes * (sizes - 1) // 2
-        cum = np.concatenate([[0], np.cumsum(pair_counts)])
-        g0 = 0
         emitted = False
-        while g0 < len(starts):
-            g1 = int(np.searchsorted(cum, cum[g0] + wedge_chunk, "right"))
-            g1 = max(g1 - 1, g0 + 1)
-            rstart = starts[g0]
-            rend = starts[g1] if g1 < len(starts) else len(a)
-            al, bl = a[rstart:rend], b[rstart:rend]
-            lstarts = starts[g0:g1] - rstart
-            lsizes = sizes[g0:g1]
-            ords = np.arange(len(al)) - np.repeat(lstarts, lsizes)
-            second = np.repeat(np.arange(len(al)), ords)
-            first = np.repeat(np.repeat(lstarts, lsizes), ords) + \
-                slice_offsets(ords)
-            x = bl[first]
-            y = bl[second]
-            lo = np.minimum(x, y)
-            hi = np.maximum(x, y)
-            u = al[second]
+        for u, lo, hi in _wedge_chunks(a, b, wedge_chunk):
             if blm is not None and len(lo):
                 wh1, wh2 = _edge_fingerprints(lo, hi)
                 keep = _bloom_probe(blm[0], blm[1], wh1, wh2)
@@ -677,7 +659,6 @@ def _triangle_counts_join(oriented, num_buckets: int,
                     "lo": pa.array(lo, type=pa.int64()),
                     "hi": pa.array(hi, type=pa.int64()),
                 })
-            g0 = g1
         if not emitted:
             # a typed empty block keeps the dataset schema consistent
             yield pa.table({"u": pa.array([], type=pa.int64()),

@@ -109,9 +109,20 @@ def modularity(edges, labels_ds, num_partitions_hint: int = 64,
             v_sorted, l_sorted = ray.get(ref)
             s = np.asarray(t["src"])
             d = np.asarray(t["dst"])
-            ls_ = l_sorted[np.searchsorted(v_sorted, s)]
-            ld_ = l_sorted[np.searchsorted(v_sorted, d)]
-            return _modularity_partial(ls_, ld_)
+            if not len(v_sorted):
+                return _modularity_partial(np.empty(0, np.int64),
+                                           np.empty(0, np.int64))
+            # clamp + equality check (the broadcast_lookup idiom):
+            # an endpoint missing from labels_ds must DROP the edge
+            # (matching the join plan's inner-join semantics), not
+            # crash on an out-of-range index or silently take the
+            # next vertex's label
+            si = np.minimum(np.searchsorted(v_sorted, s),
+                            len(v_sorted) - 1)
+            di = np.minimum(np.searchsorted(v_sorted, d),
+                            len(v_sorted) - 1)
+            ok = (v_sorted[si] == s) & (v_sorted[di] == d)
+            return _modularity_partial(l_sorted[si[ok]], l_sorted[di[ok]])
 
         part = edges.map_batches(fn, batch_format="pyarrow")
     else:
@@ -166,6 +177,8 @@ def graph_summary(edges) -> "pa.Table":
     partials + one small reduce per statistic."""
     from totem_ray.graph.edges import drop_self_loops
 
+    # five statistics consume the same pipeline — run it once
+    edges = edges.materialize()
     n_edges = edges.count()
 
     def partial(t: pa.Table) -> pa.Table:

@@ -51,7 +51,19 @@ def symmetrize(edges, dedup: bool = False):
         return pa.concat_tables([t, pa.table(cols).select(t.column_names)])
 
     out = edges.map_batches(fn, batch_format="pyarrow")
-    return dedup_edges(out) if dedup else out
+    if not dedup:
+        return out
+    sch = edges.schema()
+    extra = [c for c in (sch.names if sch else [])
+             if c not in ("src", "dst")]
+    if extra:
+        # dedup_edges keys on (src, dst) only and would silently drop
+        # the attribute columns (e.g. weight) this function's own map
+        # carefully preserves
+        raise ValueError(
+            f"symmetrize(dedup=True) would drop column(s) {extra}; "
+            "dedup before attaching attributes or pass dedup=False")
+    return dedup_edges(out)
 
 
 def reverse_edges(edges):
@@ -199,7 +211,7 @@ def add_random_weights(edges, seed: int = 42, max_weight: float = 1.0):
     return edges.map_batches(fn, batch_format="pyarrow")
 
 
-def create_bidirectional(edges):
+def create_bidirectional(edges, num_buckets: int = 64):
     """Max-flow residual-graph transform (graph_create_bidirectional,
     totem_graph.cu:486-585): for every edge (u, v, w) ensure the
     reverse edge exists; added reverse edges get weight 0. Existing
@@ -217,21 +229,31 @@ def create_bidirectional(edges):
             else np.ones(len(s), dtype=np.float64)
         b = (splitmix64(splitmix64(as_u64(np.minimum(s, d)))
                         ^ as_u64(np.maximum(s, d)))
-             % 64).astype(np.int64)
+             % int(num_buckets)).astype(np.int64)
         return pa.table({"src": pa.array(s, type=pa.int64()),
                          "dst": pa.array(d, type=pa.int64()),
                          "weight": pa.array(w, type=pa.float64()),
                          "_b": pa.array(b)})
 
+    def _rows(a2: np.ndarray):
+        # structured view: row-wise lexicographic compare/searchsorted
+        a2 = np.ascontiguousarray(a2.astype(np.int64, copy=False))
+        return a2.view([("s", np.int64), ("d", np.int64)]).ravel()
+
     def residual(t: pa.Table) -> pa.Table:
-        # one bucket holds every edge of each unordered pair
+        # one bucket holds every edge of each unordered pair; the
+        # reverse-existence probe is a sorted-rows membership test
+        # (no per-row Python sets — module contract: vectorized)
         s = np.asarray(t["src"])
         d = np.asarray(t["dst"])
         w = np.asarray(t["weight"], dtype=np.float64)
-        have = set(zip(s.tolist(), d.tolist()))
-        need = [(dd, ss) for ss, dd in have if (dd, ss) not in have]
-        ns = np.array([p[0] for p in need], dtype=np.int64)
-        nd = np.array([p[1] for p in need], dtype=np.int64)
+        up = np.unique(np.stack([s, d], axis=1), axis=0)
+        upv = _rows(up)
+        revv = _rows(up[:, ::-1])
+        pos = np.minimum(np.searchsorted(upv, revv), len(upv) - 1)
+        missing = upv[pos] != revv          # reverse not present
+        ns = up[missing][:, 1]
+        nd = up[missing][:, 0]
         return pa.table({
             "src": pa.array(np.concatenate([s, ns]), type=pa.int64()),
             "dst": pa.array(np.concatenate([d, nd]), type=pa.int64()),

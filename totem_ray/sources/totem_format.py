@@ -40,11 +40,21 @@ def parse_totem_file(path: str) -> dict:
                 continue
             rows.append(line)
     if rows:
-        arr = np.array([r.split() for r in rows], dtype=np.float64)
+        arr = np.array([r.split() for r in rows])
+        if arr.dtype == object or arr.ndim != 2:
+            raise ValueError(
+                f"{path}: inconsistent column counts across edge rows "
+                "(mixed weighted/unweighted lines)")
+        if arr.shape[1] not in (2, 3):
+            raise ValueError(f"{path}: edge rows must be 'src dst "
+                             f"[weight]' (got {arr.shape[1]} columns)")
+        # ids parse string -> int64 directly: a float64 hop would
+        # silently round ids above 2^53
+        edges = arr[:, :2].astype(np.int64)
+        weights = arr[:, 2].astype(np.float64) if arr.shape[1] > 2 else None
     else:
-        arr = np.empty((0, 2), dtype=np.float64)
-    edges = arr[:, :2].astype(np.int64)
-    weights = arr[:, 2].astype(np.float64) if arr.shape[1] > 2 else None
+        edges = np.empty((0, 2), dtype=np.int64)
+        weights = None
     if num_edges and len(edges) != num_edges:
         raise ValueError(f"{path}: header says {num_edges} edges, "
                          f"file has {len(edges)}")
@@ -149,6 +159,11 @@ def write_totem_binary(path: str, num_vertices: int, edges: np.ndarray,
     needs 64 bits — matching the EID=64 build."""
     edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
     nv, ne = int(num_vertices), len(edges)
+    if edges.size and int(edges.min()) < 0:
+        # astype('<u4') would silently wrap a negative id (url-hash
+        # ids are routinely negative int64 bit patterns)
+        raise ValueError(f"vertex id {int(edges.min())} is negative; "
+                         ".tbin ids are dense 0..N-1 — remap first")
     if nv and edges.size and int(edges.max()) >= nv:
         raise ValueError(f"vertex id {int(edges.max())} >= "
                          f"num_vertices {nv}; .tbin ids are dense 0..N-1")
