@@ -187,8 +187,6 @@ def q_labelprop(sf_dir: str):
 
 def q_triangles(sf_dir: str):
     from totem_ray.algs import triangle_counts
-    from totem_ray.pipelines.tpch_graph import copurchase_edges
-
     from totem_ray.pipelines.tpch_graph import copurchase_pair_stream
 
     # raw pair stream: the fused bucket pass inside triangle_counts
@@ -200,8 +198,6 @@ def q_triangles(sf_dir: str):
 
 def q_clustering_coefficient(sf_dir: str):
     from totem_ray.algs import clustering_coefficient
-    from totem_ray.pipelines.tpch_graph import copurchase_edges
-
     from totem_ray.pipelines.tpch_graph import copurchase_pair_stream
 
     cc = clustering_coefficient(copurchase_pair_stream(sf_dir),
@@ -224,7 +220,9 @@ def q_bfs_copurchase(sf_dir: str):
     from totem_ray.algs import bfs
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
-    edges = copurchase_edges(sf_dir)
+    # materialize: the source pick and the engine build are two
+    # consumers of the same pair-generation pipeline
+    edges = copurchase_edges(sf_dir).materialize()
     src = int(edges.min("src"))
     out = bfs(edges, source=src, num_partitions=4)
     df = out["result"].to_pandas()
@@ -236,7 +234,9 @@ def q_bfs_tree_copurchase(sf_dir: str):
     from totem_ray.algs import bfs_tree
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
-    edges = copurchase_edges(sf_dir)
+    # materialize: the source pick and the engine build are two
+    # consumers of the same pair-generation pipeline
+    edges = copurchase_edges(sf_dir).materialize()
     src = int(edges.min("src"))
     out = bfs_tree(edges, source=src, num_partitions=4)
     df = out["result"].to_pandas()
@@ -248,7 +248,9 @@ def q_bfs_tree_dirop_copurchase(sf_dir: str):
     from totem_ray.algs import bfs_tree_stepwise
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
-    edges = copurchase_edges(sf_dir)
+    # materialize: the source pick and the engine build are two
+    # consumers of the same pair-generation pipeline
+    edges = copurchase_edges(sf_dir).materialize()
     src = int(edges.min("src"))
     out = bfs_tree_stepwise(edges, source=src, num_partitions=4)
     df = out["result"].to_pandas()
@@ -260,7 +262,7 @@ def q_sssp_copurchase(sf_dir: str):
     from totem_ray.algs import sssp
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
-    edges = copurchase_edges(sf_dir)
+    edges = copurchase_edges(sf_dir).materialize()
 
     def add_w(t: pa.Table) -> pa.Table:
         s = np.asarray(t["src"])
@@ -299,12 +301,8 @@ def q_closeness_copurchase(sf_dir: str):
     from totem_ray.algs import closeness
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
-    edges = copurchase_edges(sf_dir)
-    srcs = sorted(r["v"] for r in
-                  edges.select_columns(["src"]).groupby("src").count()
-                  .map_batches(lambda t: pa.table({"v": t["src"]}),
-                               batch_format="pyarrow")
-                  .sort("v").limit(4).take_all())
+    edges = copurchase_edges(sf_dir).materialize()
+    srcs = _smallest_srcs(edges, 4)
     out = closeness(edges, sources=srcs, num_partitions=4)
     df = out["result"].to_pandas()
     out["engine"].shutdown()
@@ -316,10 +314,8 @@ def q_betweenness_copurchase(sf_dir: str):
     from totem_ray.algs import betweenness
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
-    edges = copurchase_edges(sf_dir)
-    srcs = sorted(r["src"] for r in
-                  edges.select_columns(["src"]).groupby("src").count()
-                  .sort("src").limit(4).take_all())
+    edges = copurchase_edges(sf_dir).materialize()
+    srcs = _smallest_srcs(edges, 4)
     out = betweenness(edges, sources=srcs, num_partitions=4)
     df = out["result"].to_pandas()
     out["engine"].shutdown()
@@ -340,7 +336,7 @@ def q_stress_copurchase(sf_dir: str):
     from totem_ray.algs import stress
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
-    edges = copurchase_edges(sf_dir)
+    edges = copurchase_edges(sf_dir).materialize()
     srcs = _smallest_srcs(edges, 4)
     out = stress(edges, sources=srcs, num_partitions=4)
     df = out["result"].to_pandas()
@@ -352,7 +348,9 @@ def q_bfs_dirop_copurchase(sf_dir: str):
     from totem_ray.algs import bfs_stepwise
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
-    edges = copurchase_edges(sf_dir)
+    # materialize: the source pick and the engine build are two
+    # consumers of the same pair-generation pipeline
+    edges = copurchase_edges(sf_dir).materialize()
     src = int(edges.min("src"))
     out = bfs_stepwise(edges, source=src, num_partitions=4)
     df = out["result"].to_pandas()
@@ -364,7 +362,7 @@ def q_apsp_copurchase(sf_dir: str):
     from totem_ray.algs import apsp
     from totem_ray.pipelines.tpch_graph import copurchase_edges
 
-    edges = copurchase_edges(sf_dir)
+    edges = copurchase_edges(sf_dir).materialize()
     srcs = _smallest_srcs(edges, 4)
     out = apsp(edges, sources=srcs, num_partitions=4)
     df = out["result"].to_pandas()

@@ -241,3 +241,11 @@ def test_sort_neighbors_by_degree_star_plus_chain():
     # descending neighbor out-degree: 2 (deg 3), 1 (deg 2), 3 (deg 0)
     assert nbrs0["dst"].tolist() == [2, 1, 3]
     assert nbrs0["nbr_degree"].tolist() == [3, 2, 0]
+
+
+def test_subgraph_empty_vertex_set():
+    # no vertex qualifying must yield an empty edge set, not an
+    # IndexError inside every filter task
+    ds = edges_from_arrays(np.array([[0, 1], [1, 2]]))
+    out = subgraph(ds, np.array([], dtype=np.int64))
+    assert out.count() == 0

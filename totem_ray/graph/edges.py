@@ -164,6 +164,8 @@ def subgraph(edges, keep_vertices: np.ndarray):
             self.keep = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if not len(self.keep):   # empty vertex set keeps no edges
+                return t.slice(0, 0)
             s = np.asarray(t["src"])
             d = np.asarray(t["dst"])
             idx_s = np.searchsorted(self.keep, s)
