@@ -377,3 +377,22 @@ def test_exact_dedup_custom_id_col():
         "text": pa.array(["same", "same", "other"])}))
     out = exact_dedup(docs, id_col="my_id").to_pandas()
     assert sorted(out["my_id"]) == [10, 30]
+
+
+def test_sample_frames_video_only():
+    # image/audio rows (n_frames null) used to emit one bogus
+    # whole-payload frame each; only video rows may produce frames
+    from totem_ray.functions.multimodal import (sample_frames,
+                                                synthetic_media_table)
+
+    tbl = synthetic_media_table(24)
+    media = rd.from_arrow(tbl)
+    out = sample_frames(media, every_n=5).to_pandas()
+    types = {r["media_id"]: r["media_type"] for r in tbl.to_pylist()}
+    assert len(out) > 0
+    assert all(types[m] == "video" for m in out["media_id"])
+    nf = {r["media_id"]: r["n_frames"] for r in tbl.to_pylist()
+          if r["media_type"] == "video"}
+    import math
+    want = sum(math.ceil(max(v, 1) / 5) for v in nf.values())
+    assert len(out) == want

@@ -293,7 +293,7 @@ class BspEngine:
         if not getattr(kernel, "broadcast_outbox", False) and mode == "dst":
             raise ValueError(f"{alg} needs a push-built engine: "
                              "build(..., route_by='src')")
-        if alg in ("pagerank", "pagerank_pull") and \
+        if getattr(kernel, "needs_total_vertices", False) and \
                 "total_vertices" not in params:
             params["total_vertices"] = self.total_vertices
         lineage = lineage_hash(alg, sorted(params.items()),
@@ -306,7 +306,8 @@ class BspEngine:
         if resume and checkpoint_dir:
             step = self._latest_checkpoint(checkpoint_dir, lineage)
             if step is not None:
-                ray.get([s.restore.remote(alg, checkpoint_dir, step, **params)
+                ray.get([s.restore.remote(alg, checkpoint_dir, step,
+                                          lineage=lineage, **params)
                          for s in self.shards])
                 start_step = step + 1
                 restored = True

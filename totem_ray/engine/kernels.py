@@ -46,6 +46,7 @@ class PageRankKernel:
     """
 
     name = "pagerank"
+    needs_total_vertices = True
 
     @staticmethod
     def init(sh, st, total_vertices: int = 0, damping: float = 0.85,
@@ -145,6 +146,7 @@ class PageRankPullKernel:
     """
 
     name = "pagerank_pull"
+    needs_total_vertices = True
     broadcast_outbox = True
 
     init = None  # bound below (same params/behavior as push)
@@ -1146,6 +1148,7 @@ class DirOptBfsKernel:
     """
 
     name = "bfs_dirop"
+    needs_total_vertices = True
     needs_global_hook = True  # direction choice needs the global
     # frontier size of the immediately previous superstep
 
@@ -1269,6 +1272,7 @@ class Graph500StepwiseKernel:
     traverses stored edges against their direction)."""
 
     name = "bfs_tree_dirop"
+    needs_total_vertices = True
     needs_global_hook = True
 
     @staticmethod

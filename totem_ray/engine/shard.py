@@ -41,8 +41,6 @@ import ray
 
 from totem_ray.engine.kernels import KERNELS
 
-I64MAX = np.iinfo(np.int64).max
-
 
 def _content_fp(src, dst, w, vert_chunks) -> int:
     """Order-independent multiset fingerprint of this shard's slice of
@@ -408,10 +406,11 @@ class GraphShard:
         # every owned vertex)
         out_deg = np.zeros(self.nv, dtype=np.int64)
         if len(sel_own):
+            # sel_own selects edges whose src OWNER == self.pid by
+            # construction, so every id here is locally owned
             ids, counts = np.unique(self._src[sel_own], return_counts=True)
-            keep = self.pid_fn(ids) == self.pid
-            out_deg += np.bincount(np.searchsorted(self.verts, ids[keep]),
-                                   weights=counts[keep],
+            out_deg += np.bincount(np.searchsorted(self.verts, ids),
+                                   weights=counts,
                                    minlength=self.nv).astype(np.int64)
         replies: dict[int, np.ndarray] = {}
         for q, (ids, counts) in incoming.items():
@@ -537,12 +536,27 @@ class GraphShard:
         os.replace(tmp, path)  # atomic publish
         return path
 
-    def restore(self, alg: str, ckpt_dir: str, superstep: int, **params) -> dict:
+    def restore(self, alg: str, ckpt_dir: str, superstep: int,
+                lineage: str | None = None, **params) -> dict:
         import pyarrow.parquet as pq
 
         path = os.path.join(ckpt_dir, f"superstep={superstep}",
                             f"part-{self.pid:05d}.parquet")
         t = pq.read_table(path)
+        meta = t.schema.metadata or {}
+        if lineage is not None:
+            # the manifest can lag the part files (a crash between the
+            # atomic part overwrites and the manifest rewrite leaves
+            # run A's manifest over run B's parts) — the per-part
+            # embedded lineage is the authoritative check
+            got = meta.get(b"lineage", b"").decode()
+            got_step = meta.get(b"superstep", b"").decode()
+            if got != lineage or got_step != str(superstep):
+                raise ValueError(
+                    f"checkpoint part {path} carries lineage "
+                    f"{got!r}/step {got_step!r}, expected "
+                    f"{lineage!r}/step {superstep} — mixed runs in one "
+                    "checkpoint_dir; delete it and rerun")
         st = self.state.setdefault(alg, {})
         KERNELS[alg].init(self, st, **params)
         KERNELS[alg].load_state(self, st, t)

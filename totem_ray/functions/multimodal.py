@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from totem_ray.hashing import splitmix64
 
@@ -131,12 +132,18 @@ class SampleFrames:
                                       "use fake=True in this container")
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        # video rows only: image/audio rows carry n_frames = null and
+        # used to yield one bogus whole-payload "frame" each
+        if "media_type" in t.column_names:
+            t = t.filter(pc.equal(t["media_type"], "video"))
         ids, idxs, frames = [], [], []
         payloads = t["payload"].to_pylist()
         nf = t["n_frames"].to_pylist()
         mids = t["media_id"].to_pylist()
         for i in range(t.num_rows):
-            n = max(int(nf[i] or 1), 1)
+            if nf[i] is None:
+                continue
+            n = max(int(nf[i]), 1)
             buf = payloads[i]
             step = max(len(buf) // n, 1)
             for f in range(0, n, self.every_n):

@@ -25,12 +25,18 @@ def _as_matrix(col) -> np.ndarray:
     per-row Python list round-trip."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if isinstance(col, pa.FixedSizeListArray) and col.null_count == 0:
+    if col.null_count:
+        # a null row would fall through to an opaque numpy
+        # inhomogeneous-shape error deep inside the matmul
+        raise ValueError(
+            "embedding column contains null rows; drop or impute "
+            "them before kNN/near-dup search")
+    if isinstance(col, pa.FixedSizeListArray):
         d = col.type.list_size
         vals = np.asarray(col.values, dtype=np.float64)
         off = col.offset * d
         return vals[off:off + len(col) * d].reshape(len(col), d)
-    if isinstance(col, pa.ListArray) and len(col) and col.null_count == 0:
+    if isinstance(col, pa.ListArray) and len(col):
         offs = np.asarray(col.offsets)
         widths = np.diff(offs)
         if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
@@ -49,11 +55,20 @@ def _normalize(x: np.ndarray) -> np.ndarray:
     return x / n
 
 
+_EMPTY_TOPK = pa.table({"query_id": pa.array([], type=pa.int64()),
+                        "neighbor_id": pa.array([], type=pa.int64()),
+                        "cos_sim": pa.array([], type=pa.float64())})
+
+
 def _final_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
     """Vectorized driver-side merge of the per-block partial top-k
     rows (bounded: Q x k x num_blocks): one lexsort by (query_id,
     -cos_sim, neighbor_id), then the first k rows per query with a
     running within-group rank — no per-query pandas groupby loop."""
+    if not len(partials) or "cos_sim" not in partials.columns:
+        # a fully-empty input dataset converts to a column-less frame
+        return pd.DataFrame(columns=["query_id", "neighbor_id",
+                                     "cos_sim", "knn_rank"])
     p = partials[np.isfinite(partials["cos_sim"].to_numpy())]
     if not len(p):
         return pd.DataFrame(columns=["query_id", "neighbor_id",
@@ -87,6 +102,8 @@ def knn_brute_force(emb, queries: np.ndarray, query_ids: np.ndarray,
             self.qn, self.qids = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:   # empty block: typed empty partial
+                return _EMPTY_TOPK
             ids = np.asarray(t[id_col]).astype(np.int64)
             x = _normalize(_as_matrix(t[emb_col]))
             sims = self.qn @ x.T                      # (Q, n)
@@ -125,8 +142,28 @@ def knn_ivf(emb, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             id_col: str = "vec_id", emb_col: str = "embedding",
             exclude_self: bool = True, seed: int = 42) -> pd.DataFrame:
     """IVF ANN: centroids from a sample, assignment via broadcast
-    centroid matrix, probe only the nprobe closest cells per query."""
-    sample = emb.limit(sample_n).to_pandas()
+    centroid matrix, probe only the nprobe closest cells per query.
+
+    The centroid-fit sample is a deterministic id-hash spread over the
+    WHOLE dataset (limit(n) would take the first rows — on clustered /
+    label-sorted storage the centroids then miss most of the space and
+    recall collapses)."""
+    from totem_ray.hashing import as_u64, splitmix64
+
+    total = emb.count()
+    if total > sample_n:
+        thresh = np.uint64(min(1.0, 1.25 * sample_n / total) * (2.0 ** 64 - 1))
+
+        def samp(t: pa.Table) -> pa.Table:
+            h = splitmix64(as_u64(np.asarray(t[id_col]))
+                           ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+            return t.filter(pa.array(h <= thresh))
+
+        sample = emb.map_batches(samp, batch_format="pyarrow").to_pandas()
+        if not len(sample):  # degenerate fallback
+            sample = emb.limit(sample_n).to_pandas()
+    else:
+        sample = emb.to_pandas()
     xs = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
     cent = _normalize(_kmeans_lite(xs, ncells, seed=seed))
     qn = _normalize(np.asarray(queries, dtype=np.float64))
@@ -136,28 +173,46 @@ def knn_ivf(emb, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
     class ProbeTopK:
         def __init__(self):
-            self.cent, self.qn, self.qids, self.probes = ray.get(ref)
+            self.cent, self.qn, self.qids, probes = ray.get(ref)
+            # (ncells, Q) probe-membership table: one bool lookup per
+            # cell group replaces a per-QUERY python loop with np.isin
+            # over the whole batch (which made IVF slower than brute
+            # force at moderate Q)
+            self.probed_by = np.zeros((len(self.cent), len(self.qids)),
+                                      dtype=bool)
+            self.probed_by[probes, np.arange(len(self.qids))[:, None]] = True
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _EMPTY_TOPK
             ids = np.asarray(t[id_col]).astype(np.int64)
             x = _normalize(_as_matrix(t[emb_col]))
             cell = np.argmax(x @ self.cent.T, axis=1)
+            # group rows by cell: per PRESENT CELL (<= ncells, not Q)
+            # one dense matmul of the probing queries x the cell's rows
+            # — the IVF sparsity is preserved, the loop bound is small
+            order = np.argsort(cell, kind="stable")
+            cell_s, ids_s, x_s = cell[order], ids[order], x[order]
+            starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+            ends = np.r_[starts[1:], len(cell_s)]
             outs = []
-            for qi in range(len(self.qids)):
-                m = np.isin(cell, self.probes[qi])
-                if not m.any():
+            for g0, g1 in zip(starts, ends):
+                qsel = np.flatnonzero(self.probed_by[cell_s[g0]])
+                if not len(qsel):
                     continue
-                sims = x[m] @ self.qn[qi]
-                sub_ids = ids[m]
+                sub_ids = ids_s[g0:g1]
+                sims = self.qn[qsel] @ x_s[g0:g1].T        # (q_c, n_c)
                 if exclude_self:
-                    sims[sub_ids == self.qids[qi]] = -np.inf
-                kk = min(k, len(sims))
-                idx = np.argpartition(-sims, kk - 1)[:kk]
-                outs.append((np.full(kk, self.qids[qi]), sub_ids[idx], sims[idx]))
+                    sims[self.qids[qsel][:, None] == sub_ids[None, :]] \
+                        = -np.inf
+                kk = min(k, sims.shape[1])
+                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                qrows = np.repeat(np.arange(len(qsel)), kk)
+                outs.append((self.qids[qsel][qrows],
+                             sub_ids[idx.reshape(-1)],
+                             sims[qrows, idx.reshape(-1)]))
             if not outs:
-                return pa.table({"query_id": pa.array([], type=pa.int64()),
-                                 "neighbor_id": pa.array([], type=pa.int64()),
-                                 "cos_sim": pa.array([], type=pa.float64())})
+                return _EMPTY_TOPK
             q = np.concatenate([o[0] for o in outs])
             n = np.concatenate([o[1] for o in outs])
             s = np.concatenate([o[2] for o in outs])

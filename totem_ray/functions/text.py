@@ -54,7 +54,9 @@ class QualityScorer:
         self.stop_re = r"(?i)\b(" + "|".join(words) + r")\b"
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        txt = t["text"]
+        # null text counts as empty: a null propagates NaN through the
+        # regex counts and casts to INT64_MIN downstream
+        txt = pc.fill_null(t["text"].combine_chunks(), "")
         n_tok = pc.count_substring_regex(txt, TOKEN_RE).to_numpy().astype(np.float64)
         n_chr = pc.utf8_length(txt).to_numpy().astype(np.float64)
         n_pun = pc.count_substring_regex(txt, PUNCT_RE).to_numpy().astype(np.float64)
@@ -92,7 +94,10 @@ class LangId:
                          for lang, ws in _LEXICONS.items()}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        txt = t["text"]
+        # null text -> zero evidence -> 'und' (a null count becomes
+        # NaN, argmax then picked the first language with garbage
+        # evidence and both guards missed it)
+        txt = pc.fill_null(t["text"].combine_chunks(), "")
         langs = list(self.patterns)
         hits = np.stack([pc.count_substring_regex(txt, p).to_numpy()
                          for p in self.patterns.values()])  # (L, n)
