@@ -29,7 +29,7 @@ def _load():
             })
             (df.with_columns(pl.col("a").str.extract_all(r'x="[^"]*"')
                              .alias("t"))
-               .explode("t").drop_nulls("t")
+               .explode("t", empty_as_null=False).drop_nulls("t")
                .with_columns(pl.col("t").str.slice(3, None).str.head(-1),
                              pl.col("a").str.split(" "))
                .filter(pl.col("i") > 0)

@@ -69,7 +69,10 @@ def extract_links_batch(batch: pa.Table) -> pa.Table:
             pl.col("html").str.extract_all(_HREF_RE).alias("hrefs")
         )
         .drop("html")
-        .explode("hrefs")
+        # empty_as_null=False: pages with no links emit no rows directly
+        # (the polars<2.0 default emitted a null row that drop_nulls then
+        # removed — same result, minus a deprecation warning)
+        .explode("hrefs", empty_as_null=False)
         .drop_nulls("hrefs")
         .with_columns(pl.col("hrefs").str.slice(6, None).str.head(-1).alias("dst_url"))
         .select(["src_url", "dst_url"])
