@@ -20,6 +20,7 @@ ray.init()/ray.shutdown() here or in the library.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from typing import Any
 
@@ -666,13 +667,16 @@ def q_events_asof_last_order(sf_dir: str):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+@functools.lru_cache(maxsize=1)
 def _multimodal_oracle_sql() -> str:
     """Value-level oracle for ``multimodal_decode``: the fake decode is
     a pure function of the payload (pixel j = splitmix64(j + first 8
     payload bytes) & 0xFF), so expected per-channel means are computed
     here with an INDEPENDENT pure-python-int transcription of
     splitmix64 (no totem_ray.hashing import — only the synthetic input
-    table is shared) and embedded as a VALUES literal for DuckDB."""
+    table is shared) and embedded as a VALUES literal for DuckDB.
+    Cached: the pixel loop costs ~1 s and oracle_sql() is called for
+    every query lookup."""
     from totem_ray.functions.multimodal import synthetic_media_table
 
     M = (1 << 64) - 1

@@ -69,3 +69,17 @@ def test_cli_degree_partitioner_same_results(tmp_path, capsys):
     assert (outs["hash"]["v"] == outs["degree-high"]["v"]).all()
     np.testing.assert_allclose(outs["hash"]["rank"],
                                outs["degree-high"]["rank"], rtol=1e-12)
+
+
+def test_cli_extensionless_parquet_file(tmp_path, capsys):
+    # a single parquet FILE without the .parquet suffix must sniff as
+    # parquet (PAR1 magic) and route to read_parquet, not the totem
+    # text/binary parser
+    n, e = topology_edges("grid_15")
+    f = str(tmp_path / "edges_file")
+    pq.write_table(pa.table({"src": pa.array(e[:, 0].astype(np.int64)),
+                             "dst": pa.array(e[:, 1].astype(np.int64))}),
+                   f)
+    assert main(["cc", "--edges", f, "--partitions", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == n

@@ -137,3 +137,16 @@ def test_tbin_writer_rejects_nonu32_weights(tmp_path):
     # in-domain floats that ARE integers round-trip fine
     write_totem_binary(str(tmp_path / "ok.tbin"), 3, e,
                        weights=np.array([3.0, 4.0]))
+
+
+def test_write_totem_binary_rejects_huge_vertex_count(tmp_path):
+    # vid_size is fixed at 4: num_vertices >= 2^32 would silently wrap
+    # in the '<u4' header (and neighbor ids passing the id<nv guard
+    # could exceed uint32) — must refuse, not corrupt
+    import pytest
+
+    from totem_ray.sources.totem_format import write_totem_binary
+
+    with pytest.raises(ValueError, match="2\\^32"):
+        write_totem_binary(str(tmp_path / "g.tbin"), 1 << 32,
+                           np.array([[0, 1]]))

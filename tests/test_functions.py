@@ -396,3 +396,49 @@ def test_sample_frames_video_only():
     import math
     want = sum(math.ceil(max(v, 1) / 5) for v in nf.values())
     assert len(out) == want
+
+
+def test_knn_ivf_sample_ratio_at_one():
+    # total in (sample_n, 1.25*sample_n]: the keep-ratio clamps to 1.0,
+    # which used to overflow np.uint64 (1.0*(2^64-1) rounds to 2^64) —
+    # now the filter is skipped entirely and every row feeds the fit
+    from totem_ray.functions.similarity import knn_brute_force, knn_ivf
+
+    emb, x = _emb_table(n=45)
+    q = x[:2]
+    out = knn_ivf(emb, q, np.arange(2), k=5, ncells=4, nprobe=4,
+                  sample_n=40)
+    bf = knn_brute_force(emb, q, np.arange(2), k=5)
+    # nprobe == ncells -> must equal brute force exactly
+    for qi in range(2):
+        a = out[out["query_id"] == qi].sort_values("knn_rank")
+        b = bf[bf["query_id"] == qi].sort_values("knn_rank")
+        assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+
+
+def test_as_of_join_empty_side():
+    # an empty (0-row, schema-bearing) side: the int64-magnitude guard
+    # used to call .get on the None that Dataset.max() returns there;
+    # a schema-LESS zero-block side must raise clearly, not crash
+    import pytest
+
+    from totem_ray.functions.windows import as_of_join
+
+    lt = pa.table({
+        "k": pa.array([1], type=pa.int64()),
+        "lt": pa.array(np.array([100], dtype=np.int64) * 1_000_000,
+                       type=pa.timestamp("us")),
+        "payload": pa.array([7], type=pa.int64())})
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1], type=pa.int64()),
+        "rt": pa.array(np.array([10], dtype=np.int64) * 1_000_000,
+                       type=pa.timestamp("us")),
+        "rv": pa.array([7], type=pa.int64())}))
+    out = as_of_join(rd.from_arrow(lt.slice(0, 0)), right,
+                     key="k", ts_left="lt", ts_right="rt",
+                     value_cols=["rv"])
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="no schema"):
+        as_of_join(rd.from_arrow(lt).filter(lambda r: False), right,
+                   key="k", ts_left="lt", ts_right="rt",
+                   value_cols=["rv"])

@@ -181,3 +181,24 @@ def test_graph_fp_partition_count_invariant():
         fps.append(eng.graph_fp)
         eng.shutdown()
     assert fps[0] == fps[1] == fps[2] != 0
+
+
+def test_graph_fp_duplicate_vertex_blocks_invariant():
+    """A vertex id repeated across input blocks must hash into the
+    content fingerprint ONCE: the split tasks dedupe only within
+    their block group, so the shard-side fp dedupes across chunks —
+    otherwise the fp (and so checkpoint lineage) would depend on the
+    block layout / partition count."""
+    import pyarrow as pa
+    import ray.data
+
+    n, e = topology_edges("grid_15")
+    vt = pa.table({"v": pa.array([7, 300, 7, 301], type=pa.int64())})
+    fps = []
+    for nb in (1, 4):
+        eng = BspEngine(2)
+        eng.build(edges_from_arrays(e, num_blocks=3),
+                  vertices_ds=ray.data.from_arrow(vt).repartition(nb))
+        fps.append(eng.graph_fp)
+        eng.shutdown()
+    assert fps[0] == fps[1] != 0

@@ -110,12 +110,22 @@ def main(argv=None) -> int:
     else:
         import os
 
+        totem_file = False
         if os.path.isfile(args.edges) and not args.edges.endswith(".parquet"):
+            # sniff, don't assume: an extensionless parquet file (PAR1
+            # magic) must still go to read_parquet, not the totem parser
+            with open(args.edges, "rb") as f:
+                totem_file = f.read(4) != b"PAR1"
+        if totem_file:
             # reference-format graph file (.totem text or .tbin binary,
             # dispatched by magic sniff — graph_initialize parity)
             from totem_ray.sources.totem_format import read_totem_graph
 
             edges = read_totem_graph(args.edges)
+        elif os.path.isfile(args.edges):
+            # future Ray versions default file_extensions=['parquet'],
+            # which would silently skip an extensionless file
+            edges = rd.read_parquet(args.edges, file_extensions=None)
         else:
             edges = rd.read_parquet(args.edges)
 
@@ -128,13 +138,14 @@ def main(argv=None) -> int:
 
     partitioner = None
     part_stats = None
+    if args.partitioner != "hash" or args.partition_stats:
+        # the degree walk / stats scan and the engine build each
+        # consume the edge pipeline — materialize once
+        edges = edges.materialize()
     if args.partitioner != "hash":
         from totem_ray.graph.edges import degree_table
         from totem_ray.graph.partition import DegreePartitioner
 
-        # the degree walk and the engine build both consume the edge
-        # pipeline — materialize once
-        edges = edges.materialize()
         partitioner = DegreePartitioner.from_degrees(
             degree_table(edges), args.partitions, alpha=args.alpha,
             descending=args.partitioner == "degree-high")

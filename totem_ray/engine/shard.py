@@ -59,8 +59,14 @@ def _content_fp(src, dst, w, vert_chunks) -> int:
             h = splitmix64(h ^ np.asarray(w, dtype=np.float64)
                            .view(np.uint64))
         fp += h.sum(dtype=np.uint64)
-    for v in vert_chunks:
-        fp += splitmix64(as_u64(v)).sum(dtype=np.uint64)
+    if vert_chunks:
+        # dedupe across chunks: a vertex id repeated across input
+        # blocks may reach this shard in separate chunks (the split
+        # tasks dedupe only within their ~2P-block group), and hashing
+        # it twice would make the fp depend on block layout / P
+        vu = np.unique(np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in vert_chunks]))
+        fp += splitmix64(as_u64(vu)).sum(dtype=np.uint64)
     return int(fp)
 
 

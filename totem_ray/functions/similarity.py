@@ -151,8 +151,12 @@ def knn_ivf(emb, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     from totem_ray.hashing import as_u64, splitmix64
 
     total = emb.count()
-    if total > sample_n:
-        thresh = np.uint64(min(1.0, 1.25 * sample_n / total) * (2.0 ** 64 - 1))
+    ratio = 1.25 * sample_n / total if total else 1.0
+    # ratio >= 1 means "keep everything" — skip the filter, both to save
+    # a pass and because ratio*(2^64-1) rounds to exactly 2^64 at
+    # ratio=1.0, which overflows np.uint64
+    if total > sample_n and ratio < 1.0:
+        thresh = np.uint64(ratio * (2.0 ** 64 - 1))
 
         def samp(t: pa.Table) -> pa.Table:
             h = splitmix64(as_u64(np.asarray(t[id_col]))

@@ -105,6 +105,14 @@ def as_of_join(left, right, key: str, ts_left: str, ts_right: str,
 
     lsch = left.schema()
     rsch = right.schema()
+    if lsch is None or rsch is None:
+        # a derived dataset that kept nothing can report no schema at
+        # all — the unified output schema is unknowable, so refuse
+        # clearly instead of crashing on schema access
+        raise ValueError(
+            "as_of_join input has no schema (zero-block dataset); pass "
+            "an empty dataset that carries a schema (e.g. from a 0-row "
+            "Arrow table) instead")
     ltypes = dict(zip(lsch.names, lsch.types))
     rtypes = dict(zip(rsch.names, rsch.types))
     lplain = [c for c in lsch.names if c not in (key, ts_left)]
@@ -123,6 +131,8 @@ def as_of_join(left, right, key: str, ts_left: str, ts_right: str,
                 type=pa.int64()) for c in i64})
 
         row = ds.map_batches(maxes, batch_format="pyarrow").max(i64)
+        if row is None:  # zero-block input (e.g. a filter kept nothing)
+            return
         for c in i64:
             mx = row if np.isscalar(row) else row.get(f"max({c})")
             if mx is not None and int(mx) > (1 << 53):

@@ -159,6 +159,13 @@ def write_totem_binary(path: str, num_vertices: int, edges: np.ndarray,
     needs 64 bits — matching the EID=64 build."""
     edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
     nv, ne = int(num_vertices), len(edges)
+    if nv >= (1 << 32):
+        # vid_size is fixed at 4 (the reference's VID=32 build): a
+        # larger vertex count would silently wrap in the '<u4' header
+        # and in the neighbor-id astype below (ids pass the id<nv
+        # guard yet exceed 2^32-1)
+        raise ValueError(f"num_vertices {nv} >= 2^32; .tbin vertex ids "
+                         "are uint32")
     if edges.size and int(edges.min()) < 0:
         # astype('<u4') would silently wrap a negative id (url-hash
         # ids are routinely negative int64 bit patterns)
