@@ -384,3 +384,29 @@ def test_build_empty_dataset_zero_blocks():
     eng.build(empty)
     assert eng.total_vertices == 0 and eng.total_edges == 0
     eng.shutdown()
+
+
+def test_shard_pool_recycles_actors():
+    """shutdown() parks reset actors; the next same-shaped engine must
+    reuse the SAME actor handles (skipping respawn) and still compute
+    correct results on a different graph."""
+    from totem_ray.engine import bsp
+
+    n, e = topology_edges("chain_100")
+    eng1 = BspEngine(3).build(edges_from_arrays(e))
+    out1 = eng1.run("connected_components", {})
+    assert len(out1["result"].to_pandas()) == n
+    ids1 = {s._actor_id for s in eng1.shards}
+    key = eng1._pool_key
+    eng1.shutdown()
+    assert len(bsp._SHARD_POOL.get(key, [])) == 1  # parked, not killed
+
+    n2, e2 = topology_edges("star_1000")
+    eng2 = BspEngine(3).build(edges_from_arrays(e2))
+    ids2 = {s._actor_id for s in eng2.shards}
+    assert ids1 == ids2  # recycled, not respawned
+    df = eng2.run("degree", {})["result"].to_pandas().set_index("v")
+    assert df.loc[0, "in_degree"] == 999  # no state leaked from graph 1
+    assert len(df) == n2
+    eng2.shutdown(pool=False)  # killed: pool must stay empty
+    assert len(bsp._SHARD_POOL.get(key, [])) == 0

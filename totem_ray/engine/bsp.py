@@ -113,15 +113,45 @@ def _split_vertex_block(blks, partitioner, P: int):
     return tuple(out) if P > 1 else out[0]
 
 
-def _ref_groups(refs: list, P: int) -> list[list]:
-    """Slice the block-ref list into ~2P contiguous groups (one split
-    task each). Contiguous slices preserve locality: consecutive
-    blocks of a materialized dataset tend to live on the same node."""
+def _ref_groups(refs: list, P: int, total_bytes: int | None = None,
+                group_bytes: int = 16 << 20) -> list[list]:
+    """Slice the block-ref list into contiguous groups (one split task
+    each). Contiguous slices preserve locality: consecutive blocks of
+    a materialized dataset tend to live on the same node.
+
+    The group count is capped at 2P as before, and additionally by
+    BYTES for small inputs: each split task emits P part-objects, so
+    a tiny input sliced into 2P groups yields 2P^2 sub-KB plasma
+    objects whose fixed put/get/scheduling costs dominate.
+    ``group_bytes`` (~16 MB of input per split task) keeps parts
+    ~0.5 MB+ at P=32 while leaving enough split parallelism that the
+    split finishes inside the shard-actor startup window it overlaps
+    with (measured on s20 ef16, 500 MB: 31 groups -> 0.6 s split vs
+    ~1.9 s actor spinup; 2 groups serialized the split to 2.3 s and
+    became the critical path)."""
     if not refs:  # zero-block dataset (e.g. a filter kept nothing)
         return []
     ntasks = max(1, min(len(refs), 2 * P))
+    if total_bytes is not None and total_bytes > 0:
+        by_bytes = (total_bytes + group_bytes - 1) // group_bytes
+        ntasks = max(1, min(ntasks, by_bytes))
+    env = os.environ.get("BSP_SPLIT_TASKS")
+    if env:
+        ntasks = max(1, min(len(refs), int(env)))
     per = (len(refs) + ntasks - 1) // ntasks
     return [refs[i:i + per] for i in range(0, len(refs), per)]
+
+
+# Idle GraphShard actors, keyed by (P, num_cpus, group_size) and
+# reused across engines: spawning 32 actor processes costs ~1.9 s of
+# Ray control-plane latency regardless of graph size, and the
+# reference's time_init likewise measures graph load + partition on an
+# ALREADY-RUNNING process (totem_benchmark runs many graphs/algorithms
+# per binary launch). shutdown() resets each actor's state (freeing
+# its arrays) and parks it here; the next same-shaped engine reuses
+# the warm pool. Actors that fail the reset RPC are killed, not pooled.
+_SHARD_POOL: dict[tuple, list] = {}  # key -> list of pid-ordered actor SETS
+_POOL_MAX_SETS = 2  # per key; each set is one engine's worth of actors
 
 
 class BspEngine:
@@ -138,18 +168,43 @@ class BspEngine:
         self.group_size = max(1, int(group_size))
         self.partitioner = partitioner or HashPartitioner(self.P)
         assert self.partitioner.num_partitions == self.P
-        shard_cls = ray.remote(num_cpus=num_cpus_per_shard)(GraphShard)
-        self.shards = [shard_cls.remote(p, self.P, self.group_size)
-                       for p in range(self.P)]
+        # job id in the key: a ray.shutdown()/init() cycle in one
+        # process invalidates pooled handles — a new job never sees them
+        try:
+            job = ray.get_runtime_context().get_job_id()
+        except Exception:
+            job = None
+        self._pool_key = (job, self.P, float(num_cpus_per_shard),
+                          self.group_size)
+        pooled = _SHARD_POOL.get(self._pool_key, [])
+        if pooled:
+            self.shards = pooled.pop()
+        else:
+            shard_cls = ray.remote(num_cpus=num_cpus_per_shard)(GraphShard)
+            self.shards = [shard_cls.remote(p, self.P, self.group_size)
+                           for p in range(self.P)]
         self.total_vertices = 0
         self.total_edges = 0
         self.build_info: list[dict] = []
 
-    def shutdown(self):
-        """Kill the shard actors (frees their state + resources)."""
-        for s in self.shards:
+    def shutdown(self, pool: bool = True):
+        """Release the shard actors: reset their state (freeing the
+        graph arrays) and park them for reuse by the next same-shaped
+        engine, or kill them (``pool=False``, or when the reset RPC
+        fails — a dead/wedged actor must not be recycled)."""
+        shards, self.shards = self.shards, []
+        if not shards:
+            return
+        idle = _SHARD_POOL.setdefault(self._pool_key, [])
+        if pool and len(idle) < _POOL_MAX_SETS:
+            try:
+                ray.get([s.reset.remote() for s in shards], timeout=60)
+                idle.append(shards)
+                return
+            except Exception:
+                pass  # fall through and kill
+        for s in shards:
             ray.kill(s, no_restart=True)
-        self.shards = []
 
     def __enter__(self):
         return self
@@ -199,7 +254,7 @@ class BspEngine:
         t_mat = time.perf_counter()
         split = [_split_edge_block.options(num_returns=self.P)
                  .remote(g, part_ref, key, self.P)
-                 for g in _ref_groups(refs, self.P)]
+                 for g in _ref_groups(refs, self.P, ds.size_bytes())]
         if self.P == 1:
             per_shard = [split]
         else:
@@ -216,7 +271,7 @@ class BspEngine:
             vrefs = vds.to_arrow_refs()
             vsplit = [_split_vertex_block.options(num_returns=self.P)
                       .remote(g, part_ref, self.P)
-                      for g in _ref_groups(vrefs, self.P)]
+                      for g in _ref_groups(vrefs, self.P, vds.size_bytes())]
             if self.P == 1:
                 vper = [vsplit]
             else:

@@ -413,17 +413,27 @@ class GraphShard:
         out_deg = np.zeros(self.nv, dtype=np.int64)
         if len(sel_own):
             # sel_own selects edges whose src OWNER == self.pid by
-            # construction, so every id here is locally owned
-            ids, counts = np.unique(self._src[sel_own], return_counts=True)
-            out_deg += np.bincount(np.searchsorted(self.verts, ids),
-                                   weights=counts,
+            # construction, so every id here is locally owned; bincount
+            # the raw searchsorted positions directly — a pre-unique
+            # here would just re-sort 1M ids to save bincount nothing
+            out_deg += np.bincount(np.searchsorted(self.verts,
+                                                   self._src[sel_own]),
                                    minlength=self.nv).astype(np.int64)
         replies: dict[int, np.ndarray] = {}
+        agg_idx: list[np.ndarray] = []
+        agg_cnt: list[np.ndarray] = []
         for q, (ids, counts) in incoming.items():
             idx = np.searchsorted(self.verts, ids)
-            out_deg += np.bincount(idx, weights=counts,
-                                   minlength=self.nv).astype(np.int64)
+            agg_idx.append(idx)
+            agg_cnt.append(counts)
             replies[q] = ray.put(idx)
+        if agg_idx:
+            # ONE fused bincount over all requesters (P-1 separate
+            # minlength=nv bincounts allocate and sweep P-1 nv-sized
+            # temporaries)
+            out_deg += np.bincount(np.concatenate(agg_idx),
+                                   weights=np.concatenate(agg_cnt),
+                                   minlength=self.nv).astype(np.int64)
         self.pull_out_deg = out_deg
         self._vert_chunks = []
         return {"pid": self.pid, "nv": self.nv, "ne": self.ne,
@@ -569,5 +579,16 @@ class GraphShard:
         return {"pid": self.pid, "superstep": superstep}
 
     # ------------------------------------------------------------------
+    def reset(self) -> int:
+        """Drop ALL per-graph and per-algorithm state (frees the CSR /
+        kernel arrays) but keep the actor process alive — the engine
+        pool (bsp._SHARD_POOL) recycles the actor for the next build,
+        skipping the ~60 ms/actor Ray spawn latency. Identity params
+        survive; everything else is rebuilt by the next ingest."""
+        pid, P, gs = self.pid, self.P, self.group_size
+        self.__dict__.clear()
+        self.__init__(pid, P, gs)
+        return pid
+
     def info(self) -> dict:
         return {"pid": self.pid, "nv": self.nv, "ne": self.ne}
