@@ -614,6 +614,24 @@ def _bloom_probe(bloom: np.ndarray, mask: np.uint64,
     return hit
 
 
+def _count_wedges(oriented) -> int:
+    """Exact total candidate-wedge count: sum over sources of
+    C(forward_degree, 2). Cheap one-pass partial per block (blocks
+    keep each source's forward adjacency whole, so per-block counts
+    are exact) — used to decide whether the Bloom pre-filter pays."""
+    def partial(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"])
+        if not len(a):
+            return pa.table({"w": pa.array([0], type=pa.int64())})
+        _, c = np.unique(a, return_counts=True)
+        return pa.table({"w": pa.array([int((c * (c - 1) // 2).sum())],
+                                       type=pa.int64())})
+
+    return int(oriented.map_batches(partial, batch_size=None,
+                                    batch_format="pyarrow")
+               .sum("w") or 0)
+
+
 def _triangle_counts_join(oriented, num_buckets: int,
                           num_join_partitions: int,
                           wedge_chunk: int = 4_000_000,
@@ -636,8 +654,16 @@ def _triangle_counts_join(oriented, num_buckets: int,
         n_edges = oriented.count()
     bloom_ref = None
     if 0 < n_edges <= bloom_max_edges:
-        bloom, bmask = _edge_bloom(oriented, n_edges)
-        bloom_ref = _ray.put((bloom, bmask))
+        # The Bloom's only job is shrinking the wedge SHUFFLE (~97%
+        # of candidate wedges do not close); building it costs a full
+        # extra pass over the oriented edges. Skip it when the exact
+        # wedge count (one cheap counting pass) says the unpruned
+        # shuffle is small anyway — at bench scale the Bloom build was
+        # pure constant overhead on the distributed plan.
+        n_wedges = _count_wedges(oriented)
+        if n_wedges > max(8 * n_edges, 4_000_000):
+            bloom, bmask = _edge_bloom(oriented, n_edges)
+            bloom_ref = _ray.put((bloom, bmask))
 
     def wedges(t: pa.Table):
         # one src-grouped block's forward-edge set -> canonicalized

@@ -40,6 +40,7 @@ import pyarrow as pa
 import ray
 
 from totem_ray.engine.kernels import KERNELS
+from totem_ray.nputil import unique_concat, unique_counts
 
 
 def _content_fp(src, dst, w, vert_chunks) -> int:
@@ -250,7 +251,7 @@ class GraphShard:
             sel = self._owner_order[self._owner_bounds[q]:
                                     self._owner_bounds[q + 1]]
             if len(sel):
-                ghosts[q] = np.unique(self._dst[sel])
+                ghosts[q] = unique_concat([self._dst[sel]])
         self.ghosts = ghosts
         # payloads go to the object store; the driver relays only the
         # refs, and each owner pulls directly from this shard's plasma
@@ -284,8 +285,9 @@ class GraphShard:
         if self._vert_chunks:
             parts.extend(self._vert_chunks)
         parts.extend(incoming.values())
-        self.verts = np.unique(np.concatenate(parts)) if parts else \
-            np.empty(0, dtype=np.int64)
+        # dense-id bitmap fast path: P concurrent np.unique sorts
+        # thrash the shared cache (see nputil.unique_concat)
+        self.verts = unique_concat(parts)
         self.nv = len(self.verts)
         self.ne = len(self._src)
         self.edge_fp = _content_fp(self._src, self._dst, self._w,
@@ -374,7 +376,7 @@ class GraphShard:
                                    self._pull_bounds[p + 1]]
             if p == self.pid or not len(sel):
                 continue
-            ids, counts = np.unique(self._src[sel], return_counts=True)
+            ids, counts = unique_counts(self._src[sel])
             self._pull_ghost_ids[p] = ids
             out[p] = (ids, counts)
         # object-store refs, not values: the driver relays refs and
@@ -396,8 +398,7 @@ class GraphShard:
         if self._vert_chunks:
             parts.extend(self._vert_chunks)
         parts.extend(ids for ids, _ in incoming.values())
-        self.verts = np.unique(np.concatenate(parts)) if parts else \
-            np.empty(0, dtype=np.int64)
+        self.verts = unique_concat(parts)
         # only vertices THIS shard owns (dst-routing may deposit
         # remote-owned dsts here — they belong to their owner)
         own = self.pid_fn(self.verts) == self.pid

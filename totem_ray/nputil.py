@@ -75,3 +75,48 @@ def group_ordinal(keys_sorted: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     starts, sizes = group_starts_sizes(keys_sorted)
     return np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+
+
+def unique_concat(parts) -> np.ndarray:
+    """Sorted unique of the concatenation of int id arrays.
+
+    Dense-id fast path: when the ids span at most ~8x their count (the
+    reference's graphs always carry dense 0..N-1 vertex ids —
+    totem_graph.cu requires them, and RMAT/uniform generators emit
+    them), a presence bitmap + flatnonzero replaces the O(n log n)
+    multi-pass sort. The win is not big-O but memory traffic: P
+    partition actors run this concurrently during an engine build, and
+    32 simultaneous 10 MB sorts contend for the shared LLC/DRAM
+    (measured 1.8 s each vs 0.03 s solo; the bitmap path is 0.2 s at
+    the same concurrency). Sparse ids (64-bit url hashes) fall back to
+    np.unique."""
+    arrs = [np.asarray(p) for p in parts if len(p)]
+    if not arrs:
+        return np.empty(0, dtype=np.int64)
+    n = sum(map(len, arrs))
+    lo = min(int(a.min()) for a in arrs)
+    hi = max(int(a.max()) for a in arrs)
+    span = hi - lo + 1
+    if span <= max(8 * n, 1 << 20):
+        seen = np.zeros(span, dtype=bool)
+        for a in arrs:
+            seen[a - lo] = True
+        return (np.flatnonzero(seen) + lo).astype(np.int64)
+    return np.unique(np.concatenate(arrs) if len(arrs) > 1 else arrs[0])
+
+
+def unique_counts(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted unique ids, counts) — np.unique(return_counts=True)
+    with the same dense-id bitmap fast path as unique_concat (bincount
+    over the offset ids instead of a sort)."""
+    a = np.asarray(a)
+    if not len(a):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    lo = int(a.min())
+    span = int(a.max()) - lo + 1
+    if span <= max(8 * len(a), 1 << 20):
+        cnt = np.bincount(a - lo, minlength=span)
+        ids = np.flatnonzero(cnt)
+        return (ids + lo).astype(np.int64), cnt[ids]
+    ids, counts = np.unique(a, return_counts=True)
+    return ids.astype(np.int64), counts
