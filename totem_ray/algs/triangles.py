@@ -619,11 +619,13 @@ def _count_wedges(oriented) -> int:
     C(forward_degree, 2). Cheap one-pass partial per block (blocks
     keep each source's forward adjacency whole, so per-block counts
     are exact) — used to decide whether the Bloom pre-filter pays."""
+    from totem_ray.nputil import unique_counts
+
     def partial(t: pa.Table) -> pa.Table:
         a = np.asarray(t["a"])
         if not len(a):
             return pa.table({"w": pa.array([0], type=pa.int64())})
-        _, c = np.unique(a, return_counts=True)
+        _, c = unique_counts(a)  # dense-id bincount fast path, no sort
         return pa.table({"w": pa.array([int((c * (c - 1) // 2).sum())],
                                        type=pa.int64())})
 
@@ -659,9 +661,13 @@ def _triangle_counts_join(oriented, num_buckets: int,
         # extra pass over the oriented edges. Skip it when the exact
         # wedge count (one cheap counting pass) says the unpruned
         # shuffle is small anyway — at bench scale the Bloom build was
-        # pure constant overhead on the distributed plan.
+        # pure constant overhead on the distributed plan. The skip is
+        # capped in ABSOLUTE wedges: past ~50M candidate rows the
+        # shuffle bytes dwarf the Bloom build even at low wedge/edge
+        # ratios (a 2e9-edge graph at ratio 4 would otherwise shuffle
+        # ~190 GB of wedges to save a ~4 GB Bloom pass).
         n_wedges = _count_wedges(oriented)
-        if n_wedges > max(8 * n_edges, 4_000_000):
+        if n_wedges > min(max(8 * n_edges, 4_000_000), 50_000_000):
             bloom, bmask = _edge_bloom(oriented, n_edges)
             bloom_ref = _ray.put((bloom, bmask))
 

@@ -100,10 +100,11 @@ def _split_vertex_block(blks, partitioner, P: int):
     if not ts:
         return tuple([None] * P) if P > 1 else None
     cols = [t[t.column_names[0]] for t in ts]
-    v = np.unique(np.concatenate(
+    from totem_ray.nputil import unique_concat
+    v = unique_concat(
         [np.asarray(c.combine_chunks()
                     if isinstance(c, pa.ChunkedArray) else c)
-         .astype(np.int64) for c in cols]))
+         .astype(np.int64) for c in cols])
     pid = partitioner.pid_np(v)
     order = np.argsort(pid, kind="stable")
     bounds = np.searchsorted(pid[order], np.arange(P + 1))
@@ -142,7 +143,7 @@ def _ref_groups(refs: list, P: int, total_bytes: int | None = None,
     return [refs[i:i + per] for i in range(0, len(refs), per)]
 
 
-# Idle GraphShard actors, keyed by (P, num_cpus, group_size) and
+# Idle GraphShard actors, keyed by (job_id, P, group_size) and
 # reused across engines: spawning 32 actor processes costs ~1.9 s of
 # Ray control-plane latency regardless of graph size, and the
 # reference's time_init likewise measures graph load + partition on an
@@ -168,18 +169,35 @@ class BspEngine:
         self.group_size = max(1, int(group_size))
         self.partitioner = partitioner or HashPartitioner(self.P)
         assert self.partitioner.num_partitions == self.P
-        # job id in the key: a ray.shutdown()/init() cycle in one
-        # process invalidates pooled handles — a new job never sees them
-        try:
-            job = ray.get_runtime_context().get_job_id()
-        except Exception:
-            job = None
-        self._pool_key = (job, self.P, float(num_cpus_per_shard),
-                          self.group_size)
-        pooled = _SHARD_POOL.get(self._pool_key, [])
-        if pooled:
-            self.shards = pooled.pop()
-        else:
+        # Pooling is gated three ways: (1) job id in the key — a
+        # ray.shutdown()/init() cycle in one process invalidates pooled
+        # handles, and a new job must never see them; if the job id is
+        # unavailable (Ray not yet initialized) pooling is disabled for
+        # this engine rather than aliasing lifetimes under a None key.
+        # (2) only num_cpus=0 actors are pooled — parked actors with
+        # real CPU reservations would hold the cluster's CPUs hostage.
+        # (3) popped sets are health-checked before use; a set with a
+        # dead actor is killed and replaced by a fresh spawn.
+        self._pool_key = None
+        if float(num_cpus_per_shard) == 0.0:
+            try:
+                job = ray.get_runtime_context().get_job_id()
+                self._pool_key = (job, self.P, self.group_size)
+            except Exception:
+                pass
+        self.shards = []
+        pooled = _SHARD_POOL.get(self._pool_key, []) \
+            if self._pool_key else []
+        while pooled and not self.shards:
+            cand = pooled.pop()
+            try:
+                ray.get([s.__ray_ready__.remote() for s in cand],
+                        timeout=10)
+                self.shards = cand
+            except Exception:
+                for s in cand:
+                    ray.kill(s, no_restart=True)
+        if not self.shards:
             shard_cls = ray.remote(num_cpus=num_cpus_per_shard)(GraphShard)
             self.shards = [shard_cls.remote(p, self.P, self.group_size)
                            for p in range(self.P)]
@@ -195,7 +213,11 @@ class BspEngine:
         shards, self.shards = self.shards, []
         if not shards:
             return
-        idle = _SHARD_POOL.setdefault(self._pool_key, [])
+        if self._pool_key is None:
+            pool = False
+            idle = []
+        else:
+            idle = _SHARD_POOL.setdefault(self._pool_key, [])
         if pool and len(idle) < _POOL_MAX_SETS:
             try:
                 ray.get([s.reset.remote() for s in shards], timeout=60)

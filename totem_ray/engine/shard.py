@@ -65,8 +65,8 @@ def _content_fp(src, dst, w, vert_chunks) -> int:
         # blocks may reach this shard in separate chunks (the split
         # tasks dedupe only within their ~2P-block group), and hashing
         # it twice would make the fp depend on block layout / P
-        vu = np.unique(np.concatenate(
-            [np.asarray(v, dtype=np.int64) for v in vert_chunks]))
+        vu = unique_concat([np.asarray(v, dtype=np.int64)
+                            for v in vert_chunks])
         fp += splitmix64(as_u64(vu)).sum(dtype=np.uint64)
     return int(fp)
 
