@@ -261,9 +261,14 @@ def test_asof_join_rejects_big_int64_value_columns():
         "k": pa.array([1], pa.int64()),
         "rts": pa.array([5], pa.int64()),
         "big_id": pa.array([(1 << 60) + 7], pa.int64())}))
-    with pytest.raises(ValueError, match="2\\^53"):
+    # the guard runs per batch inside the tag pass (an eager pre-scan
+    # would re-execute the whole upstream), so it raises on consumption
+    # (Ray wraps the ValueError in RayTaskError; the message survives)
+    import ray.exceptions
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError),
+                       match="2\\^53"):
         as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
-                   value_cols=["big_id"])
+                   value_cols=["big_id"]).to_pandas()
 
 
 def test_asof_join_rejects_big_int64_left_payload():
@@ -283,9 +288,11 @@ def test_asof_join_rejects_big_int64_left_payload():
         "k": pa.array([1], pa.int64()),
         "rts": pa.array([5], pa.int64()),
         "v": pa.array([1.5], pa.float64())}))
-    with pytest.raises(ValueError, match="left payload"):
+    import ray.exceptions
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError),
+                       match="left payload"):
         as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
-                   value_cols=["v"])
+                   value_cols=["v"]).to_pandas()
 
 
 def test_asof_join_empty_bucket_keeps_value_dtype():
@@ -442,3 +449,73 @@ def test_as_of_join_empty_side():
         as_of_join(rd.from_arrow(lt).filter(lambda r: False), right,
                    key="k", ts_left="lt", ts_right="rt",
                    value_cols=["rv"])
+
+
+def test_asof_join_guard_catches_int64_min():
+    # pc.abs wraps INT64_MIN to itself (negative), which let a sentinel
+    # of INT64_MIN escape the old magnitude guard
+    import pytest
+    import ray.data as _rd
+
+    from totem_ray.functions.windows import as_of_join
+
+    left = _rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "ts": pa.array([10], pa.int64())}))
+    right = _rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "rts": pa.array([5], pa.int64()),
+        "sent": pa.array([-(1 << 63)], pa.int64())}))
+    import ray.exceptions
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError),
+                       match="2\\^53"):
+        as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
+                   value_cols=["sent"]).to_pandas()
+
+
+def test_simhash_excludes_tokenless_docs():
+    # empty / whitespace-only docs keep the default signature 0; they
+    # must not pair with each other (hamming 0) nor with real docs
+    import ray.data as _rd
+
+    from totem_ray.functions.dedup import simhash_near_dup_pairs
+
+    docs = _rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["", "   ", "alpha beta gamma delta",
+                          "alpha beta gamma delta"], pa.string()),
+    }))
+    out = simhash_near_dup_pairs(docs, max_hamming=3).to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].to_numpy()))
+    assert (3, 4) in pairs          # identical real docs still found
+    assert all(1 not in p and 2 not in p for p in pairs)  # empties never
+
+
+def test_sink_rejects_key_change(tmp_path):
+    import pytest
+    import ray.data as _rd
+
+    from totem_ray.sources.sink import write_parquet_resumable
+
+    ds = _rd.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3], pa.int64()),
+        "b": pa.array([4, 5, 6], pa.int64())}))
+    out = str(tmp_path / "sink")
+    write_parquet_resumable(ds, out, key="a", num_partitions=4)
+    with pytest.raises(ValueError, match="key"):
+        write_parquet_resumable(ds, out, key="b", num_partitions=4)
+
+
+def test_knn_ivf_empty_dataset():
+    import ray.data as _rd
+
+    from totem_ray.functions.similarity import knn_ivf
+
+    empty = _rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    q = np.random.default_rng(0).normal(size=(2, 4))
+    out = knn_ivf(empty, q, np.array([100, 101]), k=3)
+    assert len(out) == 0
+    assert list(out.columns) == ["query_id", "neighbor_id",
+                                 "cos_sim", "knn_rank"]

@@ -163,7 +163,10 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
     Buckets larger than ``max_bucket`` are truncated — the standard
     guard against degenerate buckets.
     """
-    assert num_perm % bands == 0
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by "
+                         f"bands ({bands}) — a remainder would silently "
+                         "drop signature rows from the banding")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_k, id_col)
 
@@ -247,7 +250,11 @@ def minhash_dedup_groups(docs, tau: float = 0.8, num_perm: int = 64,
     all_ids = docs.select_columns([id_col])
     out = connected_components(edge_ds, vertices=all_ids,
                                num_partitions=num_partitions)
-    res = out["result"]
+    # materialize BEFORE releasing the engine: the result dataset's
+    # blocks come from pending k_result actor tasks, and shutdown()'s
+    # kill path (pool full/disabled, reset failure) would cancel them,
+    # poisoning a lazily-consumed return value with RayActorError
+    res = out["result"].materialize()
     out["engine"].shutdown()
 
     def rename(t: pa.Table) -> pa.Table:
@@ -267,6 +274,7 @@ def simhash_signatures(docs, id_col: str = "doc_id"):
         doc, tok = _shingle_rows(t, 1, id_col)
         ids = np.unique(np.asarray(t[id_col]))
         out = np.zeros(len(ids), dtype=np.int64)
+        has = np.zeros(len(ids), dtype=bool)
         if len(doc):
             order = np.argsort(doc, kind="stable")
             doc_s = doc[order]
@@ -284,8 +292,16 @@ def simhash_signatures(docs, id_col: str = "doc_id"):
                 packed |= sig[:, j] << np.uint64(j)
             rows = np.searchsorted(ids, doc_s[starts])
             out[rows] = packed.view(np.int64)
+            has[rows] = True
+        # has_tokens marks empty/whitespace-only docs: they keep the
+        # default signature 0, and without the flag every such doc
+        # would pair at hamming 0 with every other one (and with any
+        # real doc whose signature has <= max_hamming set bits) —
+        # no tokens means no SimHash identity, the same rule as the
+        # MinHash all-sentinel exclusion above
         return pa.table({id_col: pa.array(ids, type=pa.int64()),
-                         "simhash": pa.array(out, type=pa.int64())})
+                         "simhash": pa.array(out, type=pa.int64()),
+                         "has_tokens": pa.array(has)})
 
     return docs.map_batches(fn, batch_format="pyarrow")
 
@@ -316,6 +332,10 @@ def simhash_near_dup_pairs(docs, max_hamming: int = 3,
     offs = np.concatenate([[0], np.cumsum(widths)[:-1]])
 
     def to_chunks(t: pa.Table) -> pa.Table:
+        if "has_tokens" in t.column_names:
+            # token-less docs have no SimHash identity — emit no
+            # chunk rows for them (see simhash_signatures)
+            t = t.filter(pc.equal(t["has_tokens"], True))
         ids = np.asarray(t[id_col])
         h = as_u64(np.asarray(t["simhash"]))
         rows = []

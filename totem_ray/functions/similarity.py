@@ -150,7 +150,12 @@ def knn_ivf(emb, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     recall collapses)."""
     from totem_ray.hashing import as_u64, splitmix64
 
+    # count() is metadata-only for parquet sources; a DERIVED input
+    # pays one extra pass here — pre-materialize it if that matters
     total = emb.count()
+    if total == 0:
+        # same typed empty result as knn_brute_force on empty input
+        return _final_topk(_EMPTY_TOPK.to_pandas(), k)
     ratio = 1.25 * sample_n / total if total else 1.0
     # ratio >= 1 means "keep everything" — skip the filter, both to save
     # a pass and because ratio*(2^64-1) rounds to exactly 2^64 at

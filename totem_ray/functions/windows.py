@@ -97,12 +97,12 @@ def as_of_join(left, right, key: str, ts_left: str, ts_right: str,
     that contains nulls degrades to float64 in that hop and loses
     exactness above 2^53 — and BOTH sides get null padding here (left
     payload columns are null on right-side rows of a bucket block and
-    vice versa), so the guard scans the int64 payload columns of BOTH
+    vice versa), so the guard checks the int64 payload columns of BOTH
     inputs and raises rather than silently corrupting ids (keys and
     the two ``ts`` columns are required null-free by the sort
-    anyway)."""
-    import pyarrow.compute as pc
-
+    anyway). The check runs per batch inside the tag pass — an eager
+    pre-scan would re-execute each input's upstream pipeline — so the
+    ValueError surfaces when the joined dataset is consumed."""
     lsch = left.schema()
     rsch = right.schema()
     if lsch is None or rsch is None:
@@ -117,38 +117,41 @@ def as_of_join(left, right, key: str, ts_left: str, ts_right: str,
     rtypes = dict(zip(rsch.names, rsch.types))
     lplain = [c for c in lsch.names if c not in (key, ts_left)]
 
-    def _guard_i64(ds, types, cols, side):
-        i64 = [c for c in cols
-               if (t := types.get(c)) is not None
-               and pa.types.is_integer(t) and t.bit_width == 64]
-        if not i64:
-            return
-        # ONE pass computes every column's max magnitude at once
-        def maxes(t: pa.Table) -> pa.Table:
-            return pa.table({c: pa.array(
-                [pc.max(pc.abs(t[c].combine_chunks()
-                               .cast(pa.int64()))).as_py() or 0],
-                type=pa.int64()) for c in i64})
+    def _i64_cols(types, cols):
+        return [c for c in cols
+                if (t := types.get(c)) is not None
+                and pa.types.is_integer(t) and t.bit_width == 64]
 
-        row = ds.map_batches(maxes, batch_format="pyarrow").max(i64)
-        if row is None:  # zero-block input (e.g. a filter kept nothing)
-            return
-        for c in i64:
-            mx = row if np.isscalar(row) else row.get(f"max({c})")
-            if mx is not None and int(mx) > (1 << 53):
+    guard_cols = {0: _i64_cols(ltypes, lplain),
+                  1: _i64_cols(rtypes, value_cols)}
+
+    def _check_i64(t: pa.Table, cols, side):
+        # runs per batch INSIDE the tag pass (a separate pre-scan of
+        # each input would re-execute its whole upstream pipeline) —
+        # min/max compared directly against +-2^53 rather than via
+        # pc.abs, which silently wraps INT64_MIN back to a negative
+        # and let it escape the guard
+        lim = 1 << 53
+        for c in cols:
+            col = t[c].combine_chunks().cast(pa.int64())
+            mx = pc.max(col).as_py()
+            mn = pc.min(col).as_py()
+            bad = mx if (mx is not None and mx > lim) else \
+                (mn if (mn is not None and mn < -lim) else None)
+            if bad is not None:
                 raise ValueError(
-                    f"as_of_join {side} column {c!r} holds int64 ids above "
-                    f"2^53 ({int(mx)}); the pandas merge_asof hop would "
-                    "degrade them to float64 — pre-map ids to a dense "
-                    "range or join on a separate pass")
+                    f"as_of_join {side} column {c!r} holds int64 ids "
+                    f"beyond +-2^53 ({bad}); the pandas merge_asof hop "
+                    "would degrade them to float64 — pre-map ids to a "
+                    "dense range or join on a separate pass")
 
-    _guard_i64(right, rtypes, value_cols, "value")
-    _guard_i64(left, ltypes, lplain, "left payload")
     lcols = [f"l_{c}" for c in lplain]
     rcols = [f"r_{c}" for c in value_cols]
 
     def tag(side):
         def fn(t: pa.Table) -> pa.Table:
+            _check_i64(t, guard_cols[side],
+                       "left payload" if side == 0 else "value")
             # both sides carry the FULL unified schema (typed nulls for
             # the other side) so every bucket block is homogeneous
             cols = {key: t[key], "_side": pa.array(

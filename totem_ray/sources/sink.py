@@ -113,20 +113,30 @@ def write_parquet_resumable(ds, path: str, key: str,
         migrated += 1
     if migrated:
         _fsync_dir(path)
-    # the partition count IS the resume contract: persist it and
-    # refuse a mismatched re-run (a different count would silently
-    # skip/duplicate rows against the old partition files)
+    # the partition count AND key column ARE the resume contract:
+    # persist both and refuse a mismatched re-run (a different count
+    # or key would silently skip/duplicate rows against the old
+    # partition files — rows hashing into a partition completed under
+    # the old key would be dropped with no error)
     meta_path = os.path.join(path, "_META")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            prev = int(f.read().strip() or 0)
+            lines = f.read().splitlines()
+        prev = int((lines[0] if lines else "").strip() or 0)
+        prev_key = lines[1].strip() if len(lines) > 1 else None
         if prev != num_partitions:
             raise ValueError(
                 f"{path} was written with num_partitions={prev}; resume "
                 f"with the same value (got {num_partitions})")
+        # pre-key _META files (count only) can't validate the key —
+        # accept them; every new write records it
+        if prev_key is not None and prev_key != key:
+            raise ValueError(
+                f"{path} was written with key={prev_key!r}; resume "
+                f"with the same key (got {key!r})")
     else:
         with open(meta_path, "w") as f:
-            f.write(str(num_partitions))
+            f.write(f"{num_partitions}\n{key}")
     done = np.array([_done(os.path.join(path, f"part-{p:05d}"))
                      for p in range(num_partitions)])
     if done.all():

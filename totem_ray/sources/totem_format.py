@@ -188,6 +188,16 @@ def write_totem_binary(path: str, num_vertices: int, edges: np.ndarray,
                 f"{a[bad][0]!r} is not representable (must be an "
                 "integer in [0, 2^32))")
         return a
+    # length contracts: the header promises nv values and ne weights;
+    # a mismatch would either write a corrupt file (the reader then
+    # consumes edge bytes as values) or silently truncate via the
+    # [order] fancy-index below
+    if weights is not None and len(np.asarray(weights)) != ne:
+        raise ValueError(f"weights has {len(np.asarray(weights))} entries, "
+                         f"expected one per edge ({ne})")
+    if values is not None and len(np.asarray(values)) != nv:
+        raise ValueError(f"values has {len(np.asarray(values))} entries, "
+                         f"expected one per vertex ({nv})")
     order = np.argsort(edges[:, 0], kind="stable")
     srt = edges[order]
     w = None if weights is None else _check_u32(weights, "weights")[order]
