@@ -962,8 +962,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_COPURCHASE_SQL}) GROUP BY src
         """,
         "copurchase_degree_histogram": f"""
-            WITH deg AS (SELECT src, COUNT(*) AS degree
-                         FROM ({_COPURCHASE_SQL}) GROUP BY src)
+            WITH cp AS ({_COPURCHASE_SQL}),
+                 ends AS (SELECT src AS v, 1 AS c FROM cp
+                          UNION ALL SELECT dst, 0 FROM cp),
+                 deg AS (SELECT v, SUM(c) AS degree FROM ends GROUP BY v)
             SELECT degree, COUNT(*) AS num_vertices FROM deg GROUP BY degree
         """,
         "copurchase_repeated_pairs": f"""

@@ -249,3 +249,65 @@ def test_subgraph_empty_vertex_set():
     ds = edges_from_arrays(np.array([[0, 1], [1, 2]]))
     out = subgraph(ds, np.array([], dtype=np.int64))
     assert out.count() == 0
+
+
+def test_degree_histogram_includes_sinks():
+    # directed edges 0->1, 0->2: vertices 1 and 2 have out-degree 0 and
+    # must appear in the degree-0 bucket (reference degreeDist bins
+    # every CSR vertex, totem_generator.cc:520-571)
+    ds = edges_from_arrays(np.array([[0, 1], [0, 2]], dtype=np.uint64))
+    h = degree_histogram(ds).to_pandas().set_index("degree")["num_vertices"]
+    assert h[0] == 2 and h[2] == 1
+
+
+def test_random_weights_preserve_attrs():
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array([10, 20], pa.int64())})
+    out = add_random_weights(ray.data.from_arrow(t)).to_pandas()
+    assert set(out.columns) == {"src", "dst", "ts", "weight"}
+    assert sorted(out["ts"].tolist()) == [10, 20]
+
+
+def test_remap_vertex_ids_missing_raises():
+    import pandas as pd
+    import ray.data
+    from totem_ray.graph.edges import remap_vertex_ids
+
+    ds = edges_from_arrays(np.array([[0, 1], [1, 2]], dtype=np.uint64))
+    mapping = ray.data.from_pandas(
+        pd.DataFrame({"v": [0, 1], "new_id": [10, 11]}))  # 2 unmapped
+    with pytest.raises(Exception, match="remap_vertex_ids"):
+        remap_vertex_ids(ds, mapping).to_pandas()
+
+
+def test_lookup_sorted_and_in_sorted():
+    from totem_ray.nputil import in_sorted, lookup_sorted
+
+    keys = np.array([2, 5, 9], dtype=np.int64)
+    vals = np.array([20, 50, 90], dtype=np.int64)
+    assert lookup_sorted(keys, vals, np.array([9, 2, 5])).tolist() == [90, 20, 50]
+    with pytest.raises(ValueError, match="absent"):
+        lookup_sorted(keys, vals, np.array([2, 3]))
+    with pytest.raises(ValueError, match="empty"):
+        lookup_sorted(keys[:0], vals[:0], np.array([2]))
+    assert lookup_sorted(keys[:0], vals[:0], np.array([], dtype=np.int64)).size == 0
+    assert in_sorted(keys, np.array([1, 2, 10, 9])).tolist() == \
+        [False, True, False, True]
+    assert in_sorted(keys[:0], np.array([1])).tolist() == [False]
+
+
+def test_triangle_orient_missing_degree_raises():
+    # assume_simple=True on a one-sided (non-symmetrized) edge list:
+    # dst 2 never appears as src, so its degree is unknown — the
+    # orientation must fail loudly, not mis-read a neighbor's degree
+    from totem_ray.algs.triangles import triangle_counts
+
+    ds = edges_from_arrays(np.array([[0, 1], [1, 0], [1, 2]], dtype=np.uint64))
+    with pytest.raises(Exception, match="triangle orientation"):
+        triangle_counts(ds, num_buckets=2, assume_simple=True,
+                        broadcast_max_edges=0, driver_degrees_max=0) \
+            .to_pandas()

@@ -44,7 +44,7 @@ from ray.data.aggregate import Sum
 from totem_ray.graph.edges import drop_self_loops, degree_table, symmetrize
 from totem_ray.graph.joins import hash_join
 from totem_ray.hashing import hash_partition
-from totem_ray.nputil import group_starts_sizes, slice_offsets
+from totem_ray.nputil import group_starts_sizes, lookup_sorted, slice_offsets
 
 
 def _wedge_chunks(a: np.ndarray, b: np.ndarray, wedge_chunk: int):
@@ -181,8 +181,11 @@ def _oriented_edges(simple_und, num_join_partitions: int,
             verts, deg = _ray.get(ref)
             s = np.asarray(t["src"])
             d = np.asarray(t["dst"])
-            ds_ = deg[np.searchsorted(verts, s)]
-            dd = deg[np.searchsorted(verts, d)]
+            # raise-on-miss: a missing endpoint means the input was
+            # not the symmetrized simple graph the degrees were built
+            # from (e.g. assume_simple=True on a one-sided edge list)
+            ds_ = lookup_sorted(verts, deg, s, what="triangle orientation (src)")
+            dd = lookup_sorted(verts, deg, d, what="triangle orientation (dst)")
             fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
             return pa.table({
                 "a": pa.array(s[fwd], type=pa.int64()),
@@ -205,8 +208,8 @@ def _oriented_edges(simple_und, num_join_partitions: int,
             verts, deg = _ray.get(ref)
             s = np.asarray(t["src"])
             d = np.asarray(t["dst"])
-            ds_ = deg[np.searchsorted(verts, s)]
-            dd = deg[np.searchsorted(verts, d)]
+            ds_ = lookup_sorted(verts, deg, s, what="triangle orientation (src)")
+            dd = lookup_sorted(verts, deg, d, what="triangle orientation (dst)")
             fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
             return pa.table({
                 "a": pa.array(s[fwd], type=pa.int64()),
@@ -224,16 +227,25 @@ def _oriented_edges(simple_und, num_join_partitions: int,
     # per hash(key) bucket, so ending on the src join leaves every
     # source's rows whole within one block — the src-grouped layout
     # wedge generation consumes with no further shuffle.
-    with_d = hash_join(simple_und, deg_d, on="dst",
+    # left joins: degree_table covers only src vertices, so a dst with
+    # no matching degree row means the input was not symmetrized —
+    # surface it (null check below) instead of inner-join-dropping the
+    # edge and silently undercounting
+    with_d = hash_join(simple_und, deg_d, on="dst", how="left",
                        num_buckets=num_join_partitions)
-    with_sd = hash_join(with_d, deg_s, on="src",
+    with_sd = hash_join(with_d, deg_s, on="src", how="left",
                         num_buckets=num_join_partitions)
 
     def orient(t: pa.Table) -> pa.Table:
+        miss = t["deg_s"].null_count + t["deg_d"].null_count
+        if miss:
+            raise ValueError(
+                f"triangle orientation: {miss} edge endpoints have no "
+                "degree row — input is not a symmetrized simple graph")
         s = np.asarray(t["src"])
         d = np.asarray(t["dst"])
-        ds_ = np.asarray(t["deg_s"])
-        dd = np.asarray(t["deg_d"])
+        ds_ = np.asarray(t["deg_s"].combine_chunks().cast(pa.int64()))
+        dd = np.asarray(t["deg_d"].combine_chunks().cast(pa.int64()))
         # both directions of each undirected edge are present; keeping
         # only the forward rows keeps each edge exactly once
         fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
@@ -332,7 +344,7 @@ def _edge_fingerprints(lo: np.ndarray, hi: np.ndarray):
     return h1, h2
 
 
-def _triangle_counts_broadcast(oriented, num_buckets: int,
+def _triangle_counts_broadcast(oriented,
                                wedge_chunk: int = 8_000_000,
                                n_edges: int | None = None):
     """Fast path: close wedges inline against a broadcast sorted
@@ -495,44 +507,31 @@ def triangle_counts(edges, num_buckets: int = 64,
         bucketed = _bucket_dedup_by_src(simple_und, num_buckets)
 
     n_bucketed = bucketed.count()
-    if n_bucketed // 2 <= broadcast_max_edges:
-        verts, deg = _block_degrees(bucketed)
-        ref = _ray.put((verts, deg))
-
-        def orient_b(t: pa.Table) -> pa.Table:
-            vs, dg = _ray.get(ref)
-            s = np.asarray(t["src"])
-            d = np.asarray(t["dst"])
-            ds_ = dg[np.searchsorted(vs, s)]
-            dd = dg[np.searchsorted(vs, d)]
-            fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
-            return pa.table({"a": pa.array(s[fwd], type=pa.int64()),
-                             "b": pa.array(d[fwd], type=pa.int64())})
-
-        oriented = bucketed.map_batches(orient_b, batch_size=None,
-                                        batch_format="pyarrow") \
-            .materialize()
-        n_oriented = oriented.count()
-        oriented = _ensure_src_whole(oriented, num_buckets, n_oriented)
-        return _triangle_counts_broadcast(oriented, num_buckets,
-                                          n_edges=n_oriented)
+    # closing-probe plan: broadcast fingerprint array when the oriented
+    # edge set fits (16 B/edge), else the distributed semi-join
+    use_broadcast_close = n_bucketed // 2 <= broadcast_max_edges
     # degrees fit the driver whenever the VERTEX universe is modest
     # (power-law web graphs: V << E): stream the per-block partials
     # with an early abort at ``driver_degrees_max`` vertices
     # (16 B/vertex on the driver) and skip the degree groupby shuffle.
-    # Past the gate _block_degrees returns None and the distributed
-    # degree joins run as before.
+    # Past the gate _block_degrees returns None and _oriented_edges
+    # falls back to its distributed degree joins — independently of
+    # which closing plan runs.
     degs = _block_degrees(bucketed, max_vertices=driver_degrees_max)
     oriented, bucket_of = _oriented_edges(
         bucketed, num_join_partitions,
+        broadcast_max_vertices=driver_degrees_max,
         src_bucket_of=lambda a: hash_partition(a, num_buckets),
         degrees=degs)
     oriented = oriented.materialize()
     n_oriented = oriented.count()
-    oriented = _ensure_src_whole(oriented, num_join_partitions,
+    layout_buckets = num_buckets if degs is not None else num_join_partitions
+    oriented = _ensure_src_whole(oriented, layout_buckets,
                                  n_oriented, bucket_of=bucket_of)
-    return _triangle_counts_join(oriented, num_buckets,
-                                 num_join_partitions, n_edges=n_oriented)
+    if use_broadcast_close:
+        return _triangle_counts_broadcast(oriented, n_edges=n_oriented)
+    return _triangle_counts_join(oriented, num_join_partitions,
+                                 n_edges=n_oriented)
 
 
 def _bloom_alloc(n_edges: int, bits_per_edge: int = 16):
@@ -634,8 +633,7 @@ def _count_wedges(oriented) -> int:
                .sum("w") or 0)
 
 
-def _triangle_counts_join(oriented, num_buckets: int,
-                          num_join_partitions: int,
+def _triangle_counts_join(oriented, num_join_partitions: int,
                           wedge_chunk: int = 4_000_000,
                           bloom_max_edges: int = 2_000_000_000,
                           n_edges: int | None = None):

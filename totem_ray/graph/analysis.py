@@ -9,14 +9,22 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count, Sum
 
-from totem_ray.graph.edges import degree_table, vertex_degrees
+from totem_ray.graph.edges import vertex_degrees
 
 
 def degree_histogram(edges):
-    """(degree, num_vertices) histogram (analyze degreeDist,
-    totem_generator.cc:520-571). Two-level aggregate: per-vertex
-    degree, then count per degree value."""
-    deg = degree_table(edges, alias="degree")
+    """(degree, num_vertices) out-degree histogram (analyze degreeDist,
+    totem_generator.cc:520-571). The reference bins EVERY vertex of the
+    CSR including hist[0], so the universe here is the union of edge
+    endpoints: in-only (sink) vertices contribute to the degree-0
+    bucket. Two-level aggregate: per-vertex degree, then count per
+    degree value."""
+    deg = vertex_degrees(edges).select_columns(["out_degree"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["degree"])
+
+    deg = deg.map_batches(ren, batch_format="pyarrow")
     return deg.groupby("degree").aggregate(Count(alias_name="num_vertices"))
 
 
@@ -175,8 +183,6 @@ def graph_summary(edges) -> "pa.Table":
     edge count, distinct vertices, self loops, duplicate (src,dst)
     pairs, asymmetric pair count. All counts from vectorized per-batch
     partials + one small reduce per statistic."""
-    from totem_ray.graph.edges import drop_self_loops
-
     # five statistics consume the same pipeline — run it once
     edges = edges.materialize()
     n_edges = edges.count()

@@ -207,7 +207,7 @@ def add_random_weights(edges, seed: int = 42, max_weight: float = 1.0):
         dst = as_u64(np.asarray(t["dst"]))
         h = splitmix64(splitmix64(src ^ s) ^ dst)
         w = (h / np.float64(2**64)) * max_weight
-        out = t.select(["src", "dst"]) if "weight" not in t.column_names else t.drop(["weight"])
+        out = t.drop(["weight"]) if "weight" in t.column_names else t
         return out.append_column("weight", pa.array(w, type=pa.float64()))
 
     return edges.map_batches(fn, batch_format="pyarrow")
@@ -379,7 +379,11 @@ def sort_vertices_by_degree(edges, bucket_bits: int = 12):
 def remap_vertex_ids(edges, mapping, num_buckets: int = 32):
     """Apply a (v, new_id) relabel mapping to an edge table via a
     hash join on each endpoint (map_vertices_by_degree's application
-    step, totem_partition.cu:55-107)."""
+    step, totem_partition.cu:55-107).
+
+    The mapping must cover EVERY endpoint: an edge touching an
+    unmapped vertex raises ValueError (left join + null check) rather
+    than silently vanishing from the output."""
     from totem_ray.graph.joins import hash_join
 
     m = mapping.select_columns(["v", "new_id"])
@@ -394,17 +398,24 @@ def remap_vertex_ids(edges, mapping, num_buckets: int = 32):
 
     e = edges.select_columns(["src", "dst"])
     e = e.map_batches(_ren("src", "v"), batch_format="pyarrow")
-    e = hash_join(e, m, on="v", num_buckets=num_buckets)
+    e = hash_join(e, m, on="v", how="left", num_buckets=num_buckets)
     e = e.map_batches(_ren("new_id", "new_src"), batch_format="pyarrow") \
          .select_columns(["new_src", "dst"]) \
          .map_batches(_ren("dst", "v"), batch_format="pyarrow")
-    e = hash_join(e, m, on="v", num_buckets=num_buckets)
+    e = hash_join(e, m, on="v", how="left", num_buckets=num_buckets)
     e = e.map_batches(_ren("new_id", "new_dst"), batch_format="pyarrow") \
          .select_columns(["new_src", "new_dst"])
     def _fin(t: pa.Table) -> pa.Table:
+        ns = t["new_src"].combine_chunks()
+        nd = t["new_dst"].combine_chunks()
+        misses = ns.null_count + nd.null_count
+        if misses:
+            raise ValueError(
+                f"remap_vertex_ids: {misses} edge endpoints absent "
+                "from the mapping (it must cover every vertex)")
         return pa.table({
-            "src": t["new_src"].combine_chunks().cast(pa.int64()),
-            "dst": t["new_dst"].combine_chunks().cast(pa.int64()),
+            "src": ns.cast(pa.int64()),
+            "dst": nd.cast(pa.int64()),
         })
 
     return e.map_batches(_fin, batch_format="pyarrow")

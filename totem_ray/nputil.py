@@ -120,3 +120,39 @@ def unique_counts(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         return (ids + lo).astype(np.int64), cnt[ids]
     ids, counts = np.unique(a, return_counts=True)
     return ids.astype(np.int64), counts
+
+
+def in_sorted(sorted_vals: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Boolean membership mask of ``keys`` in the SORTED array
+    ``sorted_vals`` (clamped searchsorted + equality check — the
+    broadcast semi-join probe)."""
+    keys = np.asarray(keys)
+    if len(sorted_vals) == 0:
+        return np.zeros(len(keys), dtype=bool)
+    idx = np.searchsorted(sorted_vals, keys)
+    np.clip(idx, 0, len(sorted_vals) - 1, out=idx)
+    return sorted_vals[idx] == keys
+
+
+def lookup_sorted(sorted_keys: np.ndarray, values: np.ndarray,
+                  keys: np.ndarray, what: str = "lookup_sorted"):
+    """``values`` gathered at the position of each ``keys`` entry in
+    the SORTED array ``sorted_keys``. Raises ValueError (naming
+    ``what``) if any key is absent — never silently reads a
+    neighboring entry the way an unclamped/unchecked searchsorted
+    would."""
+    keys = np.asarray(keys)
+    if len(sorted_keys) == 0:
+        if len(keys) == 0:
+            return np.asarray(values)[:0]
+        raise ValueError(f"{what}: lookup table is empty but "
+                         f"{len(keys)} keys were probed")
+    idx = np.searchsorted(sorted_keys, keys)
+    np.clip(idx, 0, len(sorted_keys) - 1, out=idx)
+    miss = sorted_keys[idx] != keys
+    if miss.any():
+        raise ValueError(
+            f"{what}: {int(np.count_nonzero(miss))} of {len(keys)} ids "
+            "absent from the lookup table (first missing: "
+            f"{np.asarray(keys)[miss][:3].tolist()})")
+    return values[idx]
