@@ -164,14 +164,9 @@ def subgraph(edges, keep_vertices: np.ndarray):
             self.keep = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            if not len(self.keep):   # empty vertex set keeps no edges
-                return t.slice(0, 0)
-            s = np.asarray(t["src"])
-            d = np.asarray(t["dst"])
-            idx_s = np.searchsorted(self.keep, s)
-            idx_d = np.searchsorted(self.keep, d)
-            ok_s = (idx_s < len(self.keep)) & (self.keep[np.minimum(idx_s, len(self.keep) - 1)] == s)
-            ok_d = (idx_d < len(self.keep)) & (self.keep[np.minimum(idx_d, len(self.keep) - 1)] == d)
+            from totem_ray.nputil import in_sorted
+            ok_s = in_sorted(self.keep, np.asarray(t["src"]))
+            ok_d = in_sorted(self.keep, np.asarray(t["dst"]))
             return t.filter(pa.array(ok_s & ok_d))
 
     return edges.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))

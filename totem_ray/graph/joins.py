@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import ray
 
 from totem_ray.hashing import hash_partition, splitmix64, as_u64
+from totem_ray.nputil import in_sorted
 
 
 def broadcast_lookup(ds, small_df: pd.DataFrame, key: str, on: str,
@@ -173,10 +174,7 @@ def semi_join_broadcast(ds, keys: np.ndarray, on: str, anti: bool = False):
             self.ks = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            v = np.asarray(t[on])
-            idx = np.searchsorted(self.ks, v)
-            idx_c = np.minimum(idx, max(len(self.ks) - 1, 0))
-            ok = (self.ks[idx_c] == v) if len(self.ks) else np.zeros(len(v), bool)
+            ok = in_sorted(self.ks, np.asarray(t[on]))
             return t.filter(pa.array(~ok if anti else ok))
 
     return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 8))

@@ -84,12 +84,8 @@ class DegreePartitioner:
         ids = np.asarray(ids).astype(np.int64, copy=False)
         if self.num_partitions == 1:
             return np.zeros(len(ids), dtype=np.int64)
-        if len(self.hub_ids) == 0:
-            is_hub = np.zeros(len(ids), dtype=bool)
-        else:
-            idx = np.searchsorted(self.hub_ids, ids)
-            idx_c = np.minimum(idx, len(self.hub_ids) - 1)
-            is_hub = self.hub_ids[idx_c] == ids
+        from totem_ray.nputil import in_sorted
+        is_hub = in_sorted(self.hub_ids, ids)
         rest = hash_partition(ids, self.num_partitions - 1, self.salt) + 1
         return np.where(is_hub, 0, rest).astype(np.int64)
 
