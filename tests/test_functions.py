@@ -519,3 +519,32 @@ def test_knn_ivf_empty_dataset():
     assert len(out) == 0
     assert list(out.columns) == ["query_id", "neighbor_id",
                                  "cos_sim", "knn_rank"]
+
+
+def test_multimodal_null_payload_rows():
+    import pyarrow as pa
+    import ray.data
+    from totem_ray.functions.multimodal import (decode_images,
+                                                resize_images,
+                                                sample_frames,
+                                                synthetic_media_table)
+
+    t = synthetic_media_table(4)
+    # null out one payload (missing media must not crash the stage)
+    pays = t["payload"].to_pylist()
+    pays[1] = None
+    t = t.set_column(t.schema.get_field_index("payload"), "payload",
+                     pa.array(pays, type=pa.large_binary()))
+    ds = ray.data.from_arrow(t)
+
+    dec = decode_images(ds, batch_size=4).to_pandas()
+    assert len(dec) == 4
+    assert dec["mean_r"].isna().sum() == 1 and dec["height"].isna().sum() == 1
+
+    res = resize_images(ds, out_h=4, out_w=4, batch_size=4).to_pandas()
+    assert len(res) == 4 and res["payload"].isna().sum() == 1
+
+    # frames: null-payload video rows are skipped, others still sampled
+    fr = sample_frames(ds, every_n=1, batch_size=4).to_pandas()
+    vids = t.filter(pa.compute.equal(t["media_type"], "video"))
+    assert set(fr["media_id"]).issubset(set(vids["media_id"].to_pylist()))

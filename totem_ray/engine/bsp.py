@@ -407,7 +407,14 @@ class BspEngine:
         if fused:
             prev_inboxes = [None] * self.P
             step = start_step
+            done_static = getattr(kernel, "done_static", None)
             while step < max_supersteps:
+                if step > start_step and done_static is not None \
+                        and done_static(step - 1, params):
+                    # step-1 is statically the last superstep: skip the
+                    # k_step round whose compute would be discarded and
+                    # let the absorb block below apply its messages
+                    break
                 t0 = time.perf_counter()
                 res = ray.get([s.k_step.remote(alg, step, prev_inboxes[q])
                                for q, s in enumerate(self.shards)])

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from totem_ray.nputil import group_ordinal as _group_ordinal
+from totem_ray.nputil import group_starts_sizes as _group_starts
 from totem_ray.nputil import slice_gather
 
 I64MAX = np.iinfo(np.int64).max
@@ -88,7 +89,9 @@ class PageRankKernel:
     def apply(sh, st, inboxes, superstep: int) -> dict:
         acc = st.pop("acc")
         for p, arr in inboxes.items():
-            np.add.at(acc, sh.inbox_maps[p], arr)  # one dense slot per sender
+            # inbox_maps[p] is strictly increasing (unique): buffered
+            # fancy-index += replaces the ~10x-slower unbuffered ufunc
+            acc[sh.inbox_maps[p]] += arr  # one dense slot per sender
         N, d = st["N"], st["d"]
         # N==0 tolerated like init (empty graph -> no ranks to update)
         r_new = ((1.0 - d) / N if N else 0.0) + d * acc
@@ -110,6 +113,14 @@ class PageRankKernel:
         if st_params.get("mode", "converge") == "rounds":
             return superstep + 1 >= st_params.get("rounds", 5)
         return agg["residual"] <= st_params.get("tol", 1e-6)
+
+    @staticmethod
+    def done_static(superstep: int, st_params: dict):
+        """Rounds mode terminates at a statically-known superstep —
+        lets the fused loop skip the final discarded compute."""
+        if st_params.get("mode", "converge") == "rounds":
+            return superstep + 1 >= st_params.get("rounds", 5)
+        return None
 
     @staticmethod
     def result(sh, st) -> pa.Table:
@@ -391,11 +402,14 @@ class LabelPropagationKernel:
 
         # expand: one row per (edge, neighbor-state-entry)
         exp_v, exp_l, exp_p, exp_n = [], [], [], []
+        # CSR constant — build the O(E) src-expansion ONCE per
+        # superstep, not once per owner partition
+        e_v_full = np.repeat(np.arange(sh.nv), np.diff(sh.adj_indptr))
         for t in range(sh.P):
             m = sh.adj_owner == t
             if not m.any():
                 continue
-            e_v = np.repeat(np.arange(sh.nv), np.diff(sh.adj_indptr))[m]
+            e_v = e_v_full[m]
             e_i = sh.adj_idx[m]
             if t == sh.pid:
                 ptr, labs, probs = vptr, st["row_l"], st["row_p"]
@@ -445,8 +459,7 @@ class LabelPropagationKernel:
         # argmax with strict-> scan => lowest label id at max prob
         new_label = sh.verts.copy()  # isolated vertices keep own label
         if len(gv):
-            starts = np.concatenate([[0], np.flatnonzero(np.diff(gv) != 0) + 1])
-            sizes = np.diff(np.concatenate([starts, [len(gv)]]))
+            starts, sizes = _group_starts(gv)
             gmax = np.maximum.reduceat(gp, starts)
             is_max = gp == np.repeat(gmax, sizes)
             grp_of_row = np.repeat(np.arange(len(starts)), sizes)
@@ -546,12 +559,16 @@ class DegreeKernel:
     def apply(sh, st, inboxes, superstep: int) -> dict:
         acc = st.pop("acc")
         for p, arr in inboxes.items():
-            np.add.at(acc, sh.inbox_maps[p], arr)
+            acc[sh.inbox_maps[p]] += arr  # unique slots: buffered +=
         st["indeg"] = acc
         return {"changed": 0}
 
     @staticmethod
     def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return True
+
+    @staticmethod
+    def done_static(superstep: int, st_params: dict):
         return True
 
     @staticmethod
@@ -569,7 +586,7 @@ class DegreeKernel:
 
 def _seg_min_sparse(dst: np.ndarray, vals: np.ndarray):
     """dst must be sorted ascending; -> (unique_dst, min val per dst)."""
-    starts = np.concatenate([[0], np.flatnonzero(np.diff(dst)) + 1])
+    starts, _ = _group_starts(dst)
     return dst[starts], np.minimum.reduceat(vals, starts)
 
 
@@ -728,7 +745,7 @@ class Graph500Kernel:
     def _lexmin_per_dst(d, c, p):
         order = np.lexsort((p, c, d))
         d, c, p = d[order], c[order], p[order]
-        starts = np.concatenate([[0], np.flatnonzero(np.diff(d)) + 1])
+        starts, _ = _group_starts(d)
         return d[starts], c[starts], p[starts]
 
     @classmethod
@@ -913,7 +930,7 @@ class BfsSigmaKernel:
                 continue
             d = tgt["dst"][m]
             vals = sigma[tgt["src"][m]]
-            starts = np.concatenate([[0], np.flatnonzero(np.diff(d)) + 1])
+            starts, _ = _group_starts(d)
             ud, ssum = d[starts], np.add.reduceat(vals, starts)
             if t == sh.pid:
                 st["cand"] = (ud, ssum)
@@ -926,9 +943,9 @@ class BfsSigmaKernel:
         ud, ssum = st.pop("cand")
         acc = np.zeros(sh.nv, dtype=np.float64)
         if len(ud):
-            np.add.at(acc, ud, ssum)
+            acc[ud] += ssum          # ud unique (run-starts of sorted dst)
         for p, (u, s) in inboxes.items():
-            np.add.at(acc, sh.inbox_maps[p][u], s)
+            acc[sh.inbox_maps[p][u]] += s
         newly = (st["cost"] == I64MAX) & (acc > 0)
         st["cost"][newly] = superstep + 1
         st["sigma"][newly] = acc[newly]
@@ -1001,7 +1018,7 @@ class BrandesBackKernel:
                 continue
             d = tgt["dst"][m]
             vals = msg[tgt["src"][m]]
-            starts = np.concatenate([[0], np.flatnonzero(np.diff(d)) + 1])
+            starts, _ = _group_starts(d)
             ud, s = d[starts], np.add.reduceat(vals, starts)
             if t == sh.pid:
                 st["cand"] = (ud, s)
@@ -1015,9 +1032,9 @@ class BrandesBackKernel:
         ud, s = st.pop("cand")
         acc = np.zeros(sh.nv, dtype=np.float64)
         if len(ud):
-            np.add.at(acc, ud, s)
+            acc[ud] += s             # ud unique (run-starts of sorted dst)
         for p, (u, vv) in inboxes.items():
-            np.add.at(acc, sh.inbox_maps[p][u], vv)
+            acc[sh.inbox_maps[p][u]] += vv
         recv = st["cost"] == level - 1
         st["delta"][recv] += st["sigma"][recv] * acc[recv]
         return {"changed": 1 if level > 1 else 0}
@@ -1077,7 +1094,7 @@ class StressBackKernel:
                 continue
             d = tgt["dst"][m]
             vals = msg[tgt["src"][m]]
-            starts = np.concatenate([[0], np.flatnonzero(np.diff(d)) + 1])
+            starts, _ = _group_starts(d)
             ud, s = d[starts], np.add.reduceat(vals, starts)
             if t == sh.pid:
                 st["cand"] = (ud, s)
@@ -1091,9 +1108,9 @@ class StressBackKernel:
         ud, s = st.pop("cand")
         acc = np.zeros(sh.nv, dtype=np.float64)
         if len(ud):
-            np.add.at(acc, ud, s)
+            acc[ud] += s             # ud unique (run-starts of sorted dst)
         for p, (u, vv) in inboxes.items():
-            np.add.at(acc, sh.inbox_maps[p][u], vv)
+            acc[sh.inbox_maps[p][u]] += vv
         recv = st["cost"] == level - 1
         st["delta"][recv] += acc[recv]
         return {"changed": 1 if level > 1 else 0}
@@ -1397,6 +1414,10 @@ class MaxflowKernel:
 
     name = "maxflow"
     KERNEL_CYCLES = 35  # totem_maxflow.cu:19
+    # height init needs N (source height = N); without this a direct
+    # engine.run('maxflow', ...) would get N=0 and silently "converge"
+    # with no pushes at all
+    needs_total_vertices = True
 
     @staticmethod
     def init(sh, st, source: int, sink: int, total_vertices: int = 0,
@@ -1450,8 +1471,17 @@ class MaxflowKernel:
         mirror = np.full(len(e_src), -1, dtype=np.int64)
         ml = st["m_local"]
         if ml.any():
-            mcomp = e_didx[ml] * max(len(ugids), 1) + \
-                np.searchsorted(ugids, st["e_sgid"][ml])
+            # membership check BEFORE composing: a src gid absent from
+            # ugids would clamp onto a different gid whose composite
+            # can alias an unrelated edge and pass the comp guard
+            mcode = np.searchsorted(ugids, st["e_sgid"][ml])
+            mcode = np.minimum(mcode, max(len(ugids) - 1, 0))
+            if not len(ugids) or not np.array_equal(
+                    ugids[mcode], st["e_sgid"][ml]):
+                raise ValueError("maxflow needs a residual graph: some "
+                                 "local edge has no reverse "
+                                 "(run create_bidirectional first)")
+            mcomp = e_didx[ml] * max(len(ugids), 1) + mcode
             pos = np.searchsorted(st["comp"], mcomp)
             pos = np.minimum(pos, max(len(e_src) - 1, 0))
             if len(e_src) and not np.array_equal(st["comp"][pos], mcomp):
@@ -1593,6 +1623,12 @@ class MaxflowKernel:
             np.add.at(st["excess"], loc, msg["am"])
             code = np.searchsorted(st["ugids"], msg["ug"])
             code = np.minimum(code, max(len(st["ugids"]) - 1, 0))
+            # a pushed-along gid absent from ugids would clamp onto a
+            # neighboring gid and could alias an unrelated edge's comp
+            if not len(st["ugids"]) or \
+                    not np.array_equal(st["ugids"][code], msg["ug"]):
+                raise ValueError("mirror edge not found — input is not "
+                                 "a residual (bidirectional) graph")
             comp = loc * max(len(st["ugids"]), 1) + code
             pos = np.searchsorted(st["comp"], comp)
             pos = np.minimum(pos, max(len(st["comp"]) - 1, 0))
@@ -1685,7 +1721,7 @@ class PCoreKernel:
                 continue
             d = tgt["dst"][m]
             w = tgt["w"][m] if "w" in tgt else np.ones(int(m.sum()))
-            starts = np.concatenate([[0], np.flatnonzero(np.diff(d)) + 1])
+            starts, _ = _group_starts(d)
             ud, dec = d[starts], np.add.reduceat(w, starts)
             if t == sh.pid:
                 st["cand"] = (ud, dec)
@@ -1697,9 +1733,9 @@ class PCoreKernel:
     def apply(sh, st, inboxes, superstep: int) -> dict:
         ud, dec = st.pop("cand")
         if len(ud):
-            np.subtract.at(st["wdeg"], ud, dec)
+            st["wdeg"][ud] -= dec    # ud unique (run-starts of sorted dst)
         for p, (u, d) in inboxes.items():
-            np.subtract.at(st["wdeg"], sh.inbox_maps[p][u], d)
+            st["wdeg"][sh.inbox_maps[p][u]] -= d
         return {"removed": st.pop("_removed"),
                 "active": int(st["active"].sum())}
 

@@ -74,19 +74,23 @@ class DecodeImage:
         mw = t["width"].to_pylist()
         hs, ws, means = [], [], []
         for i in range(t.num_rows):
+            if payloads[i] is None:   # missing media: null features
+                hs.append(None)
+                ws.append(None)
+                means.append((None, None, None))
+                continue
             px = self._decode(payloads[i], mh[i], mw[i])
             hs.append(px.shape[0])
             ws.append(px.shape[1])
-            means.append(px.reshape(-1, 3).mean(axis=0))
-        m = np.asarray(means, dtype=np.float64) if means else np.empty((0, 3))
+            means.append(tuple(px.reshape(-1, 3).mean(axis=0)))
         return pa.table({
             "media_id": t["media_id"].combine_chunks()
             if isinstance(t["media_id"], pa.ChunkedArray) else t["media_id"],
             "height": pa.array(hs, type=pa.int32()),
             "width": pa.array(ws, type=pa.int32()),
-            "mean_r": pa.array(m[:, 0] if len(m) else [], type=pa.float64()),
-            "mean_g": pa.array(m[:, 1] if len(m) else [], type=pa.float64()),
-            "mean_b": pa.array(m[:, 2] if len(m) else [], type=pa.float64()),
+            "mean_r": pa.array([m[0] for m in means], type=pa.float64()),
+            "mean_g": pa.array([m[1] for m in means], type=pa.float64()),
+            "mean_b": pa.array([m[2] for m in means], type=pa.float64()),
         })
 
 
@@ -107,6 +111,9 @@ class ResizeImage:
         mh = t["height"].to_pylist()
         mw = t["width"].to_pylist()
         for i in range(t.num_rows):
+            if payloads[i] is None:   # missing media: null output row
+                out.append(None)
+                continue
             px = _fake_pixels(payloads[i], mh[i] or 32, mw[i] or 32)
             ys = (np.arange(self.out_h) * px.shape[0] // self.out_h)
             xs = (np.arange(self.out_w) * px.shape[1] // self.out_w)
@@ -141,7 +148,7 @@ class SampleFrames:
         nf = t["n_frames"].to_pylist()
         mids = t["media_id"].to_pylist()
         for i in range(t.num_rows):
-            if nf[i] is None:
+            if nf[i] is None or payloads[i] is None:
                 continue
             n = max(int(nf[i]), 1)
             buf = payloads[i]
