@@ -162,3 +162,18 @@ def test_wedge_chunks_split_inside_hub_group():
         got = triangle_counts(edges_from_arrays(e), num_buckets=4, **kw)
         df = got.to_pandas()
         assert (df["triangles"] == 21).all() and len(df) == 8, (kw, df)
+
+
+def test_triangle_counts_empty_input():
+    import pyarrow as pa
+    import ray.data
+
+    from totem_ray.algs.triangles import triangle_counts
+
+    e = pa.table({"src": pa.array([], type=pa.int64()),
+                  "dst": pa.array([], type=pa.int64())})
+    for kw in ({}, {"broadcast_max_edges": 0}):
+        ds = triangle_counts(ray.data.from_arrow(e), assume_simple=True,
+                             **kw)
+        assert ds.schema().names == ["v", "triangles"]
+        assert ds.count() == 0

@@ -47,6 +47,48 @@ from totem_ray.hashing import hash_partition
 from totem_ray.nputil import group_starts_sizes, lookup_sorted, slice_offsets
 
 
+def _sum_partials_by_v(partials, value_col: str, alias: str,
+                       driver_merge_max: int = 50_000_000):
+    """Sum per-vertex int64 partials -> Dataset (v, alias).
+
+    Dual plan (the module's broadcast/distributed idiom): when the
+    partial row count fits ``driver_merge_max`` (16 B/row through the
+    driver — the same footprint class as the broadcast plans'
+    fingerprint/degree arrays), merge with one vectorized
+    sort+reduceat on the driver and re-emit as Dataset blocks.
+    Ray Data's sort-based groupby costs seconds of fixed shuffle
+    overhead even on tiny inputs (measured 4-6 s on 566k partial rows
+    at P=32 — half the triangle pipeline's wall time); past the gate
+    it is still the right tool and we fall back to it."""
+    import ray as _ray
+    import ray.data as _rd
+
+    parts = partials.materialize()
+    if parts.count() > driver_merge_max:
+        return parts.groupby("v").aggregate(Sum(value_col,
+                                                alias_name=alias))
+    vs, cs = [], []
+    for blk in _ray.get(parts.to_arrow_refs()):
+        if blk.num_rows:
+            vs.append(np.asarray(blk["v"]))
+            cs.append(np.asarray(blk[value_col]))
+    if not vs:
+        return _rd.from_arrow(pa.table({
+            "v": pa.array([], type=pa.int64()),
+            alias: pa.array([], type=pa.int64())}))
+    v = np.concatenate(vs)
+    c = np.concatenate(cs)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    starts, _sizes = group_starts_sizes(v)  # exact int64 accumulation
+    out = pa.table({"v": pa.array(v[starts], type=pa.int64()),
+                    alias: pa.array(np.add.reduceat(c, starts),
+                                    type=pa.int64())})
+    blk_rows = 4_000_000  # keep downstream consumers parallel
+    return _rd.from_arrow([out.slice(i, blk_rows)
+                           for i in range(0, out.num_rows, blk_rows)])
+
+
 def _wedge_chunks(a: np.ndarray, b: np.ndarray, wedge_chunk: int):
     """Yield (u, lo, hi) candidate-wedge arrays in <= ~wedge_chunk-pair
     chunks from one src-grouped block's forward edges.
@@ -292,9 +334,11 @@ def _ensure_src_whole(oriented, num_buckets: int, n_edges: int,
         def meta(t: pa.Table) -> pa.Table:
             bids = np.unique(key_of(np.asarray(t["a"])))
             return pa.table({"bid": pa.array(bids, type=pa.int64())})
-        bids = ds_.map_batches(meta, batch_size=None,
-                               batch_format="pyarrow").to_pandas()["bid"]
-        return bool(bids.duplicated().any())
+        pdf = ds_.map_batches(meta, batch_size=None,
+                              batch_format="pyarrow").to_pandas()
+        if "bid" not in pdf.columns:  # empty dataset -> no columns
+            return False
+        return bool(pdf["bid"].duplicated().any())
 
     if not fragmented(oriented, bucket_of):
         return oriented
@@ -378,23 +422,33 @@ def _triangle_counts_broadcast(oriented,
         return pa.table({"h1": pa.array(h1, type=pa.uint64()),
                          "h2": pa.array(h2, type=pa.uint64())})
 
-    fp = oriented.map_batches(fingerprint, batch_format="pyarrow")
     # the driver concatenates all E fingerprints either way (that IS
     # the broadcast plan's footprint, 16 B/edge under the
-    # broadcast_max_edges gate); below ~20M edges one driver-side
-    # argsort beats a Dataset all-to-all sort's fixed cost, above it
-    # the distributed sort does the O(E log E) work and the driver
+    # broadcast_max_edges gate); below ~20M edges the driver hashes
+    # and argsorts the (already materialized) oriented blocks itself —
+    # one driver-side pass beats a whole extra Dataset stage plus an
+    # all-to-all sort's fixed cost; above it the distributed
+    # fingerprint map + sort do the O(E log E) work and the driver
     # only memcpy-concatenates the range-partitioned sorted blocks
     driver_sort_max = 20_000_000
     if n_edges is None:  # caller usually knows the count already
         n_edges = oriented.count()
     distributed = n_edges > driver_sort_max
-    src = fp.sort("h1") if distributed else fp
     h1_parts, h2_parts = [], []
-    for blk in _ray.get(src.to_arrow_refs()):
-        if blk.num_rows:
-            h1_parts.append(np.asarray(blk["h1"], dtype=np.uint64))
-            h2_parts.append(np.asarray(blk["h2"], dtype=np.uint64))
+    if distributed:
+        fp = oriented.map_batches(fingerprint, batch_format="pyarrow")
+        for blk in _ray.get(fp.sort("h1").to_arrow_refs()):
+            if blk.num_rows:
+                h1_parts.append(np.asarray(blk["h1"], dtype=np.uint64))
+                h2_parts.append(np.asarray(blk["h2"], dtype=np.uint64))
+    else:
+        for blk in _ray.get(oriented.to_arrow_refs()):
+            if blk.num_rows:
+                p1, p2 = _edge_fingerprints(
+                    np.minimum(np.asarray(blk["a"]), np.asarray(blk["b"])),
+                    np.maximum(np.asarray(blk["a"]), np.asarray(blk["b"])))
+                h1_parts.append(p1)
+                h2_parts.append(p2)
     h1 = np.concatenate(h1_parts) if h1_parts else np.empty(0, np.uint64)
     h2 = np.concatenate(h2_parts) if h2_parts else np.empty(0, np.uint64)
     if not distributed and len(h1):
@@ -468,7 +522,7 @@ def _triangle_counts_broadcast(oriented,
     # batch — wedges close with NO further shuffle
     partials = oriented.map_batches(close_wedges, batch_size=None,
                                     batch_format="pyarrow")
-    return partials.groupby("v").aggregate(Sum("_t", alias_name="triangles"))
+    return _sum_partials_by_v(partials, "_t", "triangles")
 
 
 def triangle_counts(edges, num_buckets: int = 64,
@@ -760,7 +814,7 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
 
     per_bucket = tagged.groupby("_b").map_groups(close,
                                                  batch_format="pyarrow")
-    return per_bucket.groupby("v").aggregate(Sum("_t", alias_name="triangles"))
+    return _sum_partials_by_v(per_bucket, "_t", "triangles")
 
 
 def _probe_fp_sorted(eh1: np.ndarray, eh2: np.ndarray,
@@ -808,9 +862,10 @@ def clustering_coefficient(edges, num_buckets: int = 64,
         return pa.table({"v": pa.array(v, type=pa.int64()),
                          "_dp": pa.array(c, type=pa.int64())})
 
-    deg = bucketed.map_batches(blk_deg, batch_size=None,
-                               batch_format="pyarrow") \
-        .groupby("v").aggregate(Sum("_dp", alias_name="degree"))
+    deg = _sum_partials_by_v(
+        bucketed.map_batches(blk_deg, batch_size=None,
+                             batch_format="pyarrow"),
+        "_dp", "degree")
     tri = triangle_counts(None, num_buckets, num_join_partitions,
                           _bucketed=bucketed)
     joined = hash_join(deg, tri, on="v", how="left",
