@@ -204,3 +204,36 @@ def test_bfs_dirop_matches_bfs(ne):
     got = b["result"].to_pandas().set_index("v")["cost"].to_dict()
     b["engine"].shutdown()
     assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(-50, 50),
+                          st.integers(-1_000_000, 1_000_000)),
+                min_size=0, max_size=200),
+       st.integers(1, 4))
+@_SET
+def test_sum_partials_by_v_both_plans_match(rows, nblocks):
+    """Driver-merge plan == distributed groupby plan == pandas sum."""
+    import pyarrow as pa
+    import ray.data
+
+    from totem_ray.algs.triangles import _sum_partials_by_v
+
+    tbl = pa.table({"v": pa.array([a for a, _ in rows], type=pa.int64()),
+                    "_t": pa.array([b for _, b in rows], type=pa.int64())})
+    step = max((tbl.num_rows + nblocks - 1) // nblocks, 1)
+    parts = ray.data.from_arrow(
+        [tbl.slice(i, step) for i in range(0, max(tbl.num_rows, 1), step)])
+    exp = (pd.DataFrame({"v": [a for a, _ in rows],
+                         "t": [b for _, b in rows]})
+           .groupby("v")["t"].sum().sort_index())
+    for gate in (10**9, 0):  # driver plan, then forced groupby plan
+        got = _sum_partials_by_v(parts, "_t", "t",
+                                 driver_merge_max=gate).to_pandas()
+        if not rows:
+            # ray loses columns in to_pandas() of an empty dataset;
+            # the contract is simply zero rows
+            assert len(got) == 0
+            continue
+        got = got.set_index("v")["t"].sort_index()
+        assert list(got.index) == list(exp.index)
+        assert list(got.values) == list(exp.values)
