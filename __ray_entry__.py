@@ -58,6 +58,80 @@ _PAIR_STREAM_SQL = """
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
 """
 
+_ORDERS_EDGES_SQL = """
+    SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+"""
+
+# ---- splitmix64 transcribed to DuckDB SQL (oracle side) --------------
+# Bitwise transcription of totem_ray.hashing.splitmix64 so id-permute /
+# random-weight / hash-partition outputs are value-checkable in SQL.
+# uint64 wrap-around arithmetic is done in HUGEINT mod 2^64; the 64x64
+# wrapping multiply is split into two <=96-bit HUGEINT products
+# (a*C mod 2^64 = (C_lo*a mod 2^64 + ((C_hi*a mod 2^32) << 32)) mod
+# 2^64). Verified bit-exact vs numpy over negative/positive int64 ids.
+_M64 = 1 << 64
+
+
+def _u64_sql(col: str) -> str:
+    """BIGINT bit pattern -> HUGEINT in [0, 2^64) (hashing.as_u64)."""
+    return (f"(CAST({col} AS HUGEINT) + CASE WHEN {col} < 0 "
+            f"THEN {_M64}::HUGEINT ELSE 0::HUGEINT END)")
+
+
+def _i64_sql(col: str) -> str:
+    """HUGEINT in [0, 2^64) -> BIGINT bit pattern (.view(int64))."""
+    return (f"CAST(CASE WHEN {col} >= {1 << 63}::HUGEINT "
+            f"THEN {col} - {_M64}::HUGEINT ELSE {col} END AS BIGINT)")
+
+
+def _xor_sql(a: str, b: str) -> str:
+    """xor of two HUGEINT values in [0, 2^64), back to HUGEINT."""
+    return (f"CAST(xor(CAST({a} AS UBIGINT), CAST({b} AS UBIGINT)) "
+            f"AS HUGEINT)")
+
+
+def _sm64_steps(x: str, pfx: str) -> list[tuple[str, str]]:
+    """Chained (expr, column) pairs computing splitmix64 of HUGEINT
+    column ``x``; each expr references only the previous step's
+    column, so the pairs weave into sequential CTEs without
+    expression-size blowup. Final column is ``{pfx}5``."""
+    def xr(a: str, sh: int) -> str:  # a ^= a >> sh
+        return _xor_sql(f"(({a}) // {1 << sh})", a)
+
+    def mm(a: str, c: int) -> str:  # a = (a * c) mod 2^64
+        lo, hi = c & 0xFFFFFFFF, c >> 32
+        return (f"((({lo}::HUGEINT * ({a})) % {_M64}::HUGEINT + "
+                f"((({hi}::HUGEINT * ({a})) % 4294967296) * 4294967296))"
+                f" % {_M64}::HUGEINT)")
+
+    gamma = 0x9E3779B97F4A7C15
+    m1 = 0xBF58476D1CE4E5B9
+    m2 = 0x94D049BB133111EB
+    return [
+        (f"(({x}) + {gamma}::HUGEINT) % {_M64}::HUGEINT", f"{pfx}0"),
+        (xr(f"{pfx}0", 30), f"{pfx}1"),
+        (mm(f"{pfx}1", m1), f"{pfx}2"),
+        (xr(f"{pfx}2", 27), f"{pfx}3"),
+        (mm(f"{pfx}3", m2), f"{pfx}4"),
+        (xr(f"{pfx}4", 31), f"{pfx}5"),
+    ]
+
+
+def _sm64_ctes(prev: str, mixes: list[tuple[str, str]],
+               tag: str) -> tuple[str, str]:
+    """CTE chain applying splitmix64 to several columns in lockstep.
+    ``mixes`` = [(input_column, prefix)]; returns (cte_fragment,
+    last_cte_name); each prefix's result lands in column ``{pfx}5``."""
+    all_steps = [_sm64_steps(incol, pfx) for incol, pfx in mixes]
+    frags = []
+    for k in range(6):
+        cols = ", ".join(f"{steps[k][0]} AS {steps[k][1]}"
+                         for steps in all_steps)
+        name = f"{tag}{k}"
+        frags.append(f"{name} AS (SELECT *, {cols} FROM {prev})")
+        prev = name
+    return ",\n".join(frags), prev
+
 
 # ----------------------------------------------------------------------
 # helpers
@@ -745,6 +819,141 @@ def entry() -> Any:
     return df
 
 
+def _orders_edges(sf_dir: str):
+    """Directed customer -> order edge table (the repo's stock
+    directed-graph fixture; copurchase is symmetric by construction)."""
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["o_custkey"].combine_chunks().cast(pa.int64()),
+                         "dst": t["o_orderkey"].combine_chunks().cast(pa.int64())})
+
+    return orders.map_batches(to_edges, batch_format="pyarrow")
+
+
+def q_symmetrize_orders(sf_dir: str):
+    """``alter undirected`` (both directions, duplicates kept —
+    reference semantics, totem_generator.cc:631-680)."""
+    from totem_ray.graph.edges import symmetrize
+
+    return symmetrize(_orders_edges(sf_dir))
+
+
+def q_bidirectional_orders(sf_dir: str):
+    """graph_create_bidirectional (totem_graph.cu:486-585): add the
+    missing reverse of every edge with weight 0 (residual rows)."""
+    from totem_ray.graph.edges import create_bidirectional
+
+    return create_bidirectional(_orders_edges(sf_dir))
+
+
+def q_permute_copurchase(sf_dir: str):
+    """``alter permute`` — splitmix64 id bijection-whp; the oracle
+    transcribes the mix to HUGEINT SQL, so ids are value-checked."""
+    from totem_ray.graph.edges import permute_ids
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    return permute_ids(copurchase_edges(sf_dir), seed=42)
+
+
+def q_randweights_orders(sf_dir: str):
+    """``alter randWeights`` — weight = sm64(sm64(src^seed)^dst)/2^64,
+    value-checked bit-exact (double rounding identical both sides)."""
+    from totem_ray.graph.edges import add_random_weights
+
+    return add_random_weights(_orders_edges(sf_dir), seed=42)
+
+
+def q_modularity_hashpart(sf_dir: str):
+    """partition_modularity (totem_partition.cu:109-140) of an 8-way
+    hash partitioning of the copurchase graph — the reference's use
+    case (score a partition assignment), with hash_partition labels so
+    the oracle can recompute them in SQL."""
+    from totem_ray.graph.analysis import modularity, vertex_universe
+    from totem_ray.hashing import hash_partition
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir).materialize()
+
+    def lab(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"])
+        return pa.table({"v": pa.array(v, type=pa.int64()),
+                         "label": pa.array(hash_partition(v, 8),
+                                           type=pa.int64())})
+
+    labels = vertex_universe(edges).map_batches(lab, batch_format="pyarrow")
+    q = modularity(edges, labels)
+    return pa.table({"modularity_r8": pa.array([float(np.round(q, 8))],
+                                               type=pa.float64())})
+
+
+def q_singleton_leafs_suppart(sf_dir: str):
+    """count_singletons_and_leafs (totem_generator.cc:339-375) over
+    the directed supplier -> part graph with the full supplier+part
+    key universe (singletons = parts never supplied)."""
+    from ray.data.aggregate import Count
+
+    from totem_ray.graph.edges import count_singletons_and_leafs
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["l_suppkey"].combine_chunks().cast(pa.int64()),
+                         "dst": t["l_partkey"].combine_chunks().cast(pa.int64())})
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+
+    def sup_v(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["s_suppkey"].combine_chunks().cast(pa.int64())})
+
+    def part_v(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["p_partkey"].combine_chunks().cast(pa.int64())})
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey"]) \
+        .map_batches(sup_v, batch_format="pyarrow")
+    parts = read_table(sf_dir, "part", columns=["p_partkey"]) \
+        .map_batches(part_v, batch_format="pyarrow")
+    # suppkey/partkey value ranges overlap -> dedup the union so each
+    # numeric vertex id counts once (distributed groupby, no driver pull)
+    universe = sup.union(parts).groupby("v") \
+        .aggregate(Count(alias_name="_n")).select_columns(["v"])
+    out = count_singletons_and_leafs(edges, vertices=universe)
+    return pa.table({k: pa.array([int(out[k])], type=pa.int64())
+                     for k in ("singletons", "leafs", "vertices")})
+
+
+def q_remove_singletons_parts(sf_dir: str):
+    """graph_remove_singletons (totem_graph.cu:468-484): part-key
+    universe filtered to vertices with at least one copurchase edge."""
+    from totem_ray.graph.edges import remove_singletons
+    from totem_ray.pipelines.tpch_graph import copurchase_edges, read_table
+
+    def part_v(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["p_partkey"].combine_chunks().cast(pa.int64())})
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey"]) \
+        .map_batches(part_v, batch_format="pyarrow")
+    return remove_singletons(copurchase_edges(sf_dir), parts)
+
+
+def q_stcon_copurchase(sf_dir: str):
+    """st-connectivity (stcon, totem_alg.h:281-285) between the
+    smallest and largest copurchase vertex — {connected, cost} where
+    cost is the BFS hop distance (-1 when unreachable)."""
+    from totem_ray.algs.traversal import st_connectivity
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir).materialize()
+    s = int(edges.min("src"))
+    t = int(edges.max("src"))
+    out = st_connectivity(edges, source=s, target=t, num_partitions=4)
+    return pa.table({"connected": pa.array([bool(out["connected"])]),
+                     "cost": pa.array([int(out["cost"])], type=pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "copurchase_edges": q_copurchase_edges,
@@ -775,6 +984,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maxflow_chain": q_maxflow_chain,
         "sortvertices_copurchase": q_sortvertices_copurchase,
         "sortnbrs_degree_copurchase": q_sortnbrs_degree_copurchase,
+        "symmetrize_orders": q_symmetrize_orders,
+        "bidirectional_orders": q_bidirectional_orders,
+        "permute_copurchase": q_permute_copurchase,
+        "randweights_orders": q_randweights_orders,
+        "modularity_hashpart_copurchase": q_modularity_hashpart,
+        "singleton_leafs_suppart": q_singleton_leafs_suppart,
+        "remove_singletons_parts": q_remove_singletons_parts,
+        "stcon_copurchase": q_stcon_copurchase,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "doc_token_stats": q_doc_token_stats,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -952,6 +1169,69 @@ def _labelprop_sql(rounds: int = 8, cap: int = 16) -> str:
     p.append(f"SELECT v, CASE (SELECT r FROM stopk) {cases} "
              f"ELSE l{rounds} END AS label FROM j")
     return "\n".join(p)
+
+
+def _permute_sql() -> str:
+    """``alter permute`` oracle: splitmix64(as_u64(id) ^ sm64(seed))
+    transcribed to HUGEINT SQL (graph/edges.py permute_ids)."""
+    from totem_ray.hashing import splitmix64
+    s = int(splitmix64(np.array([42], dtype=np.uint64))[0])
+    ctes, last = _sm64_ctes("x", [("sx", "ps"), ("dx", "pd")], "pm")
+    return f"""
+        WITH e AS ({_COPURCHASE_SQL}),
+        b AS (SELECT {_u64_sql('src')} AS su, {_u64_sql('dst')} AS du
+              FROM e),
+        x AS (SELECT {_xor_sql('su', str(s))} AS sx,
+                     {_xor_sql('du', str(s))} AS dx FROM b),
+        {ctes}
+        SELECT {_i64_sql('ps5')} AS src, {_i64_sql('pd5')} AS dst
+        FROM {last}
+    """
+
+
+def _randweights_sql() -> str:
+    """``alter randWeights`` oracle: w = sm64(sm64(src_u ^ seed) ^
+    dst_u) / 2^64 (graph/edges.py add_random_weights, seed=42)."""
+    ctes1, last1 = _sm64_ctes("x1", [("h0", "ra")], "rw")
+    ctes2, last2 = _sm64_ctes("x2", [("h1", "rb")], "rx")
+    return f"""
+        WITH e AS ({_ORDERS_EDGES_SQL}),
+        b AS (SELECT src, dst, {_u64_sql('src')} AS su,
+                     {_u64_sql('dst')} AS du FROM e),
+        x1 AS (SELECT *, {_xor_sql('su', '42')} AS h0 FROM b),
+        {ctes1},
+        x2 AS (SELECT *, {_xor_sql('ra5', 'du')} AS h1 FROM {last1}),
+        {ctes2}
+        SELECT src, dst,
+               CAST(rb5 AS DOUBLE) / 18446744073709551616.0 AS weight
+        FROM {last2}
+    """
+
+
+def _modularity_hashpart_sql() -> str:
+    """partition_modularity oracle over hash_partition(v, 8) labels:
+    Q = sum_c [intra_c/m - (deg_c/m)^2] with m = directed edge rows
+    (graph/analysis.py modularity + hashing.hash_partition)."""
+    ctes, last = _sm64_ctes("u", [("vu", "hm")], "md")
+    return f"""
+        WITH e AS ({_COPURCHASE_SQL}),
+        verts AS (SELECT DISTINCT src AS v FROM e),
+        u AS (SELECT v, {_u64_sql('v')} AS vu FROM verts),
+        {ctes},
+        lab AS (SELECT v, CAST(hm5 % 8 AS BIGINT) AS label FROM {last}),
+        tagged AS (SELECT ls.label AS sl, ld.label AS dl FROM e
+                   JOIN lab ls ON ls.v = e.src
+                   JOIN lab ld ON ld.v = e.dst),
+        per AS (SELECT sl AS label, CAST(COUNT(*) AS DOUBLE) AS deg,
+                       CAST(SUM(CASE WHEN sl = dl THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS intra
+                FROM tagged GROUP BY sl),
+        tot AS (SELECT SUM(deg) AS m FROM per)
+        SELECT ROUND(SUM(intra / (SELECT m FROM tot)
+                     - (deg / (SELECT m FROM tot))
+                       * (deg / (SELECT m FROM tot))), 8)
+               AS modularity_r8 FROM per
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1286,6 +1566,61 @@ def oracle_sql() -> dict[str, str]:
                     FROM e GROUP BY src)
             SELECT e.src, e.dst, COALESCE(deg.nbr_degree, 0) AS nbr_degree
             FROM e LEFT JOIN deg ON deg.v = e.dst
+        """,
+        "symmetrize_orders": f"""
+            WITH e AS ({_ORDERS_EDGES_SQL})
+            SELECT src, dst FROM e
+            UNION ALL SELECT dst AS src, src AS dst FROM e
+        """,
+        "bidirectional_orders": f"""
+            WITH e AS ({_ORDERS_EDGES_SQL}),
+            up AS (SELECT DISTINCT src, dst FROM e),
+            miss AS (SELECT u.dst AS src, u.src AS dst FROM up u
+                     WHERE NOT EXISTS (SELECT 1 FROM up r
+                            WHERE r.src = u.dst AND r.dst = u.src))
+            SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight,
+                   FALSE AS is_reverse FROM e
+            UNION ALL
+            SELECT src, dst, CAST(0.0 AS DOUBLE), TRUE FROM miss
+        """,
+        "permute_copurchase": _permute_sql(),
+        "randweights_orders": _randweights_sql(),
+        "modularity_hashpart_copurchase": _modularity_hashpart_sql(),
+        "singleton_leafs_suppart": """
+            WITH e AS (SELECT l_suppkey AS src, l_partkey AS dst
+                       FROM lineitem),
+            uni AS (SELECT s_suppkey AS v FROM supplier
+                    UNION SELECT p_partkey FROM part),
+            outs AS (SELECT DISTINCT src AS v FROM e),
+            ins AS (SELECT DISTINCT dst AS v FROM e),
+            touched AS (SELECT v FROM outs UNION SELECT v FROM ins)
+            SELECT CAST((SELECT COUNT(*) FROM uni)
+                        - (SELECT COUNT(*) FROM touched) AS BIGINT)
+                       AS singletons,
+                   CAST((SELECT COUNT(*) FROM ins
+                         WHERE v NOT IN (SELECT v FROM outs)) AS BIGINT)
+                       AS leafs,
+                   CAST((SELECT COUNT(*) FROM uni) AS BIGINT) AS vertices
+        """,
+        "remove_singletons_parts": f"""
+            WITH e AS ({_COPURCHASE_SQL})
+            SELECT p_partkey AS v FROM part
+            WHERE p_partkey IN (SELECT src FROM e UNION SELECT dst FROM e)
+        """,
+        "stcon_copurchase": f"""
+            WITH RECURSIVE e AS MATERIALIZED ({_COPURCHASE_SQL}),
+            st AS (SELECT MIN(src) AS s, MAX(src) AS t FROM e),
+            walk(v, lvl) AS (
+                SELECT s, 0 FROM st
+                UNION
+                SELECT e.dst, w.lvl + 1 FROM walk w JOIN e ON e.src = w.v
+                WHERE w.lvl < 40
+            ),
+            best AS (SELECT MIN(lvl) AS cost FROM walk
+                     WHERE v = (SELECT t FROM st))
+            SELECT (SELECT cost FROM best) IS NOT NULL AS connected,
+                   CAST(COALESCE((SELECT cost FROM best), -1) AS BIGINT)
+                       AS cost
         """,
         "doc_ngram_jaccard": r"""
             WITH toks AS (
