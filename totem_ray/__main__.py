@@ -128,6 +128,12 @@ def main(argv=None) -> int:
             edges = rd.read_parquet(args.edges, file_extensions=None)
         else:
             edges = rd.read_parquet(args.edges)
+        if not totem_file:
+            # pandas-written parquet embeds unhashable schema metadata
+            # (see tpch_graph._strip_schema_meta)
+            from totem_ray.pipelines.tpch_graph import _strip_schema_meta
+            edges = edges.map_batches(_strip_schema_meta,
+                                      batch_format="pyarrow")
 
     source = args.source
     if source is None and args.alg in ("bfs", "bfs_tree", "bfs_dirop",

@@ -53,13 +53,15 @@ def _content_fp(src, dst, w, vert_chunks) -> int:
     but different edges/weights must not share a lineage)."""
     from totem_ray.hashing import as_u64, splitmix64
 
-    fp = np.uint64(0)
+    # accumulate in Python ints mod 2^64: numpy uint64 SCALAR adds
+    # raise RuntimeWarning on (intended) wraparound; values identical
+    fp = 0
     if len(src):
         h = splitmix64(splitmix64(as_u64(src)) ^ as_u64(dst))
         if w is not None:
             h = splitmix64(h ^ np.asarray(w, dtype=np.float64)
                            .view(np.uint64))
-        fp += h.sum(dtype=np.uint64)
+        fp = (fp + int(h.sum(dtype=np.uint64))) & 0xFFFFFFFFFFFFFFFF
     if vert_chunks:
         # dedupe across chunks: a vertex id repeated across input
         # blocks may reach this shard in separate chunks (the split
@@ -67,8 +69,9 @@ def _content_fp(src, dst, w, vert_chunks) -> int:
         # it twice would make the fp depend on block layout / P
         vu = unique_concat([np.asarray(v, dtype=np.int64)
                             for v in vert_chunks])
-        fp += splitmix64(as_u64(vu)).sum(dtype=np.uint64)
-    return int(fp)
+        fp = (fp + int(splitmix64(as_u64(vu)).sum(dtype=np.uint64))) \
+            & 0xFFFFFFFFFFFFFFFF
+    return fp
 
 
 class GraphShard:

@@ -32,9 +32,19 @@ from totem_ray.hashing import hash_partition
 from totem_ray.nputil import group_starts_sizes, slice_offsets
 
 
+def _strip_schema_meta(t: pa.Table) -> pa.Table:
+    """Drop file-level schema metadata (pandas-written parquet embeds a
+    b'pandas' dict that makes pa.Schema UNHASHABLE — every downstream
+    sort/groupby reduce then logs 'Failed to hash the schemas' and
+    loses Ray's early-exit schema dedup). Zero-copy; fuses with the
+    read task."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def read_table(sf_dir: str, name: str, columns=None):
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
-                                 columns=columns)
+                                 columns=columns) \
+        .map_batches(_strip_schema_meta, batch_format="pyarrow")
 
 
 def copurchase_pair_stream(sf_dir: str, num_buckets: int = 32):
