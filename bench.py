@@ -238,20 +238,86 @@ def bench_headline(ncpu: int, scale: int = None, ef: int = None,
             "build_timings": build_timings}
 
 
+def bench_partition_quality(ncpu: int) -> dict:
+    """Totem's cut-quality header metric (rmt_edge, the fraction of
+    cross-partition edges — print_header,
+    src/benchmark/totem_benchmark_print.cu:71-82) for the random-hash
+    vs degree-aware partitioners on the RMAT headline graph, plus the
+    PageRank exec effect. The reference's LOW/HIGH alpha walk
+    (totem_partition.cu:322-339) places the hub set together — on a
+    power-law graph that turns the hub<->hub core into intra-partition
+    edges, which is the skew-taming claim this measures."""
+    import ray.data
+    from totem_ray.engine.bsp import BspEngine
+    from totem_ray.graph.edges import degree_table
+    from totem_ray.graph.partition import (DegreePartitioner,
+                                           HashPartitioner,
+                                           partition_stats)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from totem_ray.graph.edges import vertex_degrees
+
+    edges_path = ensure_rmat_edges(RMAT_SCALE, RMAT_EF)
+    ds = ray.data.read_parquet(edges_path).materialize()
+    P = max(4, min(32, ncpu))
+    out = {}
+
+    def total_deg(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["v"],
+                         "degree": pc.add(t["out_degree"], t["in_degree"])})
+
+    degs = vertex_degrees(ds).map_batches(total_deg, batch_format="pyarrow")
+    parts = {
+        "hash": HashPartitioner(P),
+        "degree_high_a20": DegreePartitioner.from_degrees(
+            degs, P, alpha=0.2, descending=True),
+    }
+    for name, part in parts.items():
+        st = partition_stats(ds, part)
+        t_exec = float("inf")
+        with BspEngine(P, partitioner=part) as eng:
+            eng.build(ds)
+            eng.run("pagerank", {"mode": "converge", "tol": 1e-6},
+                    max_supersteps=200)  # warm-up
+            for _ in range(2):
+                t0 = time.perf_counter()
+                o = eng.run("pagerank", {"mode": "converge", "tol": 1e-6},
+                            max_supersteps=200)
+                t_exec = min(t_exec, time.perf_counter() - t0)
+        out[name] = {"rmt_edge_frac": round(st["rmt_edge_frac"], 4),
+                     "load_imbalance": round(st["load_imbalance"], 3),
+                     "max_shard_edges": st["max_shard_edges"],
+                     "pagerank_exec_sec": round(t_exec, 3),
+                     "iterations": o["iterations"]}
+    return out
+
+
 REPEATS = max(1, int(os.environ.get("BENCH_REPEATS", "2") or "2"))
 
 
-def best_time(fn, repeats: int | None = None) -> float:
+#: per-measurement raw samples, keyed by pipeline name — lets a reader
+#: distinguish 'genuinely slow' from 'one contention spike' (this host
+#: oscillates on a minutes scale, so a min-of-2 can still catch two
+#: bad windows back to back)
+SAMPLES: dict[str, list[float]] = {}
+
+
+def best_time(fn, repeats: int | None = None, label: str | None = None) -> float:
     """Min wall time over n runs. This sandbox host is multi-tenant
     and contention spikes only ever ADD time, so the min of a few
     samples is the estimate closest to code truth (the canary bracket
-    still records how noisy the window was)."""
-    best = float("inf")
+    still records how noisy the window was). All samples are recorded
+    in SAMPLES[label] for the JSON output."""
+    samples = []
     for _ in range(repeats or REPEATS):
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        samples.append(round(time.perf_counter() - t0, 3))
+    if label:
+        SAMPLES[label] = samples
+    return min(samples)
 
 
 def bench_sf_queries(sf_dir: str, ncpu: int) -> dict:
@@ -282,17 +348,19 @@ def bench_sf_queries(sf_dir: str, ncpu: int) -> dict:
                      max_supersteps=200)
         pr_iters.append(pr["iterations"])
 
-    times["copurchase_pagerank"] = best_time(run_pr)
+    times["copurchase_pagerank"] = best_time(run_pr, label="copurchase_pagerank")
     times["copurchase_pagerank_iters"] = pr_iters[-1]
 
     times["copurchase_cc"] = best_time(
-        lambda: eng.run("connected_components", {}))
+        lambda: eng.run("connected_components", {}),
+        label="copurchase_cc")
     eng.shutdown()
 
     times["copurchase_triangles"] = best_time(
         lambda: triangle_counts(copurchase_pair_stream(sf_dir),
                                 num_buckets=64, num_join_partitions=32,
-                                assume_simple=True).count())
+                                assume_simple=True).count(),
+        label="copurchase_triangles")
 
     # the distributed join path is what 100-TB runs take (past the
     # broadcast gate) — time it explicitly (broadcast_max_edges=0)
@@ -300,7 +368,8 @@ def bench_sf_queries(sf_dir: str, ncpu: int) -> dict:
         lambda: triangle_counts(copurchase_pair_stream(sf_dir),
                                 num_buckets=64, num_join_partitions=32,
                                 assume_simple=True,
-                                broadcast_max_edges=0).count())
+                                broadcast_max_edges=0).count(),
+        label="copurchase_triangles_join")
     return times
 
 
@@ -313,9 +382,11 @@ def bench_extraction(ncpu: int) -> dict:
     ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
     counts = {}
     t_links = best_time(
-        lambda: counts.__setitem__("links", pages_to_edges(ds).count()))
+        lambda: counts.__setitem__("links", pages_to_edges(ds).count()),
+        label="link_extract")
     t_text = best_time(
-        lambda: counts.__setitem__("pages", pages_to_text(ds).count()))
+        lambda: counts.__setitem__("pages", pages_to_text(ds).count()),
+        label="text_extract")
     return {"link_extract_sec": t_links, "text_extract_sec": t_text,
             "n_links": counts["links"], "n_pages": counts["pages"]}
 
@@ -329,7 +400,8 @@ def bench_dedup(sf_dir: str) -> dict:
     t = best_time(
         lambda: counts.__setitem__("n",
                                    minhash_dedup_groups(docs,
-                                                        tau=0.5).count()))
+                                                        tau=0.5).count()),
+        label="minhash_dedup")
     return {"minhash_dedup_sec": t, "n_docs": counts["n"]}
 
 
@@ -408,6 +480,8 @@ def run_once(headline_only: bool = False) -> dict:
         extra["sf_queries"] = q
         extra["extraction"] = ext
         extra["dedup"] = dd
+        extra["samples"] = dict(SAMPLES)
+        extra["partition_quality"] = bench_partition_quality(ncpu)
     canaries.append(cpu_canary())  # end of run
 
     total = sum(v for v in queries.values())

@@ -96,23 +96,39 @@ class DegreePartitioner:
 
 
 def partition_stats(edges, partitioner) -> dict:
-    """Cut quality: fraction of remote (cross-partition) edges —
-    Totem's rmt_edge metric (print_header,
-    src/benchmark/totem_benchmark_print.cu:71-82)."""
+    """Cut quality + load balance: fraction of remote (cross-partition)
+    edges — Totem's rmt_edge metric (print_header,
+    src/benchmark/totem_benchmark_print.cu:71-82) — and per-shard
+    out-edge counts (edges live with their src owner in the BSP
+    engine), whose max/mean ratio is the power-law skew a partitioner
+    must tame: the busiest shard bounds every superstep."""
     import pyarrow as pa
     from ray.data.aggregate import Sum
+
+    P = partitioner.num_partitions
 
     def fn(t: pa.Table) -> pa.Table:
         s = partitioner.pid_np(np.asarray(t["src"]))
         d = partitioner.pid_np(np.asarray(t["dst"]))
+        per_pid = np.bincount(s, minlength=P).astype(np.int64)
         return pa.table({
-            "_rmt": pa.array([int((s != d).sum())], type=pa.int64()),
-            "_tot": pa.array([t.num_rows], type=pa.int64()),
+            "_pid": pa.array(np.arange(P, dtype=np.int64)),
+            "_n": pa.array(per_pid),
+            "_rmt": pa.array([int((s != d).sum())] + [0] * (P - 1),
+                             type=pa.int64()),
         })
 
-    agg = edges.map_batches(fn, batch_format="pyarrow").aggregate(
-        Sum("_rmt", alias_name="rmt"), Sum("_tot", alias_name="tot"))
-    rmt, tot = int(agg["rmt"] or 0), int(agg["tot"] or 0)
+    per = edges.map_batches(fn, batch_format="pyarrow") \
+        .groupby("_pid").aggregate(Sum("_n", alias_name="n"),
+                                   Sum("_rmt", alias_name="rmt")) \
+        .to_pandas()
+    counts = np.zeros(P, dtype=np.int64)
+    counts[per["_pid"].to_numpy()] = per["n"].to_numpy()
+    rmt = int(per["rmt"].sum())
+    tot = int(counts.sum())
+    mean = tot / P if P else 0.0
     return {"remote_edges": rmt, "total_edges": tot,
             "rmt_edge_frac": rmt / tot if tot else 0.0,
+            "max_shard_edges": int(counts.max()) if P else 0,
+            "load_imbalance": float(counts.max() / mean) if tot else 0.0,
             **partitioner.describe()}
