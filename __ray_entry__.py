@@ -939,6 +939,20 @@ def q_remove_singletons_parts(sf_dir: str):
     return remove_singletons(copurchase_edges(sf_dir), parts)
 
 
+def q_component_set_orders(sf_dir: str):
+    """component_set_t over the symmetrized orders graph (one
+    component per customer cluster): per-component vertex/edge counts
+    + biggest flag (get_components_cpu, totem_components.cu:105-146)."""
+    from totem_ray.algs.components import component_set, connected_components
+    from totem_ray.graph.edges import symmetrize
+
+    edges = symmetrize(_orders_edges(sf_dir)).materialize()
+    cc = connected_components(edges, num_partitions=4)
+    out = component_set(edges, cc["result"])
+    cc["engine"].shutdown()
+    return out
+
+
 def q_stcon_copurchase(sf_dir: str):
     """st-connectivity (stcon, totem_alg.h:281-285) between the
     smallest and largest copurchase vertex — {connected, cost} where
@@ -992,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "singleton_leafs_suppart": q_singleton_leafs_suppart,
         "remove_singletons_parts": q_remove_singletons_parts,
         "stcon_copurchase": q_stcon_copurchase,
+        "component_set_orders": q_component_set_orders,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "doc_token_stats": q_doc_token_stats,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -1606,6 +1621,30 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS ({_COPURCHASE_SQL})
             SELECT p_partkey AS v FROM part
             WHERE p_partkey IN (SELECT src FROM e UNION SELECT dst FROM e)
+        """,
+        "component_set_orders": f"""
+            WITH RECURSIVE eo AS ({_ORDERS_EDGES_SQL}),
+            e AS MATERIALIZED (SELECT src, dst FROM eo
+                 UNION ALL SELECT dst, src FROM eo),
+            verts AS (SELECT DISTINCT src AS v FROM e),
+            walk(v, label) AS (
+              SELECT v, v FROM verts
+              UNION
+              SELECT e.dst, w.label FROM walk w
+              JOIN e ON e.src = w.v WHERE w.label < e.dst
+            ),
+            lab AS (SELECT v, MIN(label) AS label FROM walk GROUP BY v),
+            vc AS (SELECT label, COUNT(*) AS num_vertices
+                   FROM lab GROUP BY label),
+            ec AS (SELECT l.label, COUNT(*) AS num_edges FROM e
+                   JOIN lab l ON l.v = e.src GROUP BY l.label),
+            j AS (SELECT vc.label, vc.num_vertices,
+                         COALESCE(ec.num_edges, 0) AS num_edges
+                  FROM vc LEFT JOIN ec ON ec.label = vc.label),
+            b AS (SELECT label FROM j
+                  ORDER BY num_vertices DESC, label ASC LIMIT 1)
+            SELECT label, num_vertices, num_edges,
+                   label = (SELECT label FROM b) AS is_biggest FROM j
         """,
         "stcon_copurchase": f"""
             WITH RECURSIVE e AS MATERIALIZED ({_COPURCHASE_SQL}),

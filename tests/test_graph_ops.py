@@ -311,3 +311,21 @@ def test_triangle_orient_missing_degree_raises():
         triangle_counts(ds, num_buckets=2, assume_simple=True,
                         broadcast_max_edges=0, driver_degrees_max=0) \
             .to_pandas()
+
+
+def test_component_set_two_triangles():
+    # two directed 3-cycles + a pendant edge off the second:
+    # components {0,1,2} (3 edges) and {10,11,12,13} (4 edges)
+    e = np.array([[0, 1], [1, 2], [2, 0],
+                  [10, 11], [11, 12], [12, 10], [12, 13]], dtype=np.int64)
+    ds = edges_from_arrays(e, num_blocks=3)
+    from totem_ray.algs.components import component_set, connected_components
+
+    cc = connected_components(ds, num_partitions=2)
+    out = component_set(ds, cc["result"]).to_pandas() \
+        .sort_values("label").reset_index(drop=True)
+    cc["engine"].shutdown()
+    assert out["label"].tolist() == [0, 10]
+    assert out["num_vertices"].tolist() == [3, 4]
+    assert out["num_edges"].tolist() == [3, 4]
+    assert out["is_biggest"].tolist() == [False, True]
