@@ -481,7 +481,10 @@ def run_once(headline_only: bool = False) -> dict:
         extra["extraction"] = ext
         extra["dedup"] = dd
         extra["samples"] = dict(SAMPLES)
-        extra["partition_quality"] = bench_partition_quality(ncpu)
+        try:
+            extra["partition_quality"] = bench_partition_quality(ncpu)
+        except Exception as e:  # diagnostic section must not sink the run
+            extra["partition_quality"] = {"error": f"{type(e).__name__}: {e}"}
     canaries.append(cpu_canary())  # end of run
 
     total = sum(v for v in queries.values())
@@ -551,9 +554,9 @@ def run_scaling():
         "metric": "pagerank_scaling_efficiency",
         "scale": SCALING_SCALE, "ef": SCALING_EF,
         "cpus_low": lo, "cpus_high": hi,
-        "gteps_8cpu": g8, "gteps_32cpu": g32,
-        "sec_8cpu": results[lo]["queries"]["rmat_pagerank"],
-        "sec_32cpu": results[hi]["queries"]["rmat_pagerank"],
+        f"gteps_{lo}cpu": g8, f"gteps_{hi}cpu": g32,
+        f"sec_{lo}cpu": results[lo]["queries"]["rmat_pagerank"],
+        f"sec_{hi}cpu": results[hi]["queries"]["rmat_pagerank"],
         "iterations": results[hi]["extra"]["iterations"],
         "edges": results[hi]["extra"]["edges"],
         "scaling_efficiency": round(eff, 3),
