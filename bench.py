@@ -247,17 +247,15 @@ def bench_partition_quality(ncpu: int) -> dict:
     (totem_partition.cu:322-339) places the hub set together — on a
     power-law graph that turns the hub<->hub core into intra-partition
     edges, which is the skew-taming claim this measures."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data
+
     from totem_ray.engine.bsp import BspEngine
-    from totem_ray.graph.edges import degree_table
+    from totem_ray.graph.edges import vertex_degrees
     from totem_ray.graph.partition import (DegreePartitioner,
                                            HashPartitioner,
                                            partition_stats)
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from totem_ray.graph.edges import vertex_degrees
 
     edges_path = ensure_rmat_edges(RMAT_SCALE, RMAT_EF)
     ds = ray.data.read_parquet(edges_path).materialize()
@@ -586,8 +584,8 @@ GTEPS = edges x iterations / alg_exec_sec / 1e9 (Totem accounting):
 
 | num_cpus | alg_exec sec | GTEPS |
 |---|---|---|
-| {s.get('cpus_low', 8)} | {s['sec_8cpu']} | {s['gteps_8cpu']} |
-| {s.get('cpus_high', 32)} | {s['sec_32cpu']} | {s['gteps_32cpu']} |
+| {s['cpus_low']} | {s[f"sec_{s['cpus_low']}cpu"]} | {s[f"gteps_{s['cpus_low']}cpu"]} |
+| {s['cpus_high']} | {s[f"sec_{s['cpus_high']}cpu"]} | {s[f"gteps_{s['cpus_high']}cpu"]} |
 
 Scaling efficiency ({s.get('cpus_low', 8)} -> {s.get('cpus_high', 32)}
 CPUs, taskset-pinned fresh processes, same input):

@@ -110,12 +110,11 @@ def partition_stats(edges, partitioner) -> dict:
     def fn(t: pa.Table) -> pa.Table:
         s = partitioner.pid_np(np.asarray(t["src"]))
         d = partitioner.pid_np(np.asarray(t["dst"]))
-        per_pid = np.bincount(s, minlength=P).astype(np.int64)
         return pa.table({
             "_pid": pa.array(np.arange(P, dtype=np.int64)),
-            "_n": pa.array(per_pid),
-            "_rmt": pa.array([int((s != d).sum())] + [0] * (P - 1),
-                             type=pa.int64()),
+            "_n": pa.array(np.bincount(s, minlength=P).astype(np.int64)),
+            "_rmt": pa.array(np.bincount(s[s != d], minlength=P)
+                             .astype(np.int64)),
         })
 
     per = edges.map_batches(fn, batch_format="pyarrow") \
