@@ -794,6 +794,169 @@ def _multimodal_oracle_sql() -> str:
     """
 
 
+def _tok_hash_ctes() -> tuple[str, str]:
+    """CTE chain computing per-token-occurrence tabulation hashes over
+    the ``documents`` view — the DuckDB transcription of
+    ``totem_ray.hashing.tab_hash_strings`` applied to the \\s+ token
+    stream (functions/dedup.py _shingle_rows). Returns (fragment,
+    last_cte) where the last CTE is ``tokh(doc_id, ord, th)`` with
+    ``th`` HUGEINT in [0, 2^64). Token byte positions are enumerated
+    to 512 (tokens longer than 512 utf8 bytes would silently truncate
+    — far beyond any \\s+ token in the test corpora)."""
+    prelude = r"""tl AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> length(x) > 0) AS toks
+               FROM documents),
+        tk AS (SELECT doc_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) AS ord FROM tl),
+        lut AS (SELECT upper(printf('%02x', r)) AS hx, r AS b
+                FROM range(256) t(r)),
+        nums AS (SELECT r AS j FROM range(512) t(r)),
+        tb AS (SELECT q.doc_id, q.ord, q.len, q.j, lut.b
+               FROM (SELECT tk.doc_id, tk.ord,
+                            octet_length(encode(tk.tok)) AS len, nums.j,
+                            substr(hex(encode(tk.tok)), 1 + 2 * nums.j, 2) AS hx
+                     FROM tk CROSS JOIN nums
+                     WHERE nums.j < octet_length(encode(tk.tok))) q
+               JOIN lut USING (hx))"""
+    # term_j = sm64((j << 8) | byte_j)
+    c1, p1 = _sm64_ctes("tb", [("CAST(j * 256 + b AS HUGEINT)", "tm")], "tmc")
+    agg = (f"ta AS (SELECT doc_id, ord, any_value(len) AS len,\n"
+           f"              bit_xor({_i64_sql('tm5')}) AS acc_i\n"
+           f"       FROM {p1} GROUP BY doc_id, ord)")
+    # h = sm64(acc ^ sm64(len + seed)), seed = 42
+    c2, p2 = _sm64_ctes("ta", [("CAST(len + 42 AS HUGEINT)", "lm")], "lmc")
+    c3, p3 = _sm64_ctes(p2, [(_xor_sql(_u64_sql("acc_i"), "lm5"), "hm")], "hmc")
+    fin = f"tokh AS (SELECT doc_id, ord, hm5 AS th FROM {p3})"
+    return ",\n".join([prelude, c1, agg, c2, c3, fin]), "tokh"
+
+
+@functools.lru_cache(maxsize=1)
+def _minhash_dedup_oracle_sql() -> str:
+    """Full-data oracle for ``doc_minhash_dedup``: the COMPLETE minhash
+    pipeline (tabulation token hash -> k=3 shingle fold -> 64-perm
+    signatures -> 16-band LSH -> bucket pairs -> est-Jaccard >= tau ->
+    hash-min connected components) transcribed to DuckDB HUGEINT SQL
+    over the real documents table — every arithmetic step mirrors
+    functions/dedup.py minhash_dedup_groups (num_perm=64, bands=16,
+    shingle_k=3, tau=0.5, max_bucket=2000)."""
+    from totem_ray.hashing import splitmix64 as _sm
+    seeds = _sm(np.arange(1, 65, dtype=np.uint64))
+    seed_vals = ", ".join(f"({p + 1}, {int(s)}::HUGEINT)"
+                          for p, s in enumerate(seeds))
+    tok_frag, _ = _tok_hash_ctes()
+    # shingle fold: h = t0; h = sm64(h) ^ t1; h = sm64(h) ^ t2
+    sA, pA = _sm64_ctes("sh1", [("t0", "sa")], "sac")
+    sB, pB = _sm64_ctes(pA, [(_xor_sql("sa5", "t1"), "sb")], "sbc")
+    shfin = (f"shingles AS (SELECT doc_id, {_xor_sql('sb5', 't2')} AS sh "
+             f"FROM {pB})")
+    sC, pC = _sm64_ctes("sr", [(_xor_sql("sh", "seed"), "mm")], "mmc")
+    # band fold (rows_per_band = 4): h = 0; h = sm64(h ^ u64(v_j))
+    bfrags, prev = [], "bv"
+    cur = _u64_sql("v0")
+    for j in range(4):
+        frag, prev = _sm64_ctes(prev, [(cur, f"c{j}_")], f"cbc{j}")
+        bfrags.append(frag)
+        if j < 3:
+            cur = _xor_sql(f"c{j}_5", _u64_sql(f"v{j + 1}"))
+    bands_frag = ",\n".join(bfrags)
+    return f"""
+        WITH RECURSIVE
+        {tok_frag},
+        sh0 AS (SELECT doc_id, th AS t0,
+                       lead(th, 1) OVER w AS t1, lead(th, 2) OVER w AS t2
+                FROM tokh WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+        sh1 AS (SELECT doc_id, t0, t1, t2 FROM sh0 WHERE t2 IS NOT NULL),
+        {sA},
+        {sB},
+        {shfin},
+        seeds AS (SELECT * FROM (VALUES {seed_vals}) AS t(perm, seed)),
+        sr AS (SELECT s.doc_id, p.perm, s.sh, p.seed
+               FROM shingles s CROSS JOIN seeds p),
+        {sC},
+        sig AS (SELECT doc_id, perm, MIN({_i64_sql('mm5')}) AS val
+                FROM {pC} GROUP BY doc_id, perm),
+        bv AS (SELECT doc_id, (perm - 1) // 4 AS band,
+                      max(CASE WHEN (perm - 1) % 4 = 0 THEN val END) AS v0,
+                      max(CASE WHEN (perm - 1) % 4 = 1 THEN val END) AS v1,
+                      max(CASE WHEN (perm - 1) % 4 = 2 THEN val END) AS v2,
+                      max(CASE WHEN (perm - 1) % 4 = 3 THEN val END) AS v3
+               FROM sig GROUP BY doc_id, (perm - 1) // 4),
+        {bands_frag},
+        bndh AS (SELECT doc_id, band, {_i64_sql('c3_5')} AS bhash FROM {prev}),
+        bnd AS (SELECT *, row_number() OVER
+                    (PARTITION BY band, bhash ORDER BY doc_id) AS rn
+                FROM bndh),
+        cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                 FROM bnd a JOIN bnd b
+                   ON a.band = b.band AND a.bhash = b.bhash
+                  AND a.doc_id < b.doc_id
+                 WHERE a.rn <= 2000 AND b.rn <= 2000),
+        est AS (SELECT c.a, c.b,
+                       avg(CASE WHEN sa.val = sb.val THEN 1.0 ELSE 0.0 END)
+                           AS je
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.a
+                JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+                GROUP BY c.a, c.b),
+        edg AS (SELECT a, b FROM est WHERE je >= 0.5),
+        sym AS (SELECT a AS u, b AS w FROM edg
+                UNION SELECT b AS u, a AS w FROM edg),
+        walk(v, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT sym.w, walk.label FROM walk
+          JOIN sym ON sym.u = walk.v WHERE walk.label < sym.w
+        )
+        SELECT v AS doc_id, MIN(label) AS dup_group FROM walk GROUP BY v
+    """
+
+
+@functools.lru_cache(maxsize=1)
+def _simhash_pairs_oracle_sql() -> str:
+    """Full-data oracle for ``doc_simhash_pairs``: Charikar bit-vote
+    signatures over the tabulation token hashes, pigeonhole chunk
+    blocking (max_hamming=8 -> 9 chunks, widths [8,7x8]) and bucket
+    pair enumeration with popcount hamming — the DuckDB transcription
+    of functions/dedup.py simhash_near_dup_pairs (max_bucket=2000)."""
+    bit_vals = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    widths = [8] + [7] * 8
+    chunk_rows, off = [], 0
+    for c, wdt in enumerate(widths):
+        chunk_rows.append(f"({c}, {1 << off}::HUGEINT, {1 << wdt}::HUGEINT)")
+        off += wdt
+    tok_frag, _ = _tok_hash_ctes()
+    ham = (f"CAST(bit_count(CAST({_xor_sql('a.su', 'b.su')} AS UBIGINT)) "
+           f"AS BIGINT)")
+    return f"""
+        WITH
+        {tok_frag},
+        bits AS (SELECT * FROM (VALUES {bit_vals}) AS t(bit, p)),
+        votes AS (SELECT tokh.doc_id, b.bit,
+                         sum(CASE WHEN (tokh.th // b.p) % 2 = 1
+                                  THEN 1 ELSE -1 END) AS vote
+                  FROM tokh CROSS JOIN bits b GROUP BY tokh.doc_id, b.bit),
+        sigu AS (SELECT v.doc_id,
+                        sum(CASE WHEN v.vote > 0 THEN b.p
+                                 ELSE 0::HUGEINT END)::HUGEINT AS su
+                 FROM votes v JOIN bits b USING (bit) GROUP BY v.doc_id),
+        chunks AS (SELECT * FROM (VALUES {', '.join(chunk_rows)})
+                   AS t(c, offp, modp)),
+        crows AS (SELECT s.doc_id, s.su, ch.c,
+                         CAST((s.su // ch.offp) % ch.modp AS BIGINT) AS cval
+                  FROM sigu s CROSS JOIN chunks ch),
+        crn AS (SELECT *, row_number() OVER
+                    (PARTITION BY c, cval ORDER BY doc_id) AS rn
+                FROM crows),
+        pr AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, {ham} AS hamming
+               FROM crn a JOIN crn b
+                 ON a.c = b.c AND a.cval = b.cval AND a.doc_id < b.doc_id
+               WHERE a.rn <= 2000 AND b.rn <= 2000)
+        SELECT a, b, MIN(hamming) AS hamming FROM pr
+        WHERE hamming <= 8 GROUP BY a, b
+    """
+
+
 def q_multimodal_decode(sf_dir: str):
     import ray.data
     from totem_ray.functions.multimodal import (decode_images,
@@ -1757,6 +1920,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
         """,
+        "doc_minhash_dedup": _minhash_dedup_oracle_sql(),
+        "doc_simhash_pairs": _simhash_pairs_oracle_sql(),
         "doc_minhash_clone_dedup": """
             SELECT doc_id, TRUE AS same_group FROM documents
             WHERE doc_id % 10 = 0

@@ -87,3 +87,96 @@ def test_oracle_sql_strings_parse():
         except Exception as e:  # noqa: BLE001
             bad.append((name, str(e).splitlines()[0]))
     assert not bad, bad
+
+
+# ----------------------------------------------------------------------
+# tabulation string hash (minhash/simhash token hashing) — the SQL
+# transcription in _tok_hash_ctes must stay bit-exact with
+# totem_ray.hashing.tab_hash_strings, and both must match a
+# per-string pure-python reference of the published construction.
+# ----------------------------------------------------------------------
+def _ref_tab_hash(s: str, seed: int = 42) -> int:
+    M = (1 << 64) - 1
+
+    def sm(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & M
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & M
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & M
+        x ^= x >> 31
+        return x
+
+    b = s.encode("utf-8")
+    acc = 0
+    for j, byte in enumerate(b):
+        acc ^= sm((j << 8) | byte)
+    h = sm(acc ^ sm(len(b) + seed))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=20))
+def test_tab_hash_strings_matches_reference(strs):
+    import pyarrow as pa
+
+    from totem_ray.hashing import tab_hash_strings
+
+    got = tab_hash_strings(pa.array(strs, type=pa.string()))
+    exp = np.array([_ref_tab_hash(s) for s in strs], dtype=np.int64)
+    np.testing.assert_array_equal(np.asarray(got), exp)
+
+
+def test_tok_hash_sql_matches_python():
+    """_tok_hash_ctes (tokenize + tabulation hash in DuckDB) must
+    reproduce the Python \\s+ token stream hashes exactly — this is
+    the shared front-end of the doc_minhash_dedup / doc_simhash_pairs
+    full-data oracles."""
+    import re
+
+    import pyarrow as pa
+
+    from totem_ray.hashing import tab_hash_strings
+
+    docs = [(1, "The quick  Brown fox\tjumps over the lazy dog"),
+            (2, "  pad START mid END pad  "),
+            (3, "one"),
+            (4, ""),
+            (5, "repeat repeat repeat xyzzy")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    frag, last = entry._tok_hash_ctes()
+    df = con.execute(
+        f"WITH {frag} SELECT doc_id, ord, {entry._i64_sql('th')} AS th "
+        f"FROM {last} ORDER BY doc_id, ord").fetchdf()
+    got = [(int(r.doc_id), int(r.ord), int(r.th))
+           for r in df.itertuples()]
+    exp = []
+    for did, txt in docs:
+        toks = [w for w in re.split(r"\s+", txt.lower()) if w]
+        if toks:
+            hs = tab_hash_strings(pa.array(toks, type=pa.string()))
+            exp += [(did, o, int(h)) for o, h in enumerate(hs, 1)]
+    assert got == exp
+
+
+@pytest.mark.parametrize("qname, oracle_fn", [
+    ("doc_minhash_dedup", entry._minhash_dedup_oracle_sql),
+    ("doc_simhash_pairs", entry._simhash_pairs_oracle_sql),
+])
+def test_dedup_full_data_oracles_match_pipeline(ray_session, qname, oracle_fn):
+    """Run the REAL Ray pipeline and its full-data DuckDB oracle side
+    by side at sf0.001 and require exact frame equality — the same
+    check the driver performs at sf0.01."""
+    sf = "/root/testdata/sf0.001"
+    res = entry.queries()[qname](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    odf = con.execute(oracle_fn()).fetchdf()
+    cols = sorted(res.columns)
+    assert cols == sorted(odf.columns)
+    a = res[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes)
+    assert a.equals(b), f"{qname}: {len(a)} vs {len(b)} rows"

@@ -27,7 +27,7 @@ import ray
 from ray.data.aggregate import Count, Min, Sum
 
 from totem_ray.graph.joins import hash_join
-from totem_ray.hashing import as_u64, hash_strings_i64, splitmix64
+from totem_ray.hashing import as_u64, splitmix64, tab_hash_strings
 from totem_ray.nputil import (composite_group_starts, group_starts_sizes,
                               pairs_within_groups, slice_offsets)
 
@@ -82,7 +82,10 @@ def _shingle_rows(t: pa.Table, k: int, id_col: str = "doc_id") -> tuple[np.ndarr
       .drop("tok").explode("toks") \
       .filter(pl.col("toks").str.len_chars() > 0)
     doc = df["doc"].to_numpy()
-    tok_hash = as_u64(hash_strings_i64(df["toks"].to_arrow()))
+    # tabulation-style hash (NOT siphash): every step transcribes to
+    # DuckDB SQL, so the minhash/simhash oracles can value-check the
+    # full pipeline on the real documents table (see tab_hash_strings)
+    tok_hash = as_u64(tab_hash_strings(df["toks"].to_arrow()))
     if len(doc) == 0 or k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     n = len(doc)

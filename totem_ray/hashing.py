@@ -86,6 +86,67 @@ def hash_strings_i64(arr, seed: int = 42) -> np.ndarray:
     return hash_strings_u64(arr, seed=seed).view(np.int64)
 
 
+def _utf8_bytes_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy view of a utf8/large_utf8 Array's byte payload:
+    -> (data bytes uint8, per-string start offsets int64, lengths int64).
+    Handles sliced arrays (non-zero ``arr.offset``); null entries read
+    as length 0 (same hash as the empty string)."""
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        odt = np.int64
+    elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        odt = np.int32
+    else:
+        raise TypeError(f"expected a (large_)utf8/binary array, got {arr.type}")
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    starts = offsets[:-1]
+    return data, starts, offsets[1:] - starts
+
+
+def tab_hash_strings(arr, seed: int = 42) -> np.ndarray:
+    """Tabulation-style 64-bit string hash as int64 — SQL-transcribable.
+
+    Construction (Zobrist/tabulation hashing, Patrascu & Thorup
+    SICOMP'12 — position-keyed random terms combined with XOR, here
+    with splitmix64 as the per-(position, byte) table):
+
+        term_j = splitmix64((j << 8) | byte_j)        # utf8 byte j
+        acc    = XOR_j term_j                         # 0 for ""
+        hash   = splitmix64(acc ^ splitmix64(len + seed))
+
+    Unlike :func:`hash_strings_i64` (pandas siphash — no SQL
+    equivalent), every step here maps to DuckDB HUGEINT/bit_xor SQL,
+    so pipelines built on it (minhash / simhash shingling) are
+    value-checkable end-to-end by the driver's DuckDB oracle.
+    Fully vectorized: one splitmix64 pass over the corpus bytes plus a
+    ``bitwise_xor.reduceat`` segment reduction — no per-string loop.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array([None if x is None else str(x) for x in arr],
+                       type=pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.int64)
+    data, starts, lens = _utf8_bytes_offsets(arr)
+    h_len = splitmix64(lens.astype(np.uint64) + _U64(seed & 0xFFFFFFFFFFFFFFFF))
+    acc = np.zeros(n, dtype=np.uint64)
+    total = int(lens.sum())
+    if total:
+        prefix = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos_in_tok = np.arange(total, dtype=np.int64) - np.repeat(prefix, lens)
+        byte_idx = np.repeat(starts, lens) + pos_in_tok
+        terms = splitmix64((pos_in_tok.astype(np.uint64) << _U64(8))
+                           | data[byte_idx].astype(np.uint64))
+        nz = lens > 0
+        acc[nz] = np.bitwise_xor.reduceat(terms, prefix[nz])
+    return splitmix64(acc ^ h_len).view(np.int64)
+
+
 def lineage_hash(*parts: object) -> str:
     """Deterministic lineage fingerprint for checkpoint manifests.
 
