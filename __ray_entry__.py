@@ -797,28 +797,32 @@ def _multimodal_oracle_sql() -> str:
 def _tok_hash_ctes() -> tuple[str, str]:
     """CTE chain computing per-token-occurrence tabulation hashes over
     the ``documents`` view — the DuckDB transcription of
-    ``totem_ray.hashing.tab_hash_strings`` applied to the \\s+ token
-    stream (functions/dedup.py _shingle_rows). Returns (fragment,
-    last_cte) where the last CTE is ``tokh(doc_id, ord, th)`` with
-    ``th`` HUGEINT in [0, 2^64). Token byte positions are enumerated
-    to 512 (tokens longer than 512 utf8 bytes would silently truncate
-    — far beyond any \\s+ token in the test corpora)."""
-    prelude = r"""tl AS (SELECT doc_id,
-                      list_filter(string_split_regex(lower(text), '\s+'),
+    ``totem_ray.hashing.tab_hash_strings`` applied to the whitespace
+    token stream (functions/dedup.py _shingle_rows). Returns
+    (fragment, last_cte) where the last CTE is
+    ``tokh(doc_id, ord, th)`` with ``th`` HUGEINT in [0, 2^64).
+    Tokenization uses the SAME explicit Unicode-whitespace class as
+    the pipeline (dedup.TOKEN_SPLIT_RE — RE2's bare \\s is ASCII-only
+    and would diverge from polars on VT/NBSP/U+2028); byte positions
+    come from a linear ``unnest(range(octet_length))``, so arbitrary
+    token lengths are exact (no cap)."""
+    from totem_ray.functions.dedup import TOKEN_SPLIT_RE
+    prelude = f"""tl AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text),
+                                                     '{TOKEN_SPLIT_RE}'),
                                   x -> length(x) > 0) AS toks
                FROM documents),
         tk AS (SELECT doc_id, unnest(toks) AS tok,
                       generate_subscripts(toks, 1) AS ord FROM tl),
         lut AS (SELECT upper(printf('%02x', r)) AS hx, r AS b
                 FROM range(256) t(r)),
-        nums AS (SELECT r AS j FROM range(512) t(r)),
         tb AS (SELECT q.doc_id, q.ord, q.len, q.j, lut.b
-               FROM (SELECT tk.doc_id, tk.ord,
-                            octet_length(encode(tk.tok)) AS len, nums.j,
-                            substr(hex(encode(tk.tok)), 1 + 2 * nums.j, 2) AS hx
-                     FROM tk CROSS JOIN nums
-                     WHERE nums.j < octet_length(encode(tk.tok))) q
-               JOIN lut USING (hx))"""
+               FROM (SELECT doc_id, ord,
+                            octet_length(encode(tok)) AS len,
+                            unnest(range(octet_length(encode(tok)))) AS j,
+                            hex(encode(tok)) AS hxs
+                     FROM tk) q
+               JOIN lut ON lut.hx = substr(q.hxs, 1 + 2 * q.j, 2))"""
     # term_j = sm64((j << 8) | byte_j)
     c1, p1 = _sm64_ctes("tb", [("CAST(j * 256 + b AS HUGEINT)", "tm")], "tmc")
     agg = (f"ta AS (SELECT doc_id, ord, any_value(len) AS len,\n"

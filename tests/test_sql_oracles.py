@@ -142,7 +142,12 @@ def test_tok_hash_sql_matches_python():
             (2, "  pad START mid END pad  "),
             (3, "one"),
             (4, ""),
-            (5, "repeat repeat repeat xyzzy")]
+            (5, "repeat repeat repeat xyzzy"),
+            # unicode whitespace: VT, NBSP, U+2028 must all SPLIT in
+            # both engines (RE2's bare \s would miss them — the
+            # explicit TOKEN_SPLIT_RE class is what keeps parity)
+            (6, "a\x0bb\u2028c\xa0d e\u3000f"),
+            (7, "long" * 200 + " tail")]
     con = duckdb.connect()
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
@@ -152,9 +157,11 @@ def test_tok_hash_sql_matches_python():
         f"FROM {last} ORDER BY doc_id, ord").fetchdf()
     got = [(int(r.doc_id), int(r.ord), int(r.th))
            for r in df.itertuples()]
+    from totem_ray.functions.dedup import TOKEN_SPLIT_RE
+
     exp = []
     for did, txt in docs:
-        toks = [w for w in re.split(r"\s+", txt.lower()) if w]
+        toks = [w for w in re.split(TOKEN_SPLIT_RE, txt.lower()) if w]
         if toks:
             hs = tab_hash_strings(pa.array(toks, type=pa.string()))
             exp += [(did, o, int(h)) for o, h in enumerate(hs, 1)]
@@ -180,3 +187,21 @@ def test_dedup_full_data_oracles_match_pipeline(ray_session, qname, oracle_fn):
     a = res[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes)
     assert a.equals(b), f"{qname}: {len(a)} vs {len(b)} rows"
+
+
+def test_tab_hash_nulls_ignore_masked_bytes():
+    """Arrow permits null slots whose offsets still span garbage bytes
+    (e.g. from if_else) — the hash must consult the validity bitmap
+    and treat nulls as empty strings regardless of provenance."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from totem_ray.hashing import tab_hash_strings
+
+    masked = pc.if_else(pa.array([True, False, True]),
+                        pa.array(["abc", "def", "ghi"]),
+                        pa.array([None, None, None], type=pa.string()))
+    clean = pa.array(["abc", None, "ghi"], type=pa.string())
+    np.testing.assert_array_equal(np.asarray(tab_hash_strings(masked)),
+                                  np.asarray(tab_hash_strings(clean)))
+    assert int(tab_hash_strings(masked)[1]) == _ref_tab_hash("")

@@ -31,7 +31,15 @@ from totem_ray.hashing import as_u64, splitmix64, tab_hash_strings
 from totem_ray.nputil import (composite_group_starts, group_starts_sizes,
                               pairs_within_groups, slice_offsets)
 
-TOKEN_SPLIT_RE = r"\s+"
+# The Unicode White_Space set written as an EXPLICIT character class
+# (literal code points, resolved by the Python string literal): the
+# pipeline tokenizer runs on polars (Rust regex, where \s is
+# Unicode-aware) while the DuckDB oracle runs on RE2 (where \s is
+# ASCII-only [\t\n\f\r ]) — a bare \s+ would silently tokenize
+# differently on vertical tab / NBSP / U+2028 etc. An explicit class
+# is interpreted identically by both engines.
+TOKEN_SPLIT_RE = ("[\t\n\x0b\x0c\r \x85\xa0\u1680"
+                  "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+")
 
 _SENTINEL = np.iinfo(np.int64).max
 

@@ -89,8 +89,10 @@ def hash_strings_i64(arr, seed: int = 42) -> np.ndarray:
 def _utf8_bytes_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Zero-copy view of a utf8/large_utf8 Array's byte payload:
     -> (data bytes uint8, per-string start offsets int64, lengths int64).
-    Handles sliced arrays (non-zero ``arr.offset``); null entries read
-    as length 0 (same hash as the empty string)."""
+    Handles sliced arrays (non-zero ``arr.offset``); null entries are
+    forced to length 0 (same hash as the empty string) — Arrow permits
+    null slots whose offsets still span garbage bytes, so the validity
+    bitmap must be consulted, not just the offsets."""
     if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
         odt = np.int64
     elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
@@ -103,7 +105,10 @@ def _utf8_bytes_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarr
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
         else np.empty(0, np.uint8)
     starts = offsets[:-1]
-    return data, starts, offsets[1:] - starts
+    lens = offsets[1:] - starts
+    if arr.null_count:
+        lens = np.where(np.asarray(arr.is_null()), 0, lens)
+    return data, starts, lens
 
 
 def tab_hash_strings(arr, seed: int = 42) -> np.ndarray:
