@@ -44,6 +44,47 @@ _KNN_SQL = """
     QUALIFY knn_rank <= 10
 """
 
+# Full transcription of the seeded-IVF plan (knn_ivf(fit='seeded',
+# ncells=8, nprobe=3)): seed centroids = embeddings of the 8 smallest
+# vec_ids; every vector assigned to its argmax-cosine cell (ties ->
+# lower cid, matching numpy argmax's first-max); each query probes its
+# 3 nearest cells (ties -> lower cid, matching the stable argsort);
+# brute-force cosine top-k within the probed cells only. Checks the
+# APPROXIMATE result itself, not just the full-probe==exact identity.
+_KNN_IVF_SEEDED_SQL = """
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    assign AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+             (SELECT c.cid FROM cent c
+              ORDER BY list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), c.cemb) DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e),
+    q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qemb
+          FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT q.vec_id AS query_id, c.cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.qemb, c.cemb) DESC,
+                        c.cid) AS pr
+      FROM q CROSS JOIN cent c),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qemb, a.emb) AS sim
+      FROM (SELECT query_id, cell FROM probe WHERE pr <= 3) p
+      JOIN assign a ON a.cell = p.cell
+      JOIN q ON q.vec_id = p.query_id
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS knn_rank
+    FROM cand
+    QUALIFY knn_rank <= 10
+"""
+
 DAMPING = 0.85
 
 _COPURCHASE_SQL = """
@@ -664,6 +705,25 @@ def q_knn_ivf(sf_dir: str):
     return out[["query_id", "neighbor_id", "knn_rank"]]
 
 
+def q_knn_ivf_seeded(sf_dir: str):
+    """IVF with deterministic seed centroids (the ncells smallest
+    vec_ids) and a PARTIAL probe (nprobe=3 of 8 cells): unlike
+    ``knn_ivf_full_probe``, the approximate path itself is checked —
+    the SQL oracle transcribes the whole IVF plan (seed centroids,
+    argmax-cosine cell assignment, nprobe nearest cells per query,
+    within-cell brute force), so a wrong cell assignment or probe
+    selection fails the value hash rather than hiding behind exactness."""
+    from totem_ray.functions.similarity import knn_ivf
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    emb = read_table(sf_dir, "embeddings")
+    qdf = emb.filter(expr="vec_id < 5").to_pandas()
+    queries = np.stack(qdf["embedding"].to_numpy())
+    out = knn_ivf(emb, queries, qdf["vec_id"].to_numpy(), k=10,
+                  ncells=8, nprobe=3, fit="seeded")
+    return out[["query_id", "neighbor_id", "knn_rank"]]
+
+
 def q_knn_ivf_full_probe(sf_dir: str):
     """IVF with nprobe == ncells (probe every cell): exercises the
     full IVF path (centroid fit, assignment, probe, per-cell top-k,
@@ -1187,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": q_emb_near_dup,
         "knn_top10": q_knn_top10,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_seeded": q_knn_ivf_seeded,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -1913,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "knn_top10": _KNN_SQL,
+        "knn_ivf_seeded": _KNN_IVF_SEEDED_SQL,
         "knn_ivf_full_probe": _KNN_SQL,
         "doc_token_stats": r"""
             SELECT doc_id,

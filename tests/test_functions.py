@@ -128,6 +128,36 @@ def test_knn_ivf_recall_vs_brute_force():
     assert np.mean(recalls) >= 0.6   # nprobe=4/8 cells: high recall
 
 
+def test_knn_ivf_seeded_matches_independent_transcription():
+    """fit='seeded' is the SQL-oracled IVF path: centroids are the
+    embeddings of the ncells smallest ids, so the approximate result
+    is a pure function of the data. Reproduce the whole plan (seed
+    centroids, argmax-cosine assignment, nprobe cells per query,
+    within-cell brute force) independently in numpy and require
+    EXACT agreement — rank-for-rank, not recall-level."""
+    from totem_ray.functions.similarity import knn_ivf
+
+    ncells, nprobe, k = 6, 2, 7
+    emb, x = _emb_table(n=300, seed=11)
+    q = x[:4]
+    out = knn_ivf(emb, q, np.arange(4), k=k, ncells=ncells,
+                  nprobe=nprobe, fit="seeded")
+
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cent = xn[:ncells]                         # ids 0..ncells-1
+    cell = np.argmax(xn @ cent.T, axis=1)      # first-max = low cid
+    for qi in range(4):
+        probed = np.argsort(-(xn[qi] @ cent.T), kind="stable")[:nprobe]
+        cand = np.flatnonzero(np.isin(cell, probed))
+        cand = cand[cand != qi]                # exclude_self
+        sims = xn[cand] @ xn[qi]
+        order = np.lexsort((cand, -sims))[:k]
+        expect = cand[order]
+        got = out[out["query_id"] == qi].sort_values("knn_rank")
+        assert got["neighbor_id"].tolist() == expect.tolist()
+        assert np.allclose(got["cos_sim"].to_numpy(), sims[order])
+
+
 # ----------------------------------------------------------------- text
 def test_token_stats_closed_form():
     from totem_ray.functions.text import token_stats

@@ -124,6 +124,29 @@ def knn_brute_force(emb, queries: np.ndarray, query_ids: np.ndarray,
     return _final_topk(partials, k)
 
 
+def _seed_centroids(emb, ncells: int, id_col: str,
+                    emb_col: str) -> np.ndarray:
+    """Deterministic IVF seeds: the embeddings of the ``ncells``
+    smallest ids — a pure function of the data (no RNG, no iterative
+    fit), so the whole IVF pipeline including the approximate
+    partial-probe path is SQL-transcribable for the oracle gate.
+    Computed distributed: each block contributes its ncells
+    smallest-id rows (bounded partial), the driver merges only
+    ncells x num_blocks rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, emb_col])
+        if t.num_rows <= ncells:
+            return t
+        ids = np.asarray(t[id_col])
+        idx = np.argpartition(ids, ncells - 1)[:ncells]
+        return t.take(pa.array(np.sort(idx)))
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(id_col, kind="stable").head(ncells)
+    return np.stack(parts[emb_col].to_numpy()).astype(np.float64)
+
+
 def _kmeans_lite(x: np.ndarray, ncells: int, iters: int = 8,
                  seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
@@ -140,14 +163,19 @@ def _kmeans_lite(x: np.ndarray, ncells: int, iters: int = 8,
 def knn_ivf(emb, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             ncells: int = 16, nprobe: int = 4, sample_n: int = 10_000,
             id_col: str = "vec_id", emb_col: str = "embedding",
-            exclude_self: bool = True, seed: int = 42) -> pd.DataFrame:
+            exclude_self: bool = True, seed: int = 42,
+            fit: str = "kmeans") -> pd.DataFrame:
     """IVF ANN: centroids from a sample, assignment via broadcast
     centroid matrix, probe only the nprobe closest cells per query.
 
-    The centroid-fit sample is a deterministic id-hash spread over the
-    WHOLE dataset (limit(n) would take the first rows — on clustered /
-    label-sorted storage the centroids then miss most of the space and
-    recall collapses)."""
+    ``fit='kmeans'`` (default) fits k-means-lite centroids on a
+    deterministic id-hash sample spread over the WHOLE dataset
+    (limit(n) would take the first rows — on clustered / label-sorted
+    storage the centroids then miss most of the space and recall
+    collapses). ``fit='seeded'`` takes the embeddings of the ncells
+    smallest ids as centroids directly: lower recall per probe, but a
+    pure function of the data, so the approximate partial-probe result
+    itself is exactly reproducible by the SQL oracle."""
     from totem_ray.hashing import as_u64, splitmix64
 
     # count() is metadata-only for parquet sources; a DERIVED input
@@ -156,28 +184,35 @@ def knn_ivf(emb, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     if total == 0:
         # same typed empty result as knn_brute_force on empty input
         return _final_topk(_EMPTY_TOPK.to_pandas(), k)
-    ratio = 1.25 * sample_n / total if total else 1.0
-    # ratio >= 1 means "keep everything" — skip the filter, both to save
-    # a pass and because ratio*(2^64-1) rounds to exactly 2^64 at
-    # ratio=1.0, which overflows np.uint64
-    if total > sample_n and ratio < 1.0:
-        thresh = np.uint64(ratio * (2.0 ** 64 - 1))
-
-        def samp(t: pa.Table) -> pa.Table:
-            h = splitmix64(as_u64(np.asarray(t[id_col]))
-                           ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
-            return t.filter(pa.array(h <= thresh))
-
-        sample = emb.map_batches(samp, batch_format="pyarrow").to_pandas()
-        if not len(sample):  # degenerate fallback
-            sample = emb.limit(sample_n).to_pandas()
+    if fit == "seeded":
+        cent = _normalize(_seed_centroids(emb, ncells, id_col, emb_col))
     else:
-        sample = emb.to_pandas()
-    xs = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
-    cent = _normalize(_kmeans_lite(xs, ncells, seed=seed))
+        ratio = 1.25 * sample_n / total if total else 1.0
+        # ratio >= 1 means "keep everything" — skip the filter, both
+        # to save a pass and because ratio*(2^64-1) rounds to exactly
+        # 2^64 at ratio=1.0, which overflows np.uint64
+        if total > sample_n and ratio < 1.0:
+            thresh = np.uint64(ratio * (2.0 ** 64 - 1))
+
+            def samp(t: pa.Table) -> pa.Table:
+                h = splitmix64(as_u64(np.asarray(t[id_col]))
+                               ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+                return t.filter(pa.array(h <= thresh))
+
+            sample = emb.map_batches(samp, batch_format="pyarrow").to_pandas()
+            if not len(sample):  # degenerate fallback
+                sample = emb.limit(sample_n).to_pandas()
+        else:
+            sample = emb.to_pandas()
+        xs = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
+        cent = _normalize(_kmeans_lite(xs, ncells, seed=seed))
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
-    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    # stable sort: probe-order ties between equal-similarity centroids
+    # resolve to the lower cell index, matching the oracle's
+    # (sim DESC, cid ASC) tie-break
+    probes = np.argsort(-(qn @ cent.T), axis=1,
+                        kind="stable")[:, :nprobe]  # (Q, nprobe)
     ref = ray.put((cent, qn, qids, probes))
 
     class ProbeTopK:
