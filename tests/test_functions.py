@@ -158,6 +158,24 @@ def test_knn_ivf_seeded_matches_independent_transcription():
         assert np.allclose(got["cos_sim"].to_numpy(), sims[order])
 
 
+def test_knn_ivf_seeded_block_layout_invariant():
+    """The seed-centroid selection is a per-block partial min-k plus a
+    driver merge — its result (and hence the whole approximate IVF
+    output) must not depend on how the input is split into blocks."""
+    from totem_ray.functions.similarity import knn_ivf
+
+    emb, x = _emb_table(n=250, seed=5)
+    q = x[:3]
+    outs = []
+    for nb in (1, 7):
+        ds = emb.repartition(nb)
+        out = knn_ivf(ds, q, np.arange(3), k=5, ncells=5, nprobe=2,
+                      fit="seeded")
+        outs.append(out.sort_values(["query_id", "knn_rank"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 # ----------------------------------------------------------------- text
 def test_token_stats_closed_form():
     from totem_ray.functions.text import token_stats
