@@ -130,9 +130,11 @@ def _seed_centroids(emb, ncells: int, id_col: str,
     smallest ids — a pure function of the data (no RNG, no iterative
     fit), so the whole IVF pipeline including the approximate
     partial-probe path is SQL-transcribable for the oracle gate.
-    Computed distributed: each block contributes its ncells
-    smallest-id rows (bounded partial), the driver merges only
-    ncells x num_blocks rows."""
+    Computed distributed: each batch contributes its ncells
+    smallest-id rows (a valid partial — each of the global ncells
+    smallest ids is among its own batch's ncells smallest), then one
+    single-block reduce pass shrinks the merge the driver sees to
+    ~ncells rows regardless of how many blocks the input has."""
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.select([id_col, emb_col])
@@ -142,7 +144,10 @@ def _seed_centroids(emb, ncells: int, id_col: str,
         idx = np.argpartition(ids, ncells - 1)[:ncells]
         return t.take(pa.array(np.sort(idx)))
 
-    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = emb.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .to_pandas()
     parts = parts.sort_values(id_col, kind="stable").head(ncells)
     return np.stack(parts[emb_col].to_numpy()).astype(np.float64)
 
