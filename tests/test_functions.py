@@ -294,53 +294,68 @@ def test_multimodal_decode_matches_independent_oracle():
     pd.testing.assert_frame_equal(mine[cols], orc[cols])
 
 
-def test_asof_join_rejects_big_int64_value_columns():
-    # ids above 2^53 would silently degrade to float64 in the pandas
-    # merge_asof hop — the guard must refuse instead
-    import pytest
+def test_asof_join_preserves_big_int64_value_columns():
+    # the merge is Arrow/numpy end to end — int64 ids beyond 2^53
+    # (which a pandas hop would degrade to float64) survive exactly,
+    # even though the column is nullable (null-padded on left rows)
     import ray.data as _rd
 
     from totem_ray.functions.windows import as_of_join
 
+    big = (1 << 60) + 7
     left = _rd.from_arrow(pa.table({
         "k": pa.array([1, 1], pa.int64()),
         "ts": pa.array([10, 20], pa.int64())}))
     right = _rd.from_arrow(pa.table({
         "k": pa.array([1], pa.int64()),
         "rts": pa.array([5], pa.int64()),
-        "big_id": pa.array([(1 << 60) + 7], pa.int64())}))
-    # the guard runs per batch inside the tag pass (an eager pre-scan
-    # would re-execute the whole upstream), so it raises on consumption
-    # (Ray wraps the ValueError in RayTaskError; the message survives)
-    import ray.exceptions
-    with pytest.raises((ValueError, ray.exceptions.RayTaskError),
-                       match="2\\^53"):
-        as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
-                   value_cols=["big_id"]).to_pandas()
+        "big_id": pa.array([big], pa.int64())}))
+    out = as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
+                     value_cols=["big_id"]).to_pandas()
+    assert len(out) == 2
+    assert sorted(out["r_big_id"].tolist()) == [big, big]
+    assert str(out["r_big_id"].dtype) in ("int64", "Int64")
 
 
-def test_asof_join_rejects_big_int64_left_payload():
+def test_asof_join_preserves_big_int64_left_payload():
     # the LEFT side's payload columns get null-padded on right rows of
-    # a bucket block and hop through pandas too — the guard must cover
-    # both sides
-    import pytest
+    # a bucket block — they must keep int64 exactness too
+    import ray.data as _rd
+
+    from totem_ray.functions.windows import as_of_join
+
+    big = (1 << 60) + 1
+    left = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([10, 20], pa.int64()),
+        "event_id": pa.array([big, 2], pa.int64())}))
+    right = _rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "rts": pa.array([5], pa.int64()),
+        "v": pa.array([1.5], pa.float64())}))
+    out = as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
+                     value_cols=["v"]).to_pandas()
+    assert sorted(out["l_event_id"].tolist()) == [2, big]
+    assert (out["r_v"] == 1.5).all()
+
+
+def test_asof_join_backward_tie_inclusive():
+    # ts_right == ts_left must match (backward as-of tie semantics)
     import ray.data as _rd
 
     from totem_ray.functions.windows import as_of_join
 
     left = _rd.from_arrow(pa.table({
         "k": pa.array([1, 1], pa.int64()),
-        "ts": pa.array([10, 20], pa.int64()),
-        "event_id": pa.array([(1 << 60) + 1, 2], pa.int64())}))
+        "ts": pa.array([10, 9], pa.int64())}))
     right = _rd.from_arrow(pa.table({
         "k": pa.array([1], pa.int64()),
-        "rts": pa.array([5], pa.int64()),
-        "v": pa.array([1.5], pa.float64())}))
-    import ray.exceptions
-    with pytest.raises((ValueError, ray.exceptions.RayTaskError),
-                       match="left payload"):
-        as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
-                   value_cols=["v"]).to_pandas()
+        "rts": pa.array([10], pa.int64()),
+        "v": pa.array([4.0], pa.float64())}))
+    out = as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
+                     value_cols=["v"]).to_pandas().sort_values("ts")
+    assert pd.isna(out["r_v"].iloc[0])    # ts=9: before the right row
+    assert out["r_v"].iloc[1] == 4.0      # ts=10: tie matches
 
 
 def test_asof_join_empty_bucket_keeps_value_dtype():
@@ -499,26 +514,24 @@ def test_as_of_join_empty_side():
                    value_cols=["rv"])
 
 
-def test_asof_join_guard_catches_int64_min():
-    # pc.abs wraps INT64_MIN to itself (negative), which let a sentinel
-    # of INT64_MIN escape the old magnitude guard
-    import pytest
+def test_asof_join_preserves_int64_min_sentinel():
+    # INT64_MIN sentinels round-trip bit-exact through the Arrow merge
+    # (the old pandas hop degraded nullable int64 to float64)
     import ray.data as _rd
 
     from totem_ray.functions.windows import as_of_join
 
+    sent = -(1 << 63)
     left = _rd.from_arrow(pa.table({
         "k": pa.array([1], pa.int64()),
         "ts": pa.array([10], pa.int64())}))
     right = _rd.from_arrow(pa.table({
         "k": pa.array([1], pa.int64()),
         "rts": pa.array([5], pa.int64()),
-        "sent": pa.array([-(1 << 63)], pa.int64())}))
-    import ray.exceptions
-    with pytest.raises((ValueError, ray.exceptions.RayTaskError),
-                       match="2\\^53"):
-        as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
-                   value_cols=["sent"]).to_pandas()
+        "sent": pa.array([sent], pa.int64())}))
+    out = as_of_join(left, right, key="k", ts_left="ts", ts_right="rts",
+                     value_cols=["sent"]).to_pandas()
+    assert out["r_sent"].tolist() == [sent]
 
 
 def test_simhash_excludes_tokenless_docs():

@@ -88,21 +88,17 @@ def session_windows(events, gap_s: int = 1800, key: str = "user_id",
 def as_of_join(left, right, key: str, ts_left: str, ts_right: str,
                value_cols: list[str], num_buckets: int = 32):
     """As-of (backward) join: for each left row, the latest right row
-    of the same key with ts_right <= ts_left. Implemented as bucketed
-    union + per-bucket pandas merge_asof (sorted within bucket).
-    Output columns are prefixed ``l_`` / ``r_``.
-
-    Precision note: ``merge_asof`` has no Arrow equivalent, so payload
-    columns hop Arrow -> pandas -> Arrow per bucket. An int64 column
-    that contains nulls degrades to float64 in that hop and loses
-    exactness above 2^53 — and BOTH sides get null padding here (left
-    payload columns are null on right-side rows of a bucket block and
-    vice versa), so the guard checks the int64 payload columns of BOTH
-    inputs and raises rather than silently corrupting ids (keys and
-    the two ``ts`` columns are required null-free by the sort
-    anyway). The check runs per batch inside the tag pass — an eager
-    pre-scan would re-execute each input's upstream pipeline — so the
-    ValueError surfaces when the joined dataset is consumed."""
+    of the same key with ts_right <= ts_left (ties inclusive).
+    Implemented as bucketed union + a fully Arrow/numpy per-bucket
+    merge: both sides of a bucket are lexsorted by (key, ts,
+    right-before-left), a running ``maximum.accumulate`` of right-row
+    positions finds each left row's match, and right payloads are
+    gathered with a null-masked Arrow ``take`` — no pandas hop, so
+    int64 payloads (ids beyond 2^53, nullable columns) stay exact and
+    typed nulls pad unmatched rows. Output columns are prefixed
+    ``l_`` / ``r_``. Keys and both ts columns must be null-free
+    (enforced); among several right rows with the SAME (key, ts) the
+    match is unspecified (pre-dedup ties for determinism)."""
     lsch = left.schema()
     rsch = right.schema()
     if lsch is None or rsch is None:
@@ -117,41 +113,11 @@ def as_of_join(left, right, key: str, ts_left: str, ts_right: str,
     rtypes = dict(zip(rsch.names, rsch.types))
     lplain = [c for c in lsch.names if c not in (key, ts_left)]
 
-    def _i64_cols(types, cols):
-        return [c for c in cols
-                if (t := types.get(c)) is not None
-                and pa.types.is_integer(t) and t.bit_width == 64]
-
-    guard_cols = {0: _i64_cols(ltypes, lplain),
-                  1: _i64_cols(rtypes, value_cols)}
-
-    def _check_i64(t: pa.Table, cols, side):
-        # runs per batch INSIDE the tag pass (a separate pre-scan of
-        # each input would re-execute its whole upstream pipeline) —
-        # min/max compared directly against +-2^53 rather than via
-        # pc.abs, which silently wraps INT64_MIN back to a negative
-        # and let it escape the guard
-        lim = 1 << 53
-        for c in cols:
-            col = t[c].combine_chunks().cast(pa.int64())
-            mx = pc.max(col).as_py()
-            mn = pc.min(col).as_py()
-            bad = mx if (mx is not None and mx > lim) else \
-                (mn if (mn is not None and mn < -lim) else None)
-            if bad is not None:
-                raise ValueError(
-                    f"as_of_join {side} column {c!r} holds int64 ids "
-                    f"beyond +-2^53 ({bad}); the pandas merge_asof hop "
-                    "would degrade them to float64 — pre-map ids to a "
-                    "dense range or join on a separate pass")
-
     lcols = [f"l_{c}" for c in lplain]
     rcols = [f"r_{c}" for c in value_cols]
 
     def tag(side):
         def fn(t: pa.Table) -> pa.Table:
-            _check_i64(t, guard_cols[side],
-                       "left payload" if side == 0 else "value")
             # both sides carry the FULL unified schema (typed nulls for
             # the other side) so every bucket block is homogeneous
             cols = {key: t[key], "_side": pa.array(
@@ -176,25 +142,44 @@ def as_of_join(left, right, key: str, ts_left: str, ts_right: str,
     tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow"))
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        lcols = [c for c in df.columns if c.startswith("l_")]
-        rcols = [c for c in df.columns if c.startswith("r_")]
-        l = df.loc[df["_side"] == 0, [key, "_ts"] + lcols] \
-            .sort_values("_ts", kind="stable")
-        r = df.loc[df["_side"] == 1, [key, "_ts"] + rcols] \
-            .sort_values("_ts", kind="stable")
-        if len(r):
-            out = pd.merge_asof(l, r, on="_ts", by=key, direction="backward")
-        else:
-            out = l.copy()
-            for c in rcols:
-                # dtype-preserving empty padding: a bare np.nan would
-                # make this bucket's r_ columns float64 while matched
-                # buckets keep the true dtype (string/datetime/...),
-                # and the blocks' schemas would no longer unify
-                out[c] = pd.Series(index=out.index, dtype=r[c].dtype)
-        out = out.rename(columns={"_ts": ts_left})
-        out[ts_left] = out[ts_left].astype("datetime64[us]")
-        return out
+    def merge(t: pa.Table) -> pa.Table:
+        tsc = t["_ts"].combine_chunks()
+        kc = t[key].combine_chunks()
+        if tsc.null_count or kc.null_count:
+            raise ValueError("as_of_join: key / ts columns must be "
+                             "null-free")
+        side = np.asarray(t["_side"].combine_chunks())
+        ts = np.asarray(tsc)
+        # factorize the key (np.unique handles ints and, via the
+        # object-dtype path, strings) so the sort key is always numeric
+        _, kcode = np.unique(np.asarray(kc), return_inverse=True)
+        # right rows sort BEFORE left rows at equal (key, ts): backward
+        # as-of is tie-inclusive (ts_right == ts_left matches)
+        order = np.lexsort((1 - side, ts, kcode))
+        side_s = side[order]
+        kcode_s = kcode[order]
+        n = len(order)
+        # latest right-row position at or before each sorted position
+        acc = np.maximum.accumulate(
+            np.where(side_s == 1, np.arange(n), -1))
+        lpos = np.flatnonzero(side_s == 0)
+        m = acc[lpos]
+        valid = m >= 0
+        mm = np.where(valid, m, 0)
+        # a match from a PREVIOUS key group is not a match (keys are
+        # contiguous in the sort, so one equality check suffices)
+        valid &= kcode_s[mm] == kcode_s[lpos]
+        left_rows = pa.array(order[lpos], type=pa.int64())
+        match_rows = pa.array(np.where(valid, order[mm], 0),
+                              type=pa.int64(), mask=~valid)
+        cols = {key: pc.take(kc, left_rows),
+                ts_left: pc.take(tsc, left_rows).cast(pa.timestamp("us"))}
+        for c in lcols:
+            cols[c] = pc.take(t[c].combine_chunks(), left_rows)
+        for c in rcols:
+            # null index -> typed null: unmatched rows keep the true
+            # value dtype (string/datetime/int64) in every bucket
+            cols[c] = pc.take(t[c].combine_chunks(), match_rows)
+        return pa.table(cols)
 
-    return tagged.groupby("_b").map_groups(merge, batch_format="pandas")
+    return tagged.groupby("_b").map_groups(merge, batch_format="pyarrow")
