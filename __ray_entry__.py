@@ -301,6 +301,49 @@ def q_labelprop(sf_dir: str):
     return df
 
 
+def q_ppr_copurchase(sf_dir: str):
+    """Personalized PageRank from the 3 smallest copurchase vertices
+    (4 rounds, d=0.85) — PersonalizedPageRankKernel on the engine."""
+    from totem_ray.engine.bsp import BspEngine
+    from totem_ray.graph.edges import degree_table
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir).materialize()  # seeds + build
+    seeds = tuple(int(r["v"]) for r in degree_table(edges)
+                  .select_columns(["v"]).sort("v").limit(3).take_all())
+    eng = BspEngine(4).build(edges)
+    out = eng.run("ppr", {"seeds": seeds, "damping": DAMPING,
+                          "mode": "rounds", "rounds": 4})
+    df = out["result"].to_pandas()
+    eng.shutdown()
+    df["rank_r8"] = np.round(df.pop("rank").to_numpy(), 8)
+    return df
+
+
+def q_hits_orders(sf_dir: str):
+    """HITS hubs/authorities on the directed customer->order graph
+    (5 L1-normalized rounds) — HitsKernel over the direction-tagged
+    double cover (graph/edges.py tag_directions)."""
+    from totem_ray.engine.bsp import BspEngine
+    from totem_ray.graph.edges import tag_directions
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["o_custkey"].combine_chunks().cast(pa.int64()),
+                         "dst": t["o_orderkey"].combine_chunks().cast(pa.int64())})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow")
+    eng = BspEngine(4).build(tag_directions(edges))
+    out = eng.run("hits", {"rounds": 5})
+    df = out["result"].to_pandas()
+    eng.shutdown()
+    df["auth_r8"] = np.round(df.pop("auth").to_numpy(), 8)
+    df["hub_r8"] = np.round(df.pop("hub").to_numpy(), 8)
+    return df
+
+
 def q_triangles(sf_dir: str):
     from totem_ray.algs import triangle_counts
     from totem_ray.pipelines.tpch_graph import copurchase_pair_stream
@@ -1206,6 +1249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subgraph_high_degree": q_subgraph_high_degree,
         "pagerank_copurchase_5round": q_pagerank_5round,
         "pagerank_copurchase_converge": q_pagerank_converge,
+        "ppr_copurchase": q_ppr_copurchase,
+        "hits_orders": q_hits_orders,
         "cc_copurchase": q_cc,
         "in_degree_copurchase": q_in_degree_kernel,
         "labelprop_copurchase": q_labelprop,
@@ -1414,6 +1459,71 @@ def _labelprop_sql(rounds: int = 8, cap: int = 16) -> str:
     return "\n".join(p)
 
 
+def _ppr_sql(rounds: int = 4, nseeds: int = 3) -> str:
+    """Unrolled power-iteration transcription of
+    PersonalizedPageRankKernel (totem_ray/engine/kernels.py): teleport
+    mass (1-d)/|S| on the ``nseeds`` smallest vertices, contributions
+    degree-normalized every round, ``rounds`` rounds."""
+    parts = [f"""
+        e AS ({_COPURCHASE_SQL}),
+        deg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d
+                FROM e GROUP BY src),
+        seeds AS (SELECT v FROM deg ORDER BY v LIMIT {nseeds}),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+        tele AS (SELECT deg.v AS v,
+                        CASE WHEN s.v IS NULL THEN 0.0
+                             ELSE 1.0 / (SELECT n FROM ns) END AS t
+                 FROM deg LEFT JOIN seeds s ON s.v = deg.v),
+        r0 AS (SELECT v, t AS r FROM tele)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        c{i-1} AS (SELECT r.v, r.r / deg.d AS c
+                   FROM r{i-1} r JOIN deg ON deg.v = r.v),
+        r{i} AS (SELECT t.v, (1 - {DAMPING}) * t.t
+                        + {DAMPING} * COALESCE(m.s, 0) AS r
+                 FROM tele t LEFT JOIN
+                      (SELECT e.dst AS v, SUM(c.c) AS s
+                       FROM e JOIN c{i-1} c ON c.v = e.src
+                       GROUP BY e.dst) m ON m.v = t.v)"""
+        )
+    return "WITH" + ",".join(parts) + f"""
+        SELECT v, ROUND(r, 8) AS rank_r8 FROM r{rounds}"""
+
+
+def _hits_sql(rounds: int = 5) -> str:
+    """Unrolled transcription of HitsKernel
+    (totem_ray/engine/kernels.py): h0 = 1, per half-step L1
+    normalization, auth from in-edges then hub from the NEW auth."""
+    # MATERIALIZED stops DuckDB inlining each doubly-referenced CTE
+    # (FROM + scalar-subquery norm) — plain CTEs sent the optimizer's
+    # filter-pushdown pass exponential at 4 CTEs/round
+    parts = [f"""
+        e AS MATERIALIZED ({_ORDERS_EDGES_SQL}),
+        verts AS MATERIALIZED (SELECT DISTINCT v FROM
+                  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+        h0 AS MATERIALIZED (SELECT v, 1.0 AS h FROM verts)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        a{i}r AS MATERIALIZED (
+            SELECT vv.v AS v, COALESCE(m.s, 0) AS r FROM verts vv
+            LEFT JOIN (SELECT e.dst AS v, SUM(h.h) AS s
+                       FROM e JOIN h{i-1} h ON h.v = e.src
+                       GROUP BY e.dst) m ON m.v = vv.v),
+        a{i} AS MATERIALIZED (
+            SELECT v, r / (SELECT SUM(r) FROM a{i}r) AS a FROM a{i}r),
+        h{i}r AS MATERIALIZED (
+            SELECT vv.v AS v, COALESCE(m.s, 0) AS r FROM verts vv
+            LEFT JOIN (SELECT e.src AS v, SUM(a.a) AS s
+                       FROM e JOIN a{i} a ON a.v = e.dst
+                       GROUP BY e.src) m ON m.v = vv.v),
+        h{i} AS MATERIALIZED (
+            SELECT v, r / (SELECT SUM(r) FROM h{i}r) AS h FROM h{i}r)"""
+        )
+    return "WITH" + ",".join(parts) + f"""
+        SELECT a.v AS v, ROUND(a.a, 8) AS auth_r8, ROUND(h.h, 8) AS hub_r8
+        FROM a{rounds} a JOIN h{rounds} h ON h.v = a.v"""
+
+
 def _permute_sql() -> str:
     """``alter permute`` oracle: splitmix64(as_u64(id) ^ sm64(seed))
     transcribed to HUGEINT SQL (graph/edges.py permute_ids)."""
@@ -1554,6 +1664,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT v, ROUND(r, 8) AS rank_r8 FROM r5
         """,
         "pagerank_copurchase_converge": _pagerank_converge_sql(),
+        "ppr_copurchase": _ppr_sql(),
+        "hits_orders": _hits_sql(),
         "betweenness_copurchase": _centrality_sql("betweenness"),
         "stress_copurchase": _centrality_sql("stress"),
         "labelprop_copurchase": _labelprop_sql(),

@@ -380,6 +380,7 @@ class BspEngine:
 
         start_step = 0
         restored = False
+        prev_agg_seed: dict | None = None
         if resume and checkpoint_dir:
             step = self._latest_checkpoint(checkpoint_dir, lineage)
             if step is not None:
@@ -388,6 +389,11 @@ class BspEngine:
                          for s in self.shards])
                 start_step = step + 1
                 restored = True
+                # re-seed the global superstep hook: the manifest keeps
+                # the checkpointed superstep's reduced stats, so a
+                # global-hook kernel's first resumed compute sees the
+                # same prev_agg an uninterrupted run would have
+                prev_agg_seed = self._manifest_agg(checkpoint_dir, step)
         if not restored:
             ray.get([s.k_init.remote(alg, **params) for s in self.shards])
 
@@ -449,7 +455,7 @@ class BspEngine:
                     "resumed_from": start_step if restored else None}
 
         step = start_step
-        prev_agg: dict | None = None
+        prev_agg: dict | None = prev_agg_seed
         while step < max_supersteps:
             t0 = time.perf_counter()
             outs = ray.get([s.k_compute.remote(alg, step, prev_agg)
@@ -497,6 +503,19 @@ class BspEngine:
             json.dump({"superstep": step, "lineage": lineage,
                        "num_partitions": self.P, "metrics": metrics}, f)
         os.replace(tmp, path)
+
+    def _manifest_agg(self, ckpt_dir: str, step: int) -> dict | None:
+        """The checkpointed superstep's reduced stats (minus timing /
+        bookkeeping keys) — the prev_agg a resumed run must see."""
+        try:
+            with open(self._manifest_path(ckpt_dir, step)) as f:
+                m = json.load(f).get("metrics", {})
+        except (OSError, ValueError):
+            return None
+        skip = {"superstep", "comp_ms", "apply_ms", "step_ms",
+                "checkpointed"}
+        agg = {k: v for k, v in m.items() if k not in skip}
+        return agg or None
 
     def _latest_checkpoint(self, ckpt_dir: str, lineage: str) -> int | None:
         if not os.path.isdir(ckpt_dir):

@@ -1769,6 +1769,226 @@ class PCoreKernel:
             st["round"] = int(np.asarray(t["cur_round"])[0])
 
 
+class PersonalizedPageRankKernel(PageRankKernel):
+    """Personalized PageRank: teleport mass restricted to a seed set
+    (random-walk-with-restart). Not a reference kernel — added for the
+    link-graph query surface; it rides PageRankKernel's push machinery
+    unchanged (compute / result / checkpoint are inherited).
+
+    Math (power iteration; contributions are degree-normalized every
+    round, dangling mass dropped exactly like the base kernel's
+    converge mode):
+
+        r_0      = 1_S / |S|
+        r_{k+1}  = (1-d) * 1_S/|S|  +  d * sum_{u->v} r_k(u)/deg(u)
+
+    ``mode='rounds'`` (default) runs exactly ``rounds`` supersteps —
+    the SQL-oracle form; ``mode='converge'`` iterates to an L1
+    residual <= tol. Seeds absent from the graph keep their teleport
+    slot empty while |S| still counts them, so the distribution sums
+    to < 1 — matching an oracle that builds the seed indicator with a
+    LEFT JOIN against the vertex universe.
+    """
+
+    name = "ppr"
+    needs_total_vertices = False
+
+    @staticmethod
+    def init(sh, st, seeds=(), damping: float = 0.85,
+             mode: str = "rounds", rounds: int = 4, tol: float = 1e-6):
+        seeds = np.asarray(list(seeds), dtype=np.int64)
+        if seeds.size == 0:
+            raise ValueError("ppr needs a non-empty seed set")
+        st["d"] = float(damping)
+        st["mode"] = mode
+        st["rounds"] = int(rounds)
+        st["tol"] = float(tol)
+        idx = np.searchsorted(sh.verts, seeds)
+        ok = idx < sh.nv
+        ok[ok] = sh.verts[idx[ok]] == seeds[ok]
+        tele = np.zeros(sh.nv, dtype=np.float64)
+        tele[idx[ok]] = 1.0 / seeds.size
+        st["seed_frac"] = tele
+        st["rank"] = tele.copy()
+
+    @staticmethod
+    def _push_values(sh, st, superstep: int) -> np.ndarray:
+        # always degree-normalized — no round-0 raw-rank quirk here
+        out = np.zeros(sh.nv, dtype=np.float64)
+        nz = sh.out_deg > 0
+        out[nz] = st["rank"][nz] / sh.out_deg[nz]
+        return out
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        acc = st.pop("acc")
+        for p, arr in inboxes.items():
+            acc[sh.inbox_maps[p]] += arr
+        r_new = (1.0 - st["d"]) * st["seed_frac"] + st["d"] * acc
+        resid = float(np.abs(r_new - st["rank"]).sum())
+        st["rank"] = r_new
+        return {"residual": resid, "changed": sh.nv}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        if st_params.get("mode", "rounds") == "rounds":
+            return superstep + 1 >= st_params.get("rounds", 4)
+        return agg["residual"] <= st_params.get("tol", 1e-6)
+
+    @staticmethod
+    def done_static(superstep: int, st_params: dict):
+        if st_params.get("mode", "rounds") == "rounds":
+            return superstep + 1 >= st_params.get("rounds", 4)
+        return None
+
+
+class HitsKernel:
+    """HITS hubs & authorities (Kleinberg 1999), L1-normalized per
+    half-step. Not a reference kernel — added for the link-graph query
+    surface (hub/authority scoring is the classic companion to
+    PageRank on web link graphs); it runs on this engine's standard
+    message machinery (the engine_config_t callback shape,
+    totem_engine.cuh:114-124).
+
+    The push engine moves messages src->dst only, while HITS needs
+    both directions (authority pulls from in-edges, hub pulls from
+    out-edges). The input graph must therefore be the direction-TAGGED
+    double cover built by ``totem_ray.graph.edges.tag_directions``:
+    every original edge (u,v) appears as (u,v,weight=1) [forward —
+    carries hub->authority mass] and (v,u,weight=2) [reverse — carries
+    authority->hub mass].
+
+    Superstep schedule for ``rounds`` R (supersteps 0..2R):
+
+      even s=2i   push hub_i along forward edges; apply accumulates
+                  raw authority and reports its global L1 mass.
+      odd  s=2i+1 push auth_{i+1} = raw/auth_sum (normalized with the
+                  engine's prev_agg global hook) along reverse edges;
+                  apply accumulates raw hub + its mass.
+      s=2R        finish half-step: normalize the final hub with the
+                  global hub_sum; no messages.
+
+    hub_0 = 1 (unnormalized start), matching the standard formulation
+    and the unrolled-CTE oracle.
+    """
+
+    name = "hits"
+    needs_global_hook = True  # per-half-step L1 normalization needs
+    # the GLOBAL mass of the vector accumulated one superstep earlier
+
+    @staticmethod
+    def init(sh, st, rounds: int = 5):
+        st["rounds"] = int(rounds)
+        fwd: dict[int, np.ndarray] = {}
+        rev: dict[int, np.ndarray] = {}
+        for t, tgt in sh.tgt.items():
+            if "w" not in tgt:
+                raise ValueError(
+                    "hits requires a direction-tagged graph: build the "
+                    "engine over tag_directions(edges) "
+                    "(weight 1=forward, 2=reverse)")
+            w = tgt["w"]
+            f = np.flatnonzero(w == 1.0)
+            r = np.flatnonzero(w == 2.0)
+            if len(f) + len(r) != len(w):
+                raise ValueError("hits edge weights must be direction "
+                                 "tags 1.0/2.0 (see tag_directions)")
+            fwd[t], rev[t] = f, r
+        st["fwd"], st["rev"] = fwd, rev
+        st["hub_raw"] = np.ones(sh.nv, dtype=np.float64)
+        st["auth_raw"] = np.zeros(sh.nv, dtype=np.float64)
+        st["hub"] = np.ones(sh.nv, dtype=np.float64)
+        st["auth"] = np.zeros(sh.nv, dtype=np.float64)
+        # last GLOBAL masses seen via prev_agg — carried in checkpoints
+        # so a resumed compute can still normalize (the engine also
+        # re-seeds prev_agg from the checkpoint manifest)
+        st["g_hub_sum"] = 0.0
+        st["g_auth_sum"] = 0.0
+
+    @staticmethod
+    def compute(sh, st, superstep: int):
+        prev = getattr(sh, "prev_agg", None) or {}
+        if superstep >= 2 * st["rounds"]:
+            hs = prev.get("hub_sum", st["g_hub_sum"])
+            st["g_hub_sum"] = hs
+            st["hub"] = st["hub_raw"] / hs if hs > 0 \
+                else st["hub_raw"].copy()
+            return {}
+        if superstep % 2 == 0:
+            hs = prev.get("hub_sum", st["g_hub_sum"])
+            if hs > 0:
+                st["g_hub_sum"] = hs
+            contrib = st["hub_raw"] / hs if hs > 0 else st["hub_raw"]
+            st["hub"] = contrib
+            sel = st["fwd"]
+        else:
+            asum = prev.get("auth_sum", st["g_auth_sum"])
+            if asum > 0:
+                st["g_auth_sum"] = asum
+            contrib = st["auth_raw"] / asum if asum > 0 else st["auth_raw"]
+            st["auth"] = contrib
+            sel = st["rev"]
+        acc = np.zeros(sh.nv, dtype=np.float64)
+        outboxes = {}
+        for t, tgt in sh.tgt.items():
+            idx = sel[t]
+            if not len(idx):
+                continue
+            vals = contrib[tgt["src"][idx]]
+            n = sh.nv if t == sh.pid else tgt["size"]
+            counts = np.bincount(tgt["dst"][idx], weights=vals, minlength=n)
+            if t == sh.pid:
+                acc += counts
+            else:
+                outboxes[t] = counts
+        st["acc"] = acc
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        acc = st.pop("acc", None)
+        if acc is None:  # finish half-step — nothing was pushed
+            return {"changed": 0}
+        for p, arr in inboxes.items():
+            acc[sh.inbox_maps[p]] += arr
+        if superstep % 2 == 0:
+            st["auth_raw"] = acc
+            return {"auth_sum": float(acc.sum()), "changed": sh.nv}
+        st["hub_raw"] = acc
+        return {"hub_sum": float(acc.sum()), "changed": sh.nv}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        return superstep >= 2 * st_params.get("rounds", 5)
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        return pa.table({"v": pa.array(sh.verts, type=pa.int64()),
+                         "auth": pa.array(st["auth"], type=pa.float64()),
+                         "hub": pa.array(st["hub"], type=pa.float64())})
+
+    @staticmethod
+    def state_table(sh, st) -> pa.Table:
+        nv = sh.nv
+        return pa.table({
+            "v": pa.array(sh.verts, type=pa.int64()),
+            "hub_raw": pa.array(st["hub_raw"], type=pa.float64()),
+            "auth_raw": pa.array(st["auth_raw"], type=pa.float64()),
+            "hub": pa.array(st["hub"], type=pa.float64()),
+            "auth": pa.array(st["auth"], type=pa.float64()),
+            "g_hub_sum": pa.array(np.full(nv, st["g_hub_sum"])),
+            "g_auth_sum": pa.array(np.full(nv, st["g_auth_sum"]))})
+
+    @staticmethod
+    def load_state(sh, st, t: pa.Table):
+        idx = np.searchsorted(sh.verts, np.asarray(t["v"]))
+        for k in ("hub_raw", "auth_raw", "hub", "auth"):
+            st[k][idx] = np.asarray(t[k], dtype=np.float64)
+        if t.num_rows:
+            st["g_hub_sum"] = float(np.asarray(t["g_hub_sum"])[0])
+            st["g_auth_sum"] = float(np.asarray(t["g_auth_sum"])[0])
+
+
 KERNELS = {
     PageRankKernel.name: PageRankKernel,
     PageRankPullKernel.name: PageRankPullKernel,
@@ -1785,4 +2005,6 @@ KERNELS = {
     DirOptBfsKernel.name: DirOptBfsKernel,
     Graph500StepwiseKernel.name: Graph500StepwiseKernel,
     MaxflowKernel.name: MaxflowKernel,
+    PersonalizedPageRankKernel.name: PersonalizedPageRankKernel,
+    HitsKernel.name: HitsKernel,
 }

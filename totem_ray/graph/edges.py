@@ -78,6 +78,27 @@ def reverse_edges(edges):
     return edges.map_batches(fn, batch_format="pyarrow")
 
 
+def tag_directions(edges):
+    """Direction-tagged double cover for bidirectional BSP kernels
+    (HitsKernel): every edge (u,v) becomes (u,v,weight=1.0) [forward]
+    and (v,u,weight=2.0) [reverse], so a push-mode engine can move
+    messages both WITH the original edges (tag 1) and AGAINST them
+    (tag 2) from one CSR. One stateless map_batches pass; any existing
+    weight column is replaced by the tag."""
+    def fn(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks()
+        dst = t["dst"].combine_chunks()
+        n = t.num_rows
+        tags = pa.chunked_array([
+            pa.array(np.ones(n, dtype=np.float64)),
+            pa.array(np.full(n, 2.0, dtype=np.float64))])
+        return pa.table({"src": pa.chunked_array([src, dst]),
+                         "dst": pa.chunked_array([dst, src]),
+                         "weight": tags})
+
+    return edges.map_batches(fn, batch_format="pyarrow")
+
+
 def dedup_edges(edges, num_buckets: int = 64):
     """Distinct (src, dst) rows — exact dedup by hash-partitioned
     per-bucket unique (count_repeated_edges dedup pattern,
