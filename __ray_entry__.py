@@ -320,6 +320,24 @@ def q_ppr_copurchase(sf_dir: str):
     return df
 
 
+def q_pagerank_weighted_orders(sf_dir: str):
+    """Edge-weighted PageRank (4 rounds, d=0.85) over the symmetrized
+    orders graph with splitmix64 random weights (seed 42) —
+    WeightedPageRankKernel; the weights are bit-exact in SQL via the
+    _randweights_sql transcription."""
+    from totem_ray.engine.bsp import BspEngine
+    from totem_ray.graph.edges import add_random_weights, symmetrize
+
+    edges = symmetrize(add_random_weights(_orders_edges(sf_dir), seed=42))
+    eng = BspEngine(4).build(edges)
+    out = eng.run("pagerank_weighted", {"mode": "rounds", "rounds": 4,
+                                        "damping": DAMPING})
+    df = out["result"].to_pandas()
+    eng.shutdown()
+    df["rank_r8"] = np.round(df.pop("rank").to_numpy(), 8)
+    return df
+
+
 def q_hits_orders(sf_dir: str):
     """HITS hubs/authorities on the directed customer->order graph
     (5 L1-normalized rounds) — HitsKernel over the direction-tagged
@@ -353,6 +371,15 @@ def q_triangles(sf_dir: str):
     # skipped (assume_simple = symmetric + self-loop-free; dups OK)
     return triangle_counts(copurchase_pair_stream(sf_dir), num_buckets=32,
                            num_join_partitions=16, assume_simple=True)
+
+
+def q_ktruss4(sf_dir: str):
+    """4-truss of the copurchase graph, 3 bounded peel rounds
+    (algs/ktruss.py): canonical surviving edges (src < dst)."""
+    from totem_ray.algs import ktruss
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    return ktruss(copurchase_edges(sf_dir), k=4, rounds=3)
 
 
 def q_clustering_coefficient(sf_dir: str):
@@ -1250,11 +1277,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_copurchase_5round": q_pagerank_5round,
         "pagerank_copurchase_converge": q_pagerank_converge,
         "ppr_copurchase": q_ppr_copurchase,
+        "pagerank_weighted_orders": q_pagerank_weighted_orders,
         "hits_orders": q_hits_orders,
         "cc_copurchase": q_cc,
         "in_degree_copurchase": q_in_degree_kernel,
         "labelprop_copurchase": q_labelprop,
         "triangles_copurchase": q_triangles,
+        "ktruss4_copurchase": q_ktruss4,
         "clustering_coefficient_copurchase": q_clustering_coefficient,
         "bfs_copurchase": q_bfs_copurchase,
         "bfs_tree_copurchase": q_bfs_tree_copurchase,
@@ -1490,6 +1519,63 @@ def _ppr_sql(rounds: int = 4, nseeds: int = 3) -> str:
         SELECT v, ROUND(r, 8) AS rank_r8 FROM r{rounds}"""
 
 
+def _ktruss_sql(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled transcription of the bounded-round k-truss peel
+    (totem_ray/algs/ktruss.py): per round, per-edge triangle support
+    among surviving edges via a symmetric self-join, then drop edges
+    with support < k-2. Integer counting — exact parity."""
+    thresh = k - 2
+    parts = [f"""
+        a0 AS MATERIALIZED (
+            SELECT src AS lo, dst AS hi FROM ({_COPURCHASE_SQL})
+            WHERE src < dst)"""]
+    for i in range(rounds):
+        parts.append(f"""
+        sym{i} AS MATERIALIZED (
+            SELECT lo AS x, hi AS y FROM a{i}
+            UNION ALL SELECT hi, lo FROM a{i}),
+        sup{i} AS MATERIALIZED (
+            SELECT a.lo, a.hi, COUNT(*) AS c FROM a{i} a
+            JOIN sym{i} s1 ON s1.x = a.lo
+            JOIN sym{i} s2 ON s2.x = a.hi AND s2.y = s1.y
+            GROUP BY a.lo, a.hi),
+        a{i+1} AS MATERIALIZED (
+            SELECT lo, hi FROM sup{i} WHERE c >= {thresh})"""
+        )
+    return "WITH" + ",".join(parts) + f"""
+        SELECT lo AS src, hi AS dst FROM a{rounds}"""
+
+
+def _pagerank_weighted_sql(rounds: int = 4) -> str:
+    """Unrolled transcription of WeightedPageRankKernel
+    (totem_ray/engine/kernels.py) over the symmetrized
+    randweights(seed=42) orders graph: contribution =
+    r(u)/wdeg(u) * w(u,v), uniform teleport."""
+    parts = [f"""
+        rw AS MATERIALIZED ({_randweights_sql()}),
+        e AS MATERIALIZED (
+            SELECT src, dst, weight FROM rw
+            UNION ALL
+            SELECT dst AS src, src AS dst, weight FROM rw),
+        wdeg AS MATERIALIZED (
+            SELECT src AS v, SUM(weight) AS wd FROM e GROUP BY src),
+        nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wdeg),
+        r0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS r FROM wdeg)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        c{i-1} AS (SELECT r.v, r.r / w.wd AS c
+                   FROM r{i-1} r JOIN wdeg w ON w.v = r.v AND w.wd > 0),
+        r{i} AS (SELECT w.v, (1 - {DAMPING}) / (SELECT n FROM nv)
+                        + {DAMPING} * COALESCE(m.s, 0) AS r
+                 FROM wdeg w LEFT JOIN
+                      (SELECT e.dst AS v, SUM(c.c * e.weight) AS s
+                       FROM e JOIN c{i-1} c ON c.v = e.src
+                       GROUP BY e.dst) m ON m.v = w.v)"""
+        )
+    return "WITH" + ",".join(parts) + f"""
+        SELECT v, ROUND(r, 8) AS rank_r8 FROM r{rounds}"""
+
+
 def _hits_sql(rounds: int = 5) -> str:
     """Unrolled transcription of HitsKernel
     (totem_ray/engine/kernels.py): h0 = 1, per half-step L1
@@ -1665,7 +1751,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_copurchase_converge": _pagerank_converge_sql(),
         "ppr_copurchase": _ppr_sql(),
+        "pagerank_weighted_orders": _pagerank_weighted_sql(),
         "hits_orders": _hits_sql(),
+        "ktruss4_copurchase": _ktruss_sql(k=4, rounds=3),
         "betweenness_copurchase": _centrality_sql("betweenness"),
         "stress_copurchase": _centrality_sql("stress"),
         "labelprop_copurchase": _labelprop_sql(),

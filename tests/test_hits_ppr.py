@@ -145,6 +145,47 @@ def test_ppr_missing_seed_mass_dropped():
     assert 0 < df["rank"].sum() < 1.0
 
 
+def np_weighted_pr(nv: int, e: np.ndarray, w: np.ndarray, rounds: int,
+                   d: float = 0.85, n_universe: int | None = None):
+    src, dst = e[:, 0], e[:, 1]
+    wdeg = np.zeros(nv)
+    np.add.at(wdeg, src, w)
+    n = n_universe if n_universe is not None else nv
+    rank = np.full(nv, 1.0 / n)
+    for _ in range(rounds):
+        contrib = np.zeros(nv)
+        nz = wdeg > 0
+        contrib[nz] = rank[nz] / wdeg[nz]
+        mail = np.zeros(nv)
+        np.add.at(mail, dst, contrib[src] * w)
+        rank = (1 - d) / n + d * mail
+    return rank
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_weighted_pagerank_matches_numpy(P):
+    e = _rand_edges(31, 40, 220)
+    rng = np.random.default_rng(5)
+    w = rng.random(len(e)) + 0.1
+    present = np.unique(e)
+    ref = np_weighted_pr(40, e, w, rounds=4, n_universe=len(present))
+    eng = BspEngine(P).build(edges_from_arrays(e, weights=w))
+    out = eng.run("pagerank_weighted", {"mode": "rounds", "rounds": 4})
+    df = out["result"].to_pandas().sort_values("v")
+    eng.shutdown()
+    assert np.array_equal(df["v"].to_numpy(), present)
+    np.testing.assert_allclose(df["rank"].to_numpy(), ref[present],
+                               rtol=0, atol=1e-12)
+
+
+def test_weighted_pagerank_rejects_unweighted():
+    e = _rand_edges(3, 10, 30)
+    eng = BspEngine(2).build(edges_from_arrays(e))
+    with pytest.raises(Exception, match="weighted"):
+        eng.run("pagerank_weighted", {"rounds": 2})
+    eng.shutdown()
+
+
 def test_hits_resume_identical(tmp_path):
     """Resume must reproduce the uninterrupted run bitwise — exercises
     the engine's prev_agg manifest re-seed (a resumed global-hook

@@ -1,7 +1,10 @@
 from totem_ray.algs.pagerank import pagerank  # noqa: F401
 from totem_ray.algs.components import connected_components  # noqa: F401
 from totem_ray.algs.labelprop import label_propagation  # noqa: F401
-from totem_ray.algs.triangles import triangle_counts, clustering_coefficient  # noqa: F401
+from totem_ray.algs.triangles import (triangle_counts,  # noqa: F401
+                                      clustering_coefficient,
+                                      edge_supports)
+from totem_ray.algs.ktruss import ktruss  # noqa: F401
 from totem_ray.algs.traversal import (apsp, bfs, bfs_stepwise,  # noqa: F401
                                       bfs_tree, bfs_tree_stepwise,
                                       closeness, sssp, st_connectivity)

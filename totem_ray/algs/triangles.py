@@ -89,6 +89,67 @@ def _sum_partials_by_v(partials, value_col: str, alias: str,
                            for i in range(0, out.num_rows, blk_rows)])
 
 
+def _edge_credit_triples(u: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """Closing wedge (u; lo, hi) = triangle {u, lo, hi}: the 3
+    canonicalized edges it credits, concatenated ((lo, hi) is already
+    canonical from _wedge_chunks)."""
+    alo = np.concatenate([np.minimum(u, lo), np.minimum(u, hi), lo])
+    ahi = np.concatenate([np.maximum(u, lo), np.maximum(u, hi), hi])
+    return alo, ahi
+
+
+def _combine_edge_credits(alo: np.ndarray, ahi: np.ndarray,
+                          cnt: np.ndarray | None = None):
+    """Sum credits per unique (lo, hi) pair — the 2-key twin of the
+    per-vertex np.unique combine (lexsort + run-boundary reduceat)."""
+    if not len(alo):
+        z = np.empty(0, np.int64)
+        return z, z, z
+    order = np.lexsort((ahi, alo))
+    alo, ahi = alo[order], ahi[order]
+    cnt = cnt[order] if cnt is not None \
+        else np.ones(len(alo), dtype=np.int64)
+    chg = np.empty(len(alo), dtype=bool)
+    chg[0] = True
+    chg[1:] = (alo[1:] != alo[:-1]) | (ahi[1:] != ahi[:-1])
+    starts = np.flatnonzero(chg)
+    return alo[starts], ahi[starts], np.add.reduceat(cnt, starts)
+
+
+def _sum_partials_by_edge(partials, value_col: str, alias: str,
+                          driver_merge_max: int = 50_000_000):
+    """Sum per-edge int64 partials -> Dataset (lo, hi, alias): the
+    2-key twin of _sum_partials_by_v (same gated driver-merge /
+    groupby dual plan, same footprint math at 24 B/row)."""
+    import ray as _ray
+    import ray.data as _rd
+
+    parts = partials.materialize()
+    if parts.count() > driver_merge_max:
+        return parts.groupby(["lo", "hi"]).aggregate(
+            Sum(value_col, alias_name=alias))
+    los, his, cs = [], [], []
+    for blk in _ray.get(parts.to_arrow_refs()):
+        if blk.num_rows:
+            los.append(np.asarray(blk["lo"]))
+            his.append(np.asarray(blk["hi"]))
+            cs.append(np.asarray(blk[value_col]))
+    if not los:
+        return _rd.from_arrow(pa.table({
+            "lo": pa.array([], type=pa.int64()),
+            "hi": pa.array([], type=pa.int64()),
+            alias: pa.array([], type=pa.int64())}))
+    lo, hi, c = _combine_edge_credits(np.concatenate(los),
+                                      np.concatenate(his),
+                                      np.concatenate(cs))
+    out = pa.table({"lo": pa.array(lo, type=pa.int64()),
+                    "hi": pa.array(hi, type=pa.int64()),
+                    alias: pa.array(c, type=pa.int64())})
+    blk_rows = 4_000_000
+    return _rd.from_arrow([out.slice(i, blk_rows)
+                           for i in range(0, out.num_rows, blk_rows)])
+
+
 def _wedge_chunks(a: np.ndarray, b: np.ndarray, wedge_chunk: int):
     """Yield (u, lo, hi) candidate-wedge arrays in <= ~wedge_chunk-pair
     chunks from one src-grouped block's forward edges.
@@ -390,7 +451,8 @@ def _edge_fingerprints(lo: np.ndarray, hi: np.ndarray):
 
 def _triangle_counts_broadcast(oriented,
                                wedge_chunk: int = 8_000_000,
-                               n_edges: int | None = None):
+                               n_edges: int | None = None,
+                               emit: str = "vertex"):
     """Fast path: close wedges inline against a broadcast sorted
     edge-fingerprint array — no wedge shuffle, no join. Each source
     bucket generates its wedges in bounded chunks and emits only
@@ -481,6 +543,7 @@ def _triangle_counts_broadcast(oriented,
         a = np.asarray(t["a"])
         b = np.asarray(t["b"])
         out_v, out_t = [], []
+        out_lo, out_hi = [], []
         for u_arr, lo, hi in _wedge_chunks(a, b, wedge_chunk):
             wh1, wh2 = _edge_fingerprints(lo, hi)
             n = len(eh1)
@@ -502,10 +565,28 @@ def _triangle_counts_broadcast(oriented,
                     hitc |= mk
                 hit[ci] = hitc
             if hit.any():
+                if emit == "edge":
+                    elo, ehi, ec = _combine_edge_credits(
+                        *_edge_credit_triples(u_arr[hit], lo[hit],
+                                              hi[hit]))
+                    out_lo.append(elo)
+                    out_hi.append(ehi)
+                    out_t.append(ec)
+                    continue
                 v = np.concatenate([u_arr[hit], lo[hit], hi[hit]])
                 vu, cnt = np.unique(v, return_counts=True)
                 out_v.append(vu)
                 out_t.append(cnt)
+        if emit == "edge":
+            if out_lo:
+                elo, ehi, ec = _combine_edge_credits(
+                    np.concatenate(out_lo), np.concatenate(out_hi),
+                    np.concatenate(out_t))
+            else:
+                elo = ehi = ec = np.empty(0, np.int64)
+            return pa.table({"lo": pa.array(elo, type=pa.int64()),
+                             "hi": pa.array(ehi, type=pa.int64()),
+                             "_t": pa.array(ec, type=pa.int64())})
         if out_v:
             v = np.concatenate(out_v)
             c = np.concatenate(out_t)
@@ -522,6 +603,8 @@ def _triangle_counts_broadcast(oriented,
     # batch — wedges close with NO further shuffle
     partials = oriented.map_batches(close_wedges, batch_size=None,
                                     batch_format="pyarrow")
+    if emit == "edge":
+        return _sum_partials_by_edge(partials, "_t", "support")
     return _sum_partials_by_v(partials, "_t", "triangles")
 
 
@@ -586,6 +669,43 @@ def triangle_counts(edges, num_buckets: int = 64,
         return _triangle_counts_broadcast(oriented, n_edges=n_oriented)
     return _triangle_counts_join(oriented, num_join_partitions,
                                  n_edges=n_oriented)
+
+
+def edge_supports(edges, num_buckets: int = 64,
+                  num_join_partitions: int = 32,
+                  broadcast_max_edges: int = 100_000_000,
+                  driver_degrees_max: int = 50_000_000,
+                  assume_simple: bool = False):
+    """Dataset (lo, hi, support) — per-EDGE triangle counts over the
+    simple undirected graph, edges canonicalized lo < hi. Edges in no
+    triangle are absent (support 0). Same one-shuffle pipeline and
+    broadcast/distributed closing plans as triangle_counts; the only
+    difference is the credit target — each discovered triangle
+    credits its 3 edges instead of its 3 corners. Feeds the k-truss
+    peel (algs/ktruss.py)."""
+    if assume_simple:
+        simple_und = edges.select_columns(["src", "dst"])
+    else:
+        simple_und = drop_self_loops(symmetrize(edges))
+    bucketed = _bucket_dedup_by_src(simple_und, num_buckets)
+    n_bucketed = bucketed.count()
+    use_broadcast_close = n_bucketed // 2 <= broadcast_max_edges
+    degs = _block_degrees(bucketed, max_vertices=driver_degrees_max)
+    oriented, bucket_of = _oriented_edges(
+        bucketed, num_join_partitions,
+        broadcast_max_vertices=driver_degrees_max,
+        src_bucket_of=lambda a: hash_partition(a, num_buckets),
+        degrees=degs)
+    oriented = oriented.materialize()
+    n_oriented = oriented.count()
+    layout_buckets = num_buckets if degs is not None else num_join_partitions
+    oriented = _ensure_src_whole(oriented, layout_buckets,
+                                 n_oriented, bucket_of=bucket_of)
+    if use_broadcast_close:
+        return _triangle_counts_broadcast(oriented, n_edges=n_oriented,
+                                          emit="edge")
+    return _triangle_counts_join(oriented, num_join_partitions,
+                                 n_edges=n_oriented, emit="edge")
 
 
 def _bloom_alloc(n_edges: int, bits_per_edge: int = 16):
@@ -690,7 +810,8 @@ def _count_wedges(oriented) -> int:
 def _triangle_counts_join(oriented, num_join_partitions: int,
                           wedge_chunk: int = 4_000_000,
                           bloom_max_edges: int = 2_000_000_000,
-                          n_edges: int | None = None):
+                          n_edges: int | None = None,
+                          emit: str = "vertex"):
     """Distributed path: wedges generated IN PLACE from the
     src-grouped oriented blocks (both producers — ``orient_b`` over
     the src-bucketed layout and ``_oriented_edges`` ending on its src
@@ -804,6 +925,12 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
         u = np.asarray(t["u"])[wm]
         wh1, wh2 = _edge_fingerprints(wlo, whi)
         hit = _probe_fp_sorted(eh1, eh2, wh1, wh2)
+        if emit == "edge":
+            elo, ehi, ec = _combine_edge_credits(
+                *_edge_credit_triples(u[hit], wlo[hit], whi[hit]))
+            return pa.table({"lo": pa.array(elo, type=pa.int64()),
+                             "hi": pa.array(ehi, type=pa.int64()),
+                             "_t": pa.array(ec, type=pa.int64())})
         if not hit.any():
             return pa.table({"v": pa.array([], type=pa.int64()),
                              "_t": pa.array([], type=pa.int64())})
@@ -814,6 +941,8 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
 
     per_bucket = tagged.groupby("_b").map_groups(close,
                                                  batch_format="pyarrow")
+    if emit == "edge":
+        return _sum_partials_by_edge(per_bucket, "_t", "support")
     return _sum_partials_by_v(per_bucket, "_t", "triangles")
 
 

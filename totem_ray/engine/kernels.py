@@ -1842,6 +1842,90 @@ class PersonalizedPageRankKernel(PageRankKernel):
         return None
 
 
+class WeightedPageRankKernel(PageRankKernel):
+    """Edge-weighted PageRank: each vertex distributes its rank over
+    out-edges proportionally to edge weight (contribution =
+    r(u) * w(u,v) / wdeg(u), wdeg = sum of u's out-weights). Not a
+    reference kernel — added for the link-graph query surface (the
+    reference's randWeights graphs feed only SSSP); push machinery
+    and checkpointing inherited from PageRankKernel.
+
+    ``mode='rounds'`` runs exactly ``rounds`` plain weighted power
+    iterations (no round-0 raw-rank quirk — that quirk is reference
+    parity for the UNWEIGHTED kernel only); ``mode='converge'``
+    iterates to an L1 residual <= tol. Zero-weight-degree vertices
+    drop their mass exactly like the base kernel's dangling vertices.
+    """
+
+    name = "pagerank_weighted"
+    needs_total_vertices = True
+
+    @staticmethod
+    def init(sh, st, total_vertices: int = 0, damping: float = 0.85,
+             mode: str = "rounds", rounds: int = 4, tol: float = 1e-6):
+        wdeg = np.zeros(sh.nv, dtype=np.float64)
+        for t, tgt in sh.tgt.items():
+            if "w" not in tgt:
+                raise ValueError("pagerank_weighted needs a weighted "
+                                 "edge table (weight column)")
+            wdeg += np.bincount(tgt["src"], weights=tgt["w"],
+                                minlength=sh.nv)
+        st["wdeg"] = wdeg
+        st["N"] = int(total_vertices)
+        st["d"] = float(damping)
+        st["mode"] = mode
+        st["rounds"] = int(rounds)
+        st["tol"] = float(tol)
+        init = 1.0 / st["N"] if st["N"] else 0.0
+        st["rank"] = np.full(sh.nv, init, dtype=np.float64)
+
+    @staticmethod
+    def _push_values(sh, st, superstep: int) -> np.ndarray:
+        out = np.zeros(sh.nv, dtype=np.float64)
+        nz = st["wdeg"] > 0
+        out[nz] = st["rank"][nz] / st["wdeg"][nz]
+        return out
+
+    @classmethod
+    def compute(cls, sh, st, superstep: int):
+        contrib = cls._push_values(sh, st, superstep)
+        acc = np.zeros(sh.nv, dtype=np.float64)
+        outboxes = {}
+        for t, tgt in sh.tgt.items():
+            vals = contrib[tgt["src"]] * tgt["w"]
+            if t == sh.pid:
+                acc += np.bincount(tgt["dst"], weights=vals,
+                                   minlength=sh.nv)
+            else:
+                outboxes[t] = np.bincount(tgt["dst"], weights=vals,
+                                          minlength=tgt["size"])
+        st["acc"] = acc
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        acc = st.pop("acc")
+        for p, arr in inboxes.items():
+            acc[sh.inbox_maps[p]] += arr
+        N, d = st["N"], st["d"]
+        r_new = ((1.0 - d) / N if N else 0.0) + d * acc
+        resid = float(np.abs(r_new - st["rank"]).sum())
+        st["rank"] = r_new
+        return {"residual": resid, "changed": sh.nv}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        if st_params.get("mode", "rounds") == "rounds":
+            return superstep + 1 >= st_params.get("rounds", 4)
+        return agg["residual"] <= st_params.get("tol", 1e-6)
+
+    @staticmethod
+    def done_static(superstep: int, st_params: dict):
+        if st_params.get("mode", "rounds") == "rounds":
+            return superstep + 1 >= st_params.get("rounds", 4)
+        return None
+
+
 class HitsKernel:
     """HITS hubs & authorities (Kleinberg 1999), L1-normalized per
     half-step. Not a reference kernel — added for the link-graph query
@@ -2006,5 +2090,6 @@ KERNELS = {
     Graph500StepwiseKernel.name: Graph500StepwiseKernel,
     MaxflowKernel.name: MaxflowKernel,
     PersonalizedPageRankKernel.name: PersonalizedPageRankKernel,
+    WeightedPageRankKernel.name: WeightedPageRankKernel,
     HitsKernel.name: HitsKernel,
 }
