@@ -134,6 +134,18 @@ def test_ppr_unreachable_stays_zero():
     assert df.loc[0, "rank"] > 0.0
 
 
+def test_ppr_duplicate_seeds_accumulate():
+    # a seed listed twice carries 2/|S| teleport mass — total mass
+    # stays 1 for any in-graph seed multiset
+    e = np.array([[0, 1], [1, 0], [1, 2], [2, 1]])
+    eng = BspEngine(2).build(edges_from_arrays(e))
+    out = eng.run("ppr", {"seeds": (0, 0, 2), "mode": "converge",
+                          "tol": 1e-13})
+    df = out["result"].to_pandas()
+    eng.shutdown()
+    assert df["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+
+
 def test_ppr_missing_seed_mass_dropped():
     # seed 99 is not in the graph: |S| still 2, so total mass < 1
     e = np.array([[0, 1], [1, 0]])

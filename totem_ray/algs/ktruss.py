@@ -57,8 +57,10 @@ def ktruss(edges, k: int, rounds: int | None = None,
     cur = _canonicalize(edges).materialize()
     n_cur = cur.count()
     total = rounds if rounds is not None else max_rounds
+    converged = rounds is not None  # bounded-round mode has no fixpoint claim
     for _ in range(total):
         if n_cur == 0:
+            converged = True
             break
         sup = edge_supports(cur, num_buckets=num_buckets,
                             num_join_partitions=num_join_partitions)
@@ -73,8 +75,16 @@ def ktruss(edges, k: int, rounds: int | None = None,
         nxt = nxt.map_batches(rename, batch_format="pyarrow").materialize()
         n_new = nxt.count()
         if rounds is None and n_new == n_cur:
+            converged = True
             break
         cur, n_cur = nxt, n_new
+    if not converged:
+        # never return an intermediate peel as if it were the truss
+        raise RuntimeError(
+            f"ktruss(k={k}) did not reach its fixpoint within "
+            f"max_rounds={max_rounds} peel rounds ({n_cur} edges "
+            "remain) — raise max_rounds or use bounded-round "
+            "semantics (rounds=N)")
     if n_cur == 0:
         # an empty Dataset loses its schema through map_batches —
         # return a typed empty table so downstream selects still work

@@ -613,8 +613,11 @@ def triangle_counts(edges, num_buckets: int = 64,
                     _simple_und=None, _bucketed=None,
                     broadcast_max_edges: int = 100_000_000,
                     driver_degrees_max: int = 50_000_000,
-                    assume_simple: bool = False):
-    """Dataset (v, triangles) — exact per-vertex triangle counts.
+                    assume_simple: bool = False,
+                    emit: str = "vertex"):
+    """Dataset (v, triangles) — exact per-vertex triangle counts
+    (``emit="edge"``: Dataset (lo, hi, support) per-EDGE counts
+    instead — see edge_supports).
 
     ONE edge shuffle feeds everything: edges are grouped by hash(src)
     with in-bucket dedup (global, since (u, v) always lands in u's
@@ -666,9 +669,10 @@ def triangle_counts(edges, num_buckets: int = 64,
     oriented = _ensure_src_whole(oriented, layout_buckets,
                                  n_oriented, bucket_of=bucket_of)
     if use_broadcast_close:
-        return _triangle_counts_broadcast(oriented, n_edges=n_oriented)
+        return _triangle_counts_broadcast(oriented, n_edges=n_oriented,
+                                          emit=emit)
     return _triangle_counts_join(oriented, num_join_partitions,
-                                 n_edges=n_oriented)
+                                 n_edges=n_oriented, emit=emit)
 
 
 def edge_supports(edges, num_buckets: int = 64,
@@ -678,34 +682,16 @@ def edge_supports(edges, num_buckets: int = 64,
                   assume_simple: bool = False):
     """Dataset (lo, hi, support) — per-EDGE triangle counts over the
     simple undirected graph, edges canonicalized lo < hi. Edges in no
-    triangle are absent (support 0). Same one-shuffle pipeline and
-    broadcast/distributed closing plans as triangle_counts; the only
-    difference is the credit target — each discovered triangle
-    credits its 3 edges instead of its 3 corners. Feeds the k-truss
-    peel (algs/ktruss.py)."""
-    if assume_simple:
-        simple_und = edges.select_columns(["src", "dst"])
-    else:
-        simple_und = drop_self_loops(symmetrize(edges))
-    bucketed = _bucket_dedup_by_src(simple_und, num_buckets)
-    n_bucketed = bucketed.count()
-    use_broadcast_close = n_bucketed // 2 <= broadcast_max_edges
-    degs = _block_degrees(bucketed, max_vertices=driver_degrees_max)
-    oriented, bucket_of = _oriented_edges(
-        bucketed, num_join_partitions,
-        broadcast_max_vertices=driver_degrees_max,
-        src_bucket_of=lambda a: hash_partition(a, num_buckets),
-        degrees=degs)
-    oriented = oriented.materialize()
-    n_oriented = oriented.count()
-    layout_buckets = num_buckets if degs is not None else num_join_partitions
-    oriented = _ensure_src_whole(oriented, layout_buckets,
-                                 n_oriented, bucket_of=bucket_of)
-    if use_broadcast_close:
-        return _triangle_counts_broadcast(oriented, n_edges=n_oriented,
-                                          emit="edge")
-    return _triangle_counts_join(oriented, num_join_partitions,
-                                 n_edges=n_oriented, emit="edge")
+    triangle are absent (support 0). Exactly triangle_counts'
+    one-shuffle pipeline and closing plans (it IS triangle_counts
+    with ``emit="edge"``) — each discovered triangle credits its 3
+    edges instead of its 3 corners. Feeds the k-truss peel
+    (algs/ktruss.py)."""
+    return triangle_counts(edges, num_buckets=num_buckets,
+                           num_join_partitions=num_join_partitions,
+                           broadcast_max_edges=broadcast_max_edges,
+                           driver_degrees_max=driver_degrees_max,
+                           assume_simple=assume_simple, emit="edge")
 
 
 def _bloom_alloc(n_edges: int, bits_per_edge: int = 16):

@@ -474,7 +474,8 @@ class BspEngine:
                     (step + 1) % checkpoint_every == 0:
                 ray.get([s.checkpoint.remote(alg, checkpoint_dir, step, lineage)
                          for s in self.shards])
-                self._write_manifest(checkpoint_dir, step, lineage, m)
+                self._write_manifest(checkpoint_dir, step, lineage, m,
+                                     agg=agg)
                 m["checkpointed"] = True
             metrics.append(m)
             if kernel.done(agg, step, params):
@@ -496,22 +497,32 @@ class BspEngine:
         return os.path.join(ckpt_dir, f"superstep={step}", "MANIFEST.json")
 
     def _write_manifest(self, ckpt_dir: str, step: int, lineage: str,
-                        metrics: dict):
+                        metrics: dict, agg: dict | None = None):
         path = self._manifest_path(ckpt_dir, step)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
+            # ``agg`` is stored verbatim as its own field — it is the
+            # prev_agg a resumed global-hook kernel must observe, and
+            # must not be entangled with display metrics
             json.dump({"superstep": step, "lineage": lineage,
-                       "num_partitions": self.P, "metrics": metrics}, f)
+                       "num_partitions": self.P, "metrics": metrics,
+                       "agg": agg}, f)
         os.replace(tmp, path)
 
     def _manifest_agg(self, ckpt_dir: str, step: int) -> dict | None:
-        """The checkpointed superstep's reduced stats (minus timing /
-        bookkeeping keys) — the prev_agg a resumed run must see."""
+        """The checkpointed superstep's reduced kernel stats — the
+        prev_agg a resumed run must see. Reads the dedicated ``agg``
+        field; manifests from before that field existed fall back to
+        stripping known bookkeeping keys from the metrics blob."""
         try:
             with open(self._manifest_path(ckpt_dir, step)) as f:
-                m = json.load(f).get("metrics", {})
+                man = json.load(f)
         except (OSError, ValueError):
             return None
+        agg = man.get("agg")
+        if agg:
+            return agg
+        m = man.get("metrics", {})
         skip = {"superstep", "comp_ms", "apply_ms", "step_ms",
                 "checkpointed"}
         agg = {k: v for k, v in m.items() if k not in skip}

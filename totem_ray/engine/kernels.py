@@ -1787,7 +1787,9 @@ class PersonalizedPageRankKernel(PageRankKernel):
     residual <= tol. Seeds absent from the graph keep their teleport
     slot empty while |S| still counts them, so the distribution sums
     to < 1 — matching an oracle that builds the seed indicator with a
-    LEFT JOIN against the vertex universe.
+    LEFT JOIN against the vertex universe. A vertex listed s times in
+    ``seeds`` accumulates s/|S| teleport mass (additive restart
+    weights, |S| counting duplicates).
     """
 
     name = "ppr"
@@ -1807,7 +1809,10 @@ class PersonalizedPageRankKernel(PageRankKernel):
         ok = idx < sh.nv
         ok[ok] = sh.verts[idx[ok]] == seeds[ok]
         tele = np.zeros(sh.nv, dtype=np.float64)
-        tele[idx[ok]] = 1.0 / seeds.size
+        # accumulate (not assign): duplicate seed ids carry additive
+        # restart weight, keeping total teleport mass at 1 for any
+        # multiset of in-graph seeds
+        np.add.at(tele, idx[ok], 1.0 / seeds.size)
         st["seed_frac"] = tele
         st["rank"] = tele.copy()
 
