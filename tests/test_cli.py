@@ -83,3 +83,48 @@ def test_cli_extensionless_parquet_file(tmp_path, capsys):
     assert main(["cc", "--edges", f, "--partitions", "2"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == n
+
+
+def test_cli_linkrank_algs(tmp_path, capsys):
+    d = _edges_dir(tmp_path)
+
+    assert main(["hits", "--edges", d, "--partitions", "2",
+                 "--rounds", "3"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["alg"] == "hits" and row["rows"] == 15
+
+    assert main(["ppr", "--edges", d, "--partitions", "2",
+                 "--seeds", "0,1"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["alg"] == "ppr" and row["rows"] == 15
+
+    assert main(["ktruss", "--edges", d, "--partitions", "2",
+                 "--k", "3"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["alg"] == "ktruss"  # grid has no triangles -> 0 rows
+    assert row["rows"] == 0
+
+
+def test_cli_pagerank_weighted(tmp_path, capsys):
+    n, e = topology_edges("grid_15")
+    d = str(tmp_path / "wedges")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(7)
+    pq.write_table(
+        pa.table({"src": pa.array(e[:, 0].astype(np.int64)),
+                  "dst": pa.array(e[:, 1].astype(np.int64)),
+                  "weight": pa.array(rng.random(len(e)) + 0.5)}),
+        os.path.join(d, "part-0.parquet"))
+    assert main(["pagerank_weighted", "--edges", d,
+                 "--partitions", "2"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["alg"] == "pagerank_weighted" and row["rows"] == 15
+
+
+def test_cli_ppr_requires_seeds(tmp_path):
+    d = _edges_dir(tmp_path)
+    import pytest
+    with pytest.raises(SystemExit, match="--seeds"):
+        main(["ppr", "--edges", d])
+    with pytest.raises(SystemExit, match="--k"):
+        main(["ktruss", "--edges", d])

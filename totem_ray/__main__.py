@@ -26,7 +26,8 @@ import time
 ALGS = ["pagerank", "pagerank_pull", "cc", "labelprop", "bfs",
         "bfs_tree", "bfs_dirop", "bfs_tree_dirop", "sssp", "apsp",
         "closeness", "betweenness", "stress", "pcore", "maxflow",
-        "triangles", "clustering_coefficient"]
+        "triangles", "clustering_coefficient",
+        "hits", "ppr", "pagerank_weighted", "ktruss"]
 
 # source-loop sweeps: --resume/--checkpoint-dir mean per-source
 # partial checkpoints (algs/sweep.py), not per-superstep ones
@@ -85,6 +86,14 @@ def _parser() -> argparse.ArgumentParser:
                         "undirected input)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus for standalone local runs")
+    p.add_argument("--seeds", default=None,
+                   help="ppr: comma-separated seed vertex ids")
+    p.add_argument("--k", type=int, default=None,
+                   help="ktruss: the k (>= 3)")
+    p.add_argument("--rounds", type=int, default=None,
+                   help="hits: iteration count (default 5); ktruss: "
+                        "bounded peel rounds (default: peel to the "
+                        "fixpoint)")
     return p
 
 
@@ -167,8 +176,8 @@ def main(argv=None) -> int:
     run_kw: dict = {}
     sweep_kw: dict = {}
     if args.checkpoint_every or args.resume or args.checkpoint_dir:
-        if args.alg in ("bfs_dirop", "bfs_tree_dirop",
-                        "maxflow", "triangles", "clustering_coefficient"):
+        if args.alg in ("bfs_dirop", "bfs_tree_dirop", "maxflow",
+                        "triangles", "clustering_coefficient", "ktruss"):
             raise SystemExit(
                 f"--resume/--checkpoint-every are not supported for "
                 f"{args.alg}; a run would silently recompute from scratch")
@@ -228,6 +237,19 @@ def main(argv=None) -> int:
         out = {"result": algs.triangle_counts(edges)}
     elif args.alg == "clustering_coefficient":
         out = {"result": algs.clustering_coefficient(edges)}
+    elif args.alg == "hits":
+        out = algs.hits(edges, rounds=args.rounds or 5, **kw, **run_kw)
+    elif args.alg == "ppr":
+        if not args.seeds:
+            raise SystemExit("ppr needs --seeds (comma-separated ids)")
+        seeds = tuple(int(s) for s in args.seeds.split(","))
+        out = algs.personalized_pagerank(edges, seeds=seeds, **kw, **run_kw)
+    elif args.alg == "pagerank_weighted":
+        out = algs.pagerank_weighted(edges, **kw, **run_kw)
+    elif args.alg == "ktruss":
+        if not args.k:
+            raise SystemExit("ktruss needs --k (>= 3)")
+        out = {"result": algs.ktruss(edges, k=args.k, rounds=args.rounds)}
     else:  # pragma: no cover — argparse choices guard this
         raise SystemExit(f"unknown alg {args.alg}")
 

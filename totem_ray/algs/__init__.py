@@ -5,6 +5,9 @@ from totem_ray.algs.triangles import (triangle_counts,  # noqa: F401
                                       clustering_coefficient,
                                       edge_supports)
 from totem_ray.algs.ktruss import ktruss  # noqa: F401
+from totem_ray.algs.linkrank import (hits,  # noqa: F401
+                                     pagerank_weighted,
+                                     personalized_pagerank)
 from totem_ray.algs.traversal import (apsp, bfs, bfs_stepwise,  # noqa: F401
                                       bfs_tree, bfs_tree_stepwise,
                                       closeness, sssp, st_connectivity)
