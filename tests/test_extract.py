@@ -150,3 +150,67 @@ def test_write_totem_binary_rejects_huge_vertex_count(tmp_path):
     with pytest.raises(ValueError, match="2\\^32"):
         write_totem_binary(str(tmp_path / "g.tbin"), 1 << 32,
                            np.array([[0, 1]]))
+
+
+def test_host_graph_and_id_map(tmp_path):
+    """pages -> host-level weighted link graph: weights equal the
+    inter-host link counts of the raw edge list; host_id_map ids are
+    the stable string hashes of the host names."""
+    import ray.data
+
+    from totem_ray.hashing import hash_strings_i64
+    from totem_ray.sources.extract import host_id_map, pages_to_host_edges
+    from totem_ray.sources.fixtures import topology_edges
+    from totem_ray.sources.pages import write_pages_parquet
+
+    d = str(tmp_path / "pages")
+    n, e = topology_edges("grid_15")
+    write_pages_parquet(d, n, e)
+    pages = ray.data.read_parquet(d, columns=["url", "html"])
+
+    hg = pages_to_host_edges(pages).to_pandas()
+    hm = host_id_map(pages).to_pandas()
+    name_of = dict(zip(hm["host_id"], hm["host"]))
+
+    exp: dict = {}
+    for a, b in e.astype(int):
+        ha, hb = f"site{a % 17}.example", f"site{b % 17}.example"
+        if ha != hb:
+            exp[(ha, hb)] = exp.get((ha, hb), 0) + 1.0
+    got: dict = {}
+    for r in hg.itertuples():
+        k = (name_of[r.src], name_of[r.dst])
+        got[k] = got.get(k, 0) + r.weight
+    assert got == exp
+    # no intra-host rows survive
+    assert all(s != t for s, t in got)
+    # id stability: map ids ARE the host-string hashes
+    ids = hash_strings_i64(pa.array(hm["host"].tolist(),
+                                    type=pa.large_string()))
+    assert set(ids.tolist()) == set(hm["host_id"].tolist())
+
+
+def test_host_graph_skips_unparseable_urls(tmp_path):
+    """hrefs without a scheme://host prefix are dropped, not crashed
+    on, and intra-host links never surface."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from totem_ray.sources.extract import pages_to_host_edges
+
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    html = ('<html><body>'
+            '<a href="https://b.example/x">l</a>'
+            '<a href="/relative/path">l</a>'
+            '<a href="https://a.example/self">l</a>'
+            '</body></html>')
+    pq.write_table(pa.table({
+        "url": pa.array(["https://a.example/p/1"], type=pa.large_string()),
+        "html": pa.array([html.encode()], type=pa.large_binary())}),
+        os.path.join(d, "p.parquet"))
+    hg = pages_to_host_edges(
+        ray.data.read_parquet(d, columns=["url", "html"])).to_pandas()
+    assert len(hg) == 1 and hg["weight"].iloc[0] == 1.0

@@ -110,6 +110,117 @@ def pages_to_edges(pages_ds, hashed: bool = True):
     return pages_ds.map_batches(fn, batch_format="pyarrow")
 
 
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/?#]+)"
+
+
+def url_host(col) -> pa.Array:
+    """url strings -> authority component (scheme://HOST/...); null
+    where the url has no scheme://host prefix. RE2-vectorized."""
+    return pc.struct_field(pc.extract_regex(_as_large_string(col),
+                                            _HOST_RE), "host")
+
+
+def extract_host_edges_batch(batch: pa.Table) -> pa.Table:
+    """pages -> per-batch partial host-graph rows
+    (src, dst, weight=in-batch link count): project every extracted
+    link to (src_host, dst_host), drop intra-host links and
+    non-url hrefs, hash hosts with the same stable url hash, and
+    pre-aggregate counts within the batch (bounds shuffle volume the
+    same way dedup_edges' per-batch unique does)."""
+    links = extract_links_batch(batch)
+    sh = url_host(links["src_url"])
+    dh = url_host(links["dst_url"])
+    keep = pc.and_kleene(pc.is_valid(sh), pc.is_valid(dh))
+    sh, dh = sh.filter(keep), dh.filter(keep)
+    inter = pc.invert(pc.equal(sh, dh))
+    sh, dh = sh.filter(inter), dh.filter(inter)
+    src = hash_strings_i64(sh, seed=URL_HASH_SEED)
+    dst = hash_strings_i64(dh, seed=URL_HASH_SEED)
+    if len(src):
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        chg = np.empty(len(src), dtype=bool)
+        chg[0] = True
+        chg[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        starts = np.flatnonzero(chg)
+        cnt = np.diff(np.append(starts, len(src))).astype(np.float64)
+        src, dst = src[starts], dst[starts]
+    else:
+        cnt = np.empty(0, np.float64)
+    return pa.table({"src": pa.array(src, type=pa.int64()),
+                     "dst": pa.array(dst, type=pa.int64()),
+                     "weight": pa.array(cnt, type=pa.float64())})
+
+
+def pages_to_host_edges(pages_ds, num_buckets: int = 64):
+    """Dataset pipeline: pages -> HOST-level weighted link graph
+    (src, dst, weight = total inter-host link count) — the classic
+    Common-Crawl aggregation (host graph over the page graph). Host
+    ids use the same stable hash/seed as page urls; recover the
+    strings via host_id_map. One hash-bucket exchange over the
+    pre-aggregated partials; weight is float64, ready for
+    pagerank_weighted / SSSP."""
+    from totem_ray.hashing import as_u64, splitmix64
+
+    partial = pages_ds.map_batches(extract_host_edges_batch,
+                                   batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"])
+        d = np.asarray(t["dst"])
+        b = (splitmix64(splitmix64(as_u64(s)) ^ as_u64(d))
+             % int(num_buckets)).astype(np.int64)
+        return t.append_column("_b", pa.array(b))
+
+    def combine(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"])
+        d = np.asarray(t["dst"])
+        w = np.asarray(t["weight"])
+        order = np.lexsort((d, s))
+        s, d, w = s[order], d[order], w[order]
+        chg = np.empty(len(s), dtype=bool)
+        if len(s):
+            chg[0] = True
+            chg[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        starts = np.flatnonzero(chg)
+        return pa.table({
+            "src": pa.array(s[starts], type=pa.int64()),
+            "dst": pa.array(d[starts], type=pa.int64()),
+            "weight": pa.array(np.add.reduceat(w, starts)
+                               if len(starts) else w,
+                               type=pa.float64())})
+
+    return partial.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(combine, batch_format="pyarrow")
+
+
+def host_id_map(pages_ds, num_buckets: int = 64):
+    """Dataset (host_id, host) — distinct hosts of the PAGE urls with
+    their stable ids, for joining host-graph results back to names.
+    host_id is a pure hash of host, so identical rows dedup exactly;
+    one small bucketed exchange (dedup_edges' pattern), not a per-key
+    groupby."""
+    def hosts(t: pa.Table) -> pa.Table:
+        h = url_host(t["url"])
+        h = h.filter(pc.is_valid(h))
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        hu = pc.unique(h)
+        ids = hash_strings_i64(hu, seed=URL_HASH_SEED)
+        b = (ids.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"host_id": pa.array(ids, type=pa.int64()),
+                         "host": hu.cast(pa.string()),
+                         "_b": pa.array(b)})
+
+    def dedup(t: pa.Table) -> pa.Table:
+        gi = t.group_by("host_id").aggregate([("host", "min")])
+        return pa.table({"host_id": gi["host_id"],
+                         "host": gi["host_min"]})
+
+    return pages_ds.map_batches(hosts, batch_format="pyarrow") \
+        .groupby("_b").map_groups(dedup, batch_format="pyarrow")
+
+
 def pages_to_text(pages_ds):
     """Dataset pipeline: pages -> (url, text)."""
     return pages_ds.map_batches(extract_text_batch, batch_format="pyarrow")
