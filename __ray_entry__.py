@@ -613,6 +613,30 @@ def q_doc_token_stats(sf_dir: str):
                                   columns=["doc_id", "text"]))
 
 
+def q_doc_token_hll(sf_dir: str):
+    """HyperLogLog registers (p=10) over the corpus token stream —
+    the sketch STATE is an exact integer function of the tabulation
+    token hashes, so the oracle value-checks it register by register
+    (functions/sketch.py hll_token_registers)."""
+    from totem_ray.functions.sketch import hll_token_registers
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    return hll_token_registers(read_table(sf_dir, "documents",
+                                          columns=["doc_id", "text"]),
+                               p=10)
+
+
+def q_doc_hash_sample(sf_dir: str):
+    """Deterministic 10% hash-threshold sample of documents by doc_id
+    (functions/sketch.py hash_sample, seed 7)."""
+    from totem_ray.functions.sketch import hash_sample
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    return hash_sample(docs, "doc_id", rate=0.1, seed=7)
+
+
 def q_doc_exact_dedup(sf_dir: str):
     from totem_ray.functions.dedup import exact_dedup
     from totem_ray.pipelines.tpch_graph import read_table
@@ -1310,6 +1334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_set_orders": q_component_set_orders,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "doc_token_stats": q_doc_token_stats,
+        "doc_token_hll": q_doc_token_hll,
+        "doc_hash_sample": q_doc_hash_sample,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
@@ -1517,6 +1543,54 @@ def _ppr_sql(rounds: int = 4, nseeds: int = 3) -> str:
         )
     return "WITH" + ",".join(parts) + f"""
         SELECT v, ROUND(r, 8) AS rank_r8 FROM r{rounds}"""
+
+
+def _hll_sql(p: int = 10) -> str:
+    """Register-exact transcription of hll_token_registers
+    (totem_ray/functions/sketch.py): bucket = top p bits of the
+    tabulation token hash, rho = leading-zero count of the low 64-p
+    bits + 1, register = max rho. bit_length is computed by an exact
+    powers-of-two join (float LOG2 misrounds at the 54-bit edge);
+    duplicate hashes are dropped first (max is duplicate-invariant)."""
+    low = 64 - p
+    div = 1 << low
+    tok_frag, tok_last = _tok_hash_ctes()
+    return f"""
+        WITH {tok_frag},
+        dh AS (SELECT DISTINCT th FROM {tok_last}),
+        pw AS (SELECT CAST(r AS BIGINT) AS e,
+                      CAST(POWER(2, r) AS BIGINT) AS pv
+               FROM range({low}) t(r)),
+        wb AS (SELECT CAST(th // {div} AS BIGINT) AS bucket,
+                      CAST(th % {div} AS BIGINT) AS w FROM dh),
+        bl AS (SELECT wb.bucket, wb.w,
+                      COALESCE(MAX(pw.e) + 1, 0) AS blen
+               FROM wb LEFT JOIN pw ON pw.pv <= wb.w
+               GROUP BY wb.bucket, wb.w)
+        SELECT bucket, MAX({low} - blen + 1) AS rho
+        FROM bl GROUP BY bucket
+    """
+
+
+def _hash_sample_sql(rate: float = 0.1, seed: int = 7) -> str:
+    """Transcription of hash_sample (functions/sketch.py):
+    keep rows with sm64(u64(doc_id) XOR sm64(seed)) < rate * 2^64;
+    the seed constant and threshold are computed by the SAME python
+    expressions the pipeline uses."""
+    from totem_ray.hashing import splitmix64 as _sm
+
+    seed_c = int(_sm(np.array([seed & 0xFFFFFFFFFFFFFFFF],
+                              dtype=np.uint64))[0])
+    threshold = min(int(rate * (1 << 64)), (1 << 64) - 1)
+    ctes, last = _sm64_ctes("x", [("h0", "sv")], "sc")
+    return f"""
+        WITH b AS (SELECT doc_id, source, n_chars,
+                          {_u64_sql('doc_id')} AS du FROM documents),
+        x AS (SELECT *, {_xor_sql('du', str(seed_c))} AS h0 FROM b),
+        {ctes}
+        SELECT doc_id, source, n_chars FROM {last}
+        WHERE sv5 < {threshold}
+    """
 
 
 def _ktruss_sql(k: int = 4, rounds: int = 3) -> str:
@@ -2176,6 +2250,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_top10": _KNN_SQL,
         "knn_ivf_seeded": _KNN_IVF_SEEDED_SQL,
         "knn_ivf_full_probe": _KNN_SQL,
+        "doc_token_hll": _hll_sql(p=10),
+        "doc_hash_sample": _hash_sample_sql(rate=0.1, seed=7),
         "doc_token_stats": r"""
             SELECT doc_id,
                    length(regexp_extract_all(text, '\S+')) AS n_tokens,

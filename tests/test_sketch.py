@@ -1,0 +1,91 @@
+"""HyperLogLog + hash-threshold sampling tests: register parity with
+a direct transcription, estimate accuracy on corpora with known
+cardinality, sampling determinism / rate / repartition-invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from totem_ray.functions.sketch import (_bit_length_u64, hash_sample,
+                                        hll_estimate, hll_token_registers)
+from totem_ray.hashing import splitmix64, tab_hash_strings
+
+
+def _docs_ds(texts, num_blocks=4):
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    return ray.data.from_arrow(t).repartition(num_blocks)
+
+
+def _expected_registers(texts, p):
+    toks = [w for s in texts for w in s.lower().split() if w]
+    h = tab_hash_strings(pa.array(toks, type=pa.string())).view(np.uint64)
+    low = 64 - p
+    reg = np.zeros(1 << p, dtype=np.int64)
+    for v in h:
+        b = int(v >> np.uint64(low))
+        w = int(v & ((np.uint64(1) << np.uint64(low)) - np.uint64(1)))
+        rho = low - w.bit_length() + 1
+        reg[b] = max(reg[b], rho)
+    return reg
+
+
+def test_bit_length_exact():
+    vals = np.array([0, 1, 2, 3, (1 << 53) - 1, 1 << 53, (1 << 54) - 1],
+                    dtype=np.uint64)
+    assert _bit_length_u64(vals).tolist() == \
+        [int(v).bit_length() for v in vals]
+
+
+@pytest.mark.parametrize("p", [4, 10])
+def test_hll_registers_match_direct(p):
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    regs = hll_token_registers(_docs_ds(texts), p=p).to_pandas()
+    exp = _expected_registers(texts, p)
+    got = np.zeros(1 << p, dtype=np.int64)
+    got[regs["bucket"].to_numpy()] = regs["rho"].to_numpy()
+    assert np.array_equal(got, exp)
+
+
+def test_hll_estimate_accuracy():
+    # 2000 distinct tokens -> estimate within ~10% (1.04/sqrt(1024) ~ 3%)
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i:05d}" for i in range(2000)]
+    texts = [" ".join(rng.choice(vocab, 200)) for _ in range(200)]
+    toks = {w for s in texts for w in s.split()}
+    regs = hll_token_registers(_docs_ds(texts), p=10)
+    est = hll_estimate(regs, p=10)
+    assert abs(est - len(toks)) / len(toks) < 0.10
+
+
+def test_hll_empty_corpus():
+    regs = hll_token_registers(_docs_ds(["", "   "]), p=10)
+    assert regs.count() == 0
+    assert hll_estimate(regs.to_pandas(), p=10) == 0.0
+
+
+def test_hash_sample_deterministic_and_partition_invariant():
+    ids = np.arange(20_000, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    a = hash_sample(ray.data.from_arrow(t).repartition(2),
+                    "doc_id", 0.1).to_pandas()["doc_id"].to_numpy()
+    b = hash_sample(ray.data.from_arrow(t).repartition(16),
+                    "doc_id", 0.1).to_pandas()["doc_id"].to_numpy()
+    assert np.array_equal(np.sort(a), np.sort(b))
+    # expected fraction: 0.1 +- a generous binomial band
+    assert 0.08 < len(a) / len(ids) < 0.12
+    # membership is a pure function of (key, seed)
+    seed_c = splitmix64(np.array([7], dtype=np.uint64))[0]
+    v = splitmix64(ids.view(np.uint64) ^ seed_c)
+    exp = ids[v < np.uint64(int(0.1 * (1 << 64)))]
+    assert np.array_equal(np.sort(a), exp)
+
+
+def test_hash_sample_rate_bounds():
+    t = pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64))})
+    assert hash_sample(ray.data.from_arrow(t), "doc_id", 0.0).count() == 0
+    with pytest.raises(ValueError):
+        hash_sample(ray.data.from_arrow(t), "doc_id", 1.5)

@@ -1,0 +1,113 @@
+"""Sketch / sampling operators for 100-TB-scale corpora.
+
+* HyperLogLog distinct counting (Flajolet et al. 2007, the standard
+  practical variant with linear-counting small-range correction):
+  per-batch partial registers merged with an m-row max-groupby —
+  the whole corpus reduces to 2^p tiny rows, no driver pass over
+  data. The register state is an EXACT integer function of the
+  tabulation token hashes (hashing.tab_hash_strings), so the driver's
+  DuckDB oracle can value-check the sketch itself, not just a row
+  count.
+* Deterministic hash-threshold sampling: keep rows whose
+  splitmix64(key ^ splitmix64(seed)) falls under rate * 2^64 —
+  the scalable reproducible-sample pattern (no RNG state, stable
+  under repartitioning/retries, SQL-transcribable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from totem_ray.hashing import as_u64, splitmix64
+
+# powers of two for exact integer bit_length (float log2 misrounds at
+# the 54-bit edge); POW_BITLEN[i] = 2^i
+_POW = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length of uint64 values (0 -> 0)."""
+    return np.searchsorted(_POW, w, side="right").astype(np.int64)
+
+
+def hll_token_registers(docs, p: int = 10):
+    """Dataset (bucket, rho) — HyperLogLog registers (2^p buckets)
+    over the corpus token stream (lower + whitespace split, the dedup
+    tokenizer; hash = tab_hash_strings, SQL-transcribable). Only
+    buckets with a nonzero register appear. bucket = top p hash bits,
+    rho = leading-zero count of the remaining 64-p bits + 1."""
+    from ray.data.aggregate import Max
+
+    from totem_ray.functions.dedup import _shingle_rows
+
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    low_bits = 64 - p
+    mask = (np.uint64(1) << np.uint64(low_bits)) - np.uint64(1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, th = _shingle_rows(t, k=1)  # k=1 shingle = raw token hash
+        h = th.view(np.uint64)
+        reg = np.zeros(m, dtype=np.int64)
+        if len(h):
+            bucket = (h >> np.uint64(low_bits)).astype(np.int64)
+            w = h & mask
+            rho = low_bits - _bit_length_u64(w) + 1
+            np.maximum.at(reg, bucket, rho)
+        nz = np.flatnonzero(reg)
+        return pa.table({"bucket": pa.array(nz, type=pa.int64()),
+                         "rho": pa.array(reg[nz], type=pa.int64())})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("bucket").aggregate(
+        Max("rho", alias_name="rho"))
+
+
+def hll_estimate(registers, p: int = 10) -> float:
+    """Cardinality estimate from an (bucket, rho) register table
+    (pandas / pyarrow / Dataset): alpha_m * m^2 / sum(2^-rho) with the
+    linear-counting small-range correction (E <= 2.5m and empty
+    registers present)."""
+    import pandas as pd
+
+    if not isinstance(registers, pd.DataFrame):
+        try:  # ray Dataset
+            registers = registers.to_pandas()
+        except AttributeError:  # pyarrow table
+            registers = registers.to_pandas()
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.int64)
+    if len(registers):
+        reg[registers["bucket"].to_numpy()] = registers["rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else \
+        {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    e = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
+SAMPLE_SEED = 7
+
+
+def hash_sample(ds, key_col: str, rate: float, seed: int = SAMPLE_SEED):
+    """Deterministic hash-threshold sample: keep rows where
+    splitmix64(as_u64(key) ^ splitmix64(seed)) < rate * 2^64.
+    Reproducible across runs/partitionings; expected fraction = rate;
+    a row's fate depends only on (key, seed)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    threshold = np.uint64(min(int(rate * (1 << 64)), (1 << 64) - 1))
+    # array form: numpy warns on intended uint64 wraparound for scalars
+    seed_c = splitmix64(np.array([seed & 0xFFFFFFFFFFFFFFFF],
+                                 dtype=np.uint64))[0]
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = as_u64(np.asarray(t[key_col]))
+        v = splitmix64(k ^ seed_c)
+        return t.filter(pa.array(v < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
