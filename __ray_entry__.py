@@ -637,6 +637,16 @@ def q_doc_hash_sample(sf_dir: str):
     return hash_sample(docs, "doc_id", rate=0.1, seed=7)
 
 
+def q_doc_top_tokens(sf_dir: str):
+    """Exact 20 most-frequent corpus tokens (ties: token ascending) —
+    functions/text.py top_tokens."""
+    from totem_ray.functions.text import top_tokens
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    return top_tokens(read_table(sf_dir, "documents",
+                                 columns=["doc_id", "text"]), k=20)
+
+
 def q_doc_exact_dedup(sf_dir: str):
     from totem_ray.functions.dedup import exact_dedup
     from totem_ray.pipelines.tpch_graph import read_table
@@ -1336,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_token_hll": q_doc_token_hll,
         "doc_hash_sample": q_doc_hash_sample,
+        "doc_top_tokens": q_doc_top_tokens,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
@@ -1590,6 +1601,24 @@ def _hash_sample_sql(rate: float = 0.1, seed: int = 7) -> str:
         {ctes}
         SELECT doc_id, source, n_chars FROM {last}
         WHERE sv5 < {threshold}
+    """
+
+
+def _top_tokens_sql(k: int = 20) -> str:
+    """Exact top-k token frequencies — same tokenizer as
+    _tok_hash_ctes' prelude (explicit Unicode whitespace class;
+    RE2/DuckDB bare \\s is ASCII-only), ties broken by token asc
+    exactly like functions/text.py top_tokens."""
+    from totem_ray.functions.dedup import TOKEN_SPLIT_RE
+
+    return f"""
+        WITH tl AS (SELECT list_filter(
+                 string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                 x -> length(x) > 0) AS toks FROM documents),
+        tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(toks) AS tok FROM tl)
+               GROUP BY tok)
+        SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT {k}
     """
 
 
@@ -2252,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_full_probe": _KNN_SQL,
         "doc_token_hll": _hll_sql(p=10),
         "doc_hash_sample": _hash_sample_sql(rate=0.1, seed=7),
+        "doc_top_tokens": _top_tokens_sql(k=20),
         "doc_token_stats": r"""
             SELECT doc_id,
                    length(regexp_extract_all(text, '\S+')) AS n_tokens,

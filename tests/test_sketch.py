@@ -89,3 +89,19 @@ def test_hash_sample_rate_bounds():
     assert hash_sample(ray.data.from_arrow(t), "doc_id", 0.0).count() == 0
     with pytest.raises(ValueError):
         hash_sample(ray.data.from_arrow(t), "doc_id", 1.5)
+
+
+def test_top_tokens_exact():
+    from totem_ray.functions.text import top_tokens
+
+    texts = ["b b b a a c", "a a d  d", "e", ""]
+    df = top_tokens(_docs_ds(texts, num_blocks=3), k=3).to_pandas()
+    assert list(zip(df["tok"], df["cnt"])) == [("a", 4), ("b", 3), ("d", 2)]
+
+
+def test_top_tokens_tie_break_token_asc():
+    from totem_ray.functions.text import top_tokens
+
+    texts = ["z y x", "x y z"]
+    df = top_tokens(_docs_ds(texts), k=2).to_pandas()
+    assert list(df["tok"]) == ["x", "y"]

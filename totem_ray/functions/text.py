@@ -136,3 +136,39 @@ def doc_fingerprints(docs, normalize: bool = True,
                          "fingerprint": pa.array(fp, type=pa.int64())})
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def token_counts(docs):
+    """(tok, cnt) — exact corpus-wide token frequencies (lower +
+    whitespace split, the dedup tokenizer, so the oracle's
+    string_split_regex matches byte-for-byte). Per-batch value counts
+    bound the shuffle to (distinct-tokens-per-batch) rows before the
+    global string-key sum."""
+    from ray.data.aggregate import Sum
+
+    from totem_ray._polars_compat import pl
+    from totem_ray.functions.dedup import TOKEN_SPLIT_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "tok": pl.from_arrow(pc.utf8_lower(t["text"]).combine_chunks()),
+        }).with_columns(
+            pl.col("tok").str.replace_all(TOKEN_SPLIT_RE, " ")
+              .str.split(" ")
+        ).explode("tok") \
+         .filter(pl.col("tok").str.len_chars() > 0) \
+         .group_by("tok").len(name="cnt")
+        out = df.to_arrow()
+        return pa.table({"tok": out["tok"].cast(pa.string()),
+                         "cnt": out["cnt"].cast(pa.int64())})
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def top_tokens(docs, k: int = 20):
+    """(tok, cnt) — the k most frequent tokens, ties broken by token
+    ascending (deterministic, matches an ORDER BY cnt DESC, tok
+    LIMIT k oracle)."""
+    return token_counts(docs).sort(
+        ["cnt", "tok"], descending=[True, False]).limit(k)
