@@ -373,6 +373,20 @@ def q_triangles(sf_dir: str):
                            num_join_partitions=16, assume_simple=True)
 
 
+def q_hyperball_r2(sf_dir: str):
+    """HyperBall registers (p=6) after 2 supersteps over the
+    copurchase graph — register-exact integer state
+    (algs/linkrank.py hyperball, HyperBallKernel)."""
+    from totem_ray.algs import hyperball
+    from totem_ray.pipelines.tpch_graph import copurchase_edges
+
+    eng_out = hyperball(copurchase_edges(sf_dir), num_partitions=4,
+                        p=6, radius=2)
+    res = eng_out["result"].to_pandas()
+    eng_out["engine"].shutdown()
+    return res
+
+
 def q_ktruss4(sf_dir: str):
     """4-truss of the copurchase graph, 3 bounded peel rounds
     (algs/ktruss.py): canonical surviving edges (src < dst)."""
@@ -1318,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_copurchase": q_labelprop,
         "triangles_copurchase": q_triangles,
         "ktruss4_copurchase": q_ktruss4,
+        "hyperball_r2_copurchase": q_hyperball_r2,
         "clustering_coefficient_copurchase": q_clustering_coefficient,
         "bfs_copurchase": q_bfs_copurchase,
         "bfs_tree_copurchase": q_bfs_tree_copurchase,
@@ -1604,6 +1619,44 @@ def _hash_sample_sql(rate: float = 0.1, seed: int = 7) -> str:
     """
 
 
+def _hyperball_sql(p: int = 6, rounds: int = 2) -> str:
+    """Register-exact transcription of HyperBallKernel
+    (totem_ray/engine/kernels.py): seed each vertex's HLL register
+    from splitmix64(u64(v)), then per round
+    reg_t(v) = max over {v} ∪ in-neighbors(u) of reg_{t-1}(u).
+    Exact integer state — bit_length via a powers-of-two join."""
+    low = 64 - p
+    div = 1 << low
+    ctes, last = _sm64_ctes("b", [("vu", "hv")], "hb")
+    parts = [f"""
+        e AS MATERIALIZED ({_COPURCHASE_SQL}),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+        b AS (SELECT v, {_u64_sql('v')} AS vu FROM verts),
+        {ctes},
+        pw AS (SELECT CAST(r AS BIGINT) AS e,
+                      CAST(POWER(2, r) AS BIGINT) AS pv
+               FROM range({low}) t(r)),
+        wb AS (SELECT v, CAST(hv5 // {div} AS BIGINT) AS bucket,
+                      CAST(hv5 % {div} AS BIGINT) AS w FROM {last}),
+        reg0 AS MATERIALIZED (
+            SELECT wb.v, wb.bucket,
+                   {low} - COALESCE(MAX(pw.e) + 1, 0) + 1 AS rho
+            FROM wb LEFT JOIN pw ON pw.pv <= wb.w
+            GROUP BY wb.v, wb.bucket, wb.w),
+        nb AS MATERIALIZED (
+            SELECT dst AS v, src AS u FROM e
+            UNION ALL SELECT v, v FROM verts)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        reg{i} AS MATERIALIZED (
+            SELECT nb.v, r.bucket, MAX(r.rho) AS rho
+            FROM nb JOIN reg{i-1} r ON r.v = nb.u
+            GROUP BY nb.v, r.bucket)"""
+        )
+    return "WITH" + ",".join(parts) + f"""
+        SELECT v, bucket, CAST(rho AS BIGINT) AS rho FROM reg{rounds}"""
+
+
 def _top_tokens_sql(k: int = 20) -> str:
     """Exact top-k token frequencies — same tokenizer as
     _tok_hash_ctes' prelude (explicit Unicode whitespace class;
@@ -1857,6 +1910,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted_orders": _pagerank_weighted_sql(),
         "hits_orders": _hits_sql(),
         "ktruss4_copurchase": _ktruss_sql(k=4, rounds=3),
+        "hyperball_r2_copurchase": _hyperball_sql(p=6, rounds=2),
         "betweenness_copurchase": _centrality_sql("betweenness"),
         "stress_copurchase": _centrality_sql("stress"),
         "labelprop_copurchase": _labelprop_sql(),

@@ -1,0 +1,91 @@
+"""HyperBall kernel tests: register parity with a dense numpy
+transcription, fixpoint = transitive closure, estimate sanity, and
+partition invariance."""
+
+import numpy as np
+import pytest
+
+from totem_ray.algs import hyperball, hyperball_estimates
+from totem_ray.engine.kernels import HyperBallKernel
+from totem_ray.graph.edges import edges_from_arrays
+
+
+def _rand_edges(seed: int, nv: int, ne: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, nv, ne)
+    dst = rng.integers(0, nv, ne)
+    m = src != dst
+    return np.unique(np.stack([src[m], dst[m]], axis=1), axis=0)
+
+
+def np_hyperball(verts: np.ndarray, e: np.ndarray, p: int,
+                 rounds: int) -> np.ndarray:
+    """Dense reference: seed with the kernel's own seeder, then
+    per round reg(v) = max(reg(v), reg(u) for u -> v)."""
+    idx = {int(v): i for i, v in enumerate(verts)}
+    reg = HyperBallKernel._seed_registers(verts, p)
+    for _ in range(rounds):
+        new = reg.copy()
+        for u, v in e:
+            iu, iv = idx[int(u)], idx[int(v)]
+            new[iv] = np.maximum(new[iv], reg[iu])
+        reg = new
+    return reg
+
+
+def _to_dense(df, verts, p):
+    idx = {int(v): i for i, v in enumerate(verts)}
+    reg = np.zeros((len(verts), 1 << p), dtype=np.uint8)
+    for r in df.itertuples():
+        reg[idx[int(r.v)], int(r.bucket)] = r.rho
+    return reg
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_hyperball_registers_match_numpy(P):
+    e = _rand_edges(13, 40, 200)
+    verts = np.unique(e)
+    out = hyperball(edges_from_arrays(e), num_partitions=P, p=6, radius=2)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    assert np.array_equal(_to_dense(df, verts, 6),
+                          np_hyperball(verts, e, 6, 2))
+
+
+def test_hyperball_fixpoint_is_transitive_closure():
+    # directed path 0 -> 1 -> 2 -> 3: at the fixpoint, v's registers
+    # are the HLL union of seeds of all ancestors (incl. itself)
+    e = np.array([[0, 1], [1, 2], [2, 3]])
+    out = hyperball(edges_from_arrays(e), num_partitions=2, p=6,
+                    radius=None)
+    df = out["result"].to_pandas()
+    out["engine"].shutdown()
+    verts = np.unique(e)
+    seeds = HyperBallKernel._seed_registers(verts, 6)
+    exp = np.zeros_like(seeds)
+    for i in range(4):  # ancestors of vertex i are 0..i
+        exp[i] = seeds[: i + 1].max(axis=0)
+    assert np.array_equal(_to_dense(df, verts, 6), exp)
+
+
+def test_hyperball_estimates_accuracy():
+    # a hub pointed at by 300 spokes: its in-ball at r=1 is ~301,
+    # a spoke's stays 1. p=10 -> ~3% relative error band, allow 15%.
+    spokes = np.arange(1, 301)
+    e = np.stack([spokes, np.zeros_like(spokes)], axis=1)
+    out = hyperball(edges_from_arrays(e), num_partitions=2, p=10,
+                    radius=1)
+    est = hyperball_estimates(out["result"], p=10).to_pandas() \
+        .set_index("v")
+    out["engine"].shutdown()
+    assert abs(est.loc[0, "ball_size"] - 301) / 301 < 0.15
+    assert abs(est.loc[5, "ball_size"] - 1.0) < 0.3
+
+
+def test_hyperball_rejects_huge_p():
+    e = _rand_edges(3, 10, 30)
+    out = None
+    with pytest.raises(Exception, match="p must be"):
+        out = hyperball(edges_from_arrays(e), num_partitions=1, p=20)
+    if out is not None:  # pragma: no cover
+        out["engine"].shutdown()

@@ -6,6 +6,7 @@ from totem_ray.algs.triangles import (triangle_counts,  # noqa: F401
                                       edge_supports)
 from totem_ray.algs.ktruss import ktruss  # noqa: F401
 from totem_ray.algs.linkrank import (hits,  # noqa: F401
+                                     hyperball, hyperball_estimates,
                                      pagerank_weighted,
                                      personalized_pagerank)
 from totem_ray.algs.traversal import (apsp, bfs, bfs_stepwise,  # noqa: F401

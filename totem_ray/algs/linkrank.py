@@ -76,3 +76,60 @@ def pagerank_weighted(edges, num_partitions: int = 4, partitioner=None,
                      checkpoint_every=checkpoint_every, resume=resume)
     out["engine"] = engine
     return out
+
+
+def hyperball(edges, num_partitions: int = 4, partitioner=None,
+              p: int = 6, radius: int | None = 2,
+              engine: BspEngine | None = None,
+              checkpoint_dir: str | None = None,
+              checkpoint_every: int = 0, resume: bool = False) -> dict:
+    """HyperBall neighborhood sketches (HyperBallKernel): after
+    ``radius`` supersteps, vertex v's registers sketch its radius-hop
+    in-ball (= out-ball on symmetric graphs). ``radius=None`` iterates
+    to the transitive-closure fixpoint. Returns {result:
+    Dataset(v, bucket, rho), iterations, ...}; feed the result to
+    hyperball_estimates for per-vertex ball sizes."""
+    if engine is None:
+        engine = BspEngine(num_partitions, partitioner)
+        engine.build(edges)
+    out = engine.run("hyperball", {"p": p, "rounds": radius},
+                     checkpoint_dir=checkpoint_dir,
+                     checkpoint_every=checkpoint_every, resume=resume)
+    out["engine"] = engine
+    return out
+
+
+def hyperball_estimates(registers, p: int = 6):
+    """Dataset (v, ball_size) — HLL cardinality estimate per vertex
+    from a (v, bucket, rho) register table. Two vectorized aggregates
+    (sum of 2^-rho and register count per vertex), then the standard
+    alpha_m correction with linear counting for the small range — no
+    per-vertex Python."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else \
+        {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+    def powcol(t: pa.Table) -> pa.Table:
+        rho = np.asarray(t["rho"], dtype=np.float64)
+        return pa.table({"v": t["v"],
+                         "pw": pa.array(np.exp2(-rho))})
+
+    agg = registers.map_batches(powcol, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("pw", alias_name="s"),
+                                Count(alias_name="nnz"))
+
+    def estimate(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["s"], dtype=np.float64)
+        nnz = np.asarray(t["nnz"], dtype=np.float64)
+        zeros = m - nnz
+        e = alpha * m * m / (s + zeros)  # empty registers add 2^0
+        lc = m * np.log(np.maximum(m / np.maximum(zeros, 1e-12), 1.0))
+        e = np.where((e <= 2.5 * m) & (zeros > 0), lc, e)
+        return pa.table({"v": t["v"],
+                         "ball_size": pa.array(e, type=pa.float64())})
+
+    return agg.map_batches(estimate, batch_format="pyarrow")

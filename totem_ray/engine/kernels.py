@@ -2078,6 +2078,124 @@ class HitsKernel:
             st["g_auth_sum"] = float(np.asarray(t["g_auth_sum"])[0])
 
 
+class HyperBallKernel:
+    """HyperBall (Boldi & Vigna, 2013): per-vertex neighborhood-size
+    estimation by iterating HyperLogLog counters over the graph —
+    after t supersteps vertex v's counter sketches |B(v, t)|, the set
+    of vertices reachable INTO v within t hops (equal to the out-ball
+    on symmetric graphs; reverse the edges for out-balls on directed
+    ones). Not a reference kernel — added for the link-graph surface
+    (effective-diameter / centrality estimation at web scale).
+
+    State: an (nv, m=2^p) uint8 register matrix seeded with each
+    vertex's own hash (splitmix64 of the id — SQL-transcribable).
+    Superstep: every vertex pushes its register row to its out-
+    neighbors; rows max-combine (HLL union is elementwise max, so the
+    message combiner is a per-destination np.maximum.reduceat — no
+    per-element scatter). Terminates after ``rounds`` supersteps or
+    when no register changes (the exact fixpoint = transitive
+    closure). Registers are an exact integer function of ids and
+    topology — the oracle checks them value-for-value.
+    """
+
+    name = "hyperball"
+
+    @staticmethod
+    def _seed_registers(verts: np.ndarray, p: int) -> np.ndarray:
+        from totem_ray.hashing import as_u64, splitmix64
+        m = 1 << p
+        low = 64 - p
+        hv = splitmix64(as_u64(verts))
+        bucket = (hv >> np.uint64(low)).astype(np.int64)
+        w = hv & ((np.uint64(1) << np.uint64(low)) - np.uint64(1))
+        # exact bit_length (float log2 misrounds at the 54-bit edge)
+        pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        blen = np.searchsorted(pow2, w, side="right")
+        rho = (low - blen + 1).astype(np.uint8)
+        reg = np.zeros((len(verts), m), dtype=np.uint8)
+        reg[np.arange(len(verts)), bucket] = rho
+        return reg
+
+    @classmethod
+    def init(cls, sh, st, p: int = 6, rounds: int | None = 2):
+        if not 4 <= p <= 12:
+            raise ValueError("hyperball p must be in [4, 12] "
+                             "(m = 2^p bytes/vertex of state)")
+        st["p"] = int(p)
+        st["rounds"] = None if rounds is None else int(rounds)
+        st["R"] = cls._seed_registers(sh.verts, p)
+
+    @staticmethod
+    def compute(sh, st, superstep: int):
+        R = st["R"]
+        m = R.shape[1]
+        acc = np.zeros_like(R)
+        outboxes = {}
+        for t, tgt in sh.tgt.items():
+            starts, _ = _group_starts(tgt["dst"])  # dst-sorted groups
+            rows = np.maximum.reduceat(R[tgt["src"]], starts, axis=0)
+            ud = tgt["dst"][starts]
+            if t == sh.pid:
+                acc[ud] = np.maximum(acc[ud], rows)  # ud unique
+            else:
+                out = np.zeros((tgt["size"], m), dtype=np.uint8)
+                out[ud] = rows
+                outboxes[t] = out
+        st["acc"] = acc
+        return outboxes
+
+    @staticmethod
+    def apply(sh, st, inboxes, superstep: int) -> dict:
+        acc = st.pop("acc")
+        for q, arr in inboxes.items():
+            idx = sh.inbox_maps[q]
+            acc[idx] = np.maximum(acc[idx], arr)
+        new_r = np.maximum(st["R"], acc)
+        changed = int((new_r != st["R"]).any(axis=1).sum())
+        st["R"] = new_r
+        return {"changed": changed}
+
+    @staticmethod
+    def done(agg: dict, superstep: int, st_params: dict) -> bool:
+        rounds = st_params.get("rounds", 2)
+        if rounds is not None and superstep + 1 >= rounds:
+            return True
+        return agg["changed"] == 0
+
+    @staticmethod
+    def done_static(superstep: int, st_params: dict):
+        rounds = st_params.get("rounds", 2)
+        if rounds is not None:
+            return superstep + 1 >= rounds
+        return None
+
+    @staticmethod
+    def result(sh, st) -> pa.Table:
+        R = st["R"]
+        vi, bucket = np.nonzero(R)
+        return pa.table({
+            "v": pa.array(sh.verts[vi], type=pa.int64()),
+            "bucket": pa.array(bucket.astype(np.int64), type=pa.int64()),
+            "rho": pa.array(R[vi, bucket].astype(np.int64),
+                            type=pa.int64())})
+
+    @staticmethod
+    def state_table(sh, st) -> pa.Table:
+        R = st["R"]
+        vi, bucket = np.nonzero(R)
+        return pa.table({
+            "v": pa.array(sh.verts[vi], type=pa.int64()),
+            "bucket": pa.array(bucket.astype(np.int64), type=pa.int64()),
+            "rho": pa.array(R[vi, bucket].astype(np.int64),
+                            type=pa.int64())})
+
+    @staticmethod
+    def load_state(sh, st, t: pa.Table):
+        idx = np.searchsorted(sh.verts, np.asarray(t["v"]))
+        st["R"][idx, np.asarray(t["bucket"])] = \
+            np.asarray(t["rho"]).astype(np.uint8)
+
+
 KERNELS = {
     PageRankKernel.name: PageRankKernel,
     PageRankPullKernel.name: PageRankPullKernel,
@@ -2097,4 +2215,5 @@ KERNELS = {
     PersonalizedPageRankKernel.name: PersonalizedPageRankKernel,
     WeightedPageRankKernel.name: WeightedPageRankKernel,
     HitsKernel.name: HitsKernel,
+    HyperBallKernel.name: HyperBallKernel,
 }
