@@ -128,3 +128,11 @@ def test_cli_ppr_requires_seeds(tmp_path):
         main(["ppr", "--edges", d])
     with pytest.raises(SystemExit, match="--k"):
         main(["ktruss", "--edges", d])
+
+
+def test_cli_hyperball(tmp_path, capsys):
+    d = _edges_dir(tmp_path)
+    assert main(["hyperball", "--edges", d, "--partitions", "2",
+                 "--rounds", "2"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["alg"] == "hyperball" and row["rows"] == 15

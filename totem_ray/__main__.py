@@ -27,7 +27,7 @@ ALGS = ["pagerank", "pagerank_pull", "cc", "labelprop", "bfs",
         "bfs_tree", "bfs_dirop", "bfs_tree_dirop", "sssp", "apsp",
         "closeness", "betweenness", "stress", "pcore", "maxflow",
         "triangles", "clustering_coefficient",
-        "hits", "ppr", "pagerank_weighted", "ktruss"]
+        "hits", "ppr", "pagerank_weighted", "ktruss", "hyperball"]
 
 # source-loop sweeps: --resume/--checkpoint-dir mean per-source
 # partial checkpoints (algs/sweep.py), not per-superstep ones
@@ -250,6 +250,11 @@ def main(argv=None) -> int:
         if not args.k:
             raise SystemExit("ktruss needs --k (>= 3)")
         out = {"result": algs.ktruss(edges, k=args.k, rounds=args.rounds)}
+    elif args.alg == "hyperball":
+        hb = algs.hyperball(edges, radius=args.rounds or 2, **kw, **run_kw)
+        from totem_ray.algs import hyperball_estimates
+
+        out = dict(hb, result=hyperball_estimates(hb["result"]))
     else:  # pragma: no cover — argparse choices guard this
         raise SystemExit(f"unknown alg {args.alg}")
 
