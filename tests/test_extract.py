@@ -214,3 +214,31 @@ def test_host_graph_skips_unparseable_urls(tmp_path):
     hg = pages_to_host_edges(
         ray.data.read_parquet(d, columns=["url", "html"])).to_pandas()
     assert len(hg) == 1 and hg["weight"].iloc[0] == 1.0
+
+
+def test_host_id_map_covers_external_hosts(tmp_path):
+    """A host that is linked to but never crawled must still get a
+    name row (it IS a dst vertex of the host graph)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from totem_ray.sources.extract import host_id_map, pages_to_host_edges
+
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    html = ('<html><body><a href="https://external.example/x">l</a>'
+            '</body></html>')
+    pq.write_table(pa.table({
+        "url": pa.array(["https://crawled.example/p/1"],
+                        type=pa.large_string()),
+        "html": pa.array([html.encode()], type=pa.large_binary())}),
+        os.path.join(d, "p.parquet"))
+    pages = ray.data.read_parquet(d, columns=["url", "html"])
+    hm = host_id_map(pages).to_pandas()
+    hg = pages_to_host_edges(pages).to_pandas()
+    assert set(hm["host"]) == {"crawled.example", "external.example"}
+    name_of = dict(zip(hm["host_id"], hm["host"]))
+    assert name_of[hg["src"].iloc[0]] == "crawled.example"
+    assert name_of[hg["dst"].iloc[0]] == "external.example"

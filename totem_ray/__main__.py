@@ -238,7 +238,8 @@ def main(argv=None) -> int:
     elif args.alg == "clustering_coefficient":
         out = {"result": algs.clustering_coefficient(edges)}
     elif args.alg == "hits":
-        out = algs.hits(edges, rounds=args.rounds or 5, **kw, **run_kw)
+        out = algs.hits(edges, rounds=5 if args.rounds is None
+                        else args.rounds, **kw, **run_kw)
     elif args.alg == "ppr":
         if not args.seeds:
             raise SystemExit("ppr needs --seeds (comma-separated ids)")
@@ -251,7 +252,8 @@ def main(argv=None) -> int:
             raise SystemExit("ktruss needs --k (>= 3)")
         out = {"result": algs.ktruss(edges, k=args.k, rounds=args.rounds)}
     elif args.alg == "hyperball":
-        hb = algs.hyperball(edges, radius=args.rounds or 2, **kw, **run_kw)
+        hb = algs.hyperball(edges, radius=2 if args.rounds is None
+                            else args.rounds, **kw, **run_kw)
         from totem_ray.algs import hyperball_estimates
 
         out = dict(hb, result=hyperball_estimates(hb["result"]))

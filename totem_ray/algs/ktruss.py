@@ -78,6 +78,8 @@ def ktruss(edges, k: int, rounds: int | None = None,
             converged = True
             break
         cur, n_cur = nxt, n_new
+    if n_cur == 0:  # an empty edge set is definitionally the fixpoint
+        converged = True
     if not converged:
         # never return an intermediate peel as if it were the truss
         raise RuntimeError(

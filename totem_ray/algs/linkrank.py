@@ -89,6 +89,10 @@ def hyperball(edges, num_partitions: int = 4, partitioner=None,
     to the transitive-closure fixpoint. Returns {result:
     Dataset(v, bucket, rho), iterations, ...}; feed the result to
     hyperball_estimates for per-vertex ball sizes."""
+    if radius is not None and radius < 1:
+        raise ValueError("hyperball radius must be >= 1 (radius 0 is "
+                         "just the seed registers) or None for the "
+                         "fixpoint")
     if engine is None:
         engine = BspEngine(num_partitions, partitioner)
         engine.build(edges)
@@ -109,9 +113,10 @@ def hyperball_estimates(registers, p: int = 6):
     import pyarrow as pa
     from ray.data.aggregate import Count, Sum
 
+    from totem_ray.functions.sketch import hll_alpha
+
     m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else \
-        {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    alpha = hll_alpha(m)
 
     def powcol(t: pa.Table) -> pa.Table:
         rho = np.asarray(t["rho"], dtype=np.float64)

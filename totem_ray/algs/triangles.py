@@ -101,19 +101,15 @@ def _edge_credit_triples(u: np.ndarray, lo: np.ndarray, hi: np.ndarray):
 def _combine_edge_credits(alo: np.ndarray, ahi: np.ndarray,
                           cnt: np.ndarray | None = None):
     """Sum credits per unique (lo, hi) pair — the 2-key twin of the
-    per-vertex np.unique combine (lexsort + run-boundary reduceat)."""
+    per-vertex np.unique combine (nputil.group_sum_pairs)."""
+    from totem_ray.nputil import group_sum_pairs
+
     if not len(alo):
         z = np.empty(0, np.int64)
         return z, z, z
-    order = np.lexsort((ahi, alo))
-    alo, ahi = alo[order], ahi[order]
-    cnt = cnt[order] if cnt is not None \
-        else np.ones(len(alo), dtype=np.int64)
-    chg = np.empty(len(alo), dtype=bool)
-    chg[0] = True
-    chg[1:] = (alo[1:] != alo[:-1]) | (ahi[1:] != ahi[:-1])
-    starts = np.flatnonzero(chg)
-    return alo[starts], ahi[starts], np.add.reduceat(cnt, starts)
+    if cnt is None:
+        cnt = np.ones(len(alo), dtype=np.int64)
+    return group_sum_pairs(alo, ahi, cnt)
 
 
 def _sum_partials_by_edge(partials, value_col: str, alias: str,

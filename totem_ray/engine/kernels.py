@@ -2103,15 +2103,13 @@ class HyperBallKernel:
     @staticmethod
     def _seed_registers(verts: np.ndarray, p: int) -> np.ndarray:
         from totem_ray.hashing import as_u64, splitmix64
+        from totem_ray.nputil import bit_length_u64
         m = 1 << p
         low = 64 - p
         hv = splitmix64(as_u64(verts))
         bucket = (hv >> np.uint64(low)).astype(np.int64)
         w = hv & ((np.uint64(1) << np.uint64(low)) - np.uint64(1))
-        # exact bit_length (float log2 misrounds at the 54-bit edge)
-        pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        blen = np.searchsorted(pow2, w, side="right")
-        rho = (low - blen + 1).astype(np.uint8)
+        rho = (low - bit_length_u64(w) + 1).astype(np.uint8)
         reg = np.zeros((len(verts), m), dtype=np.uint8)
         reg[np.arange(len(verts)), bucket] = rho
         return reg
@@ -2128,7 +2126,6 @@ class HyperBallKernel:
     @staticmethod
     def compute(sh, st, superstep: int):
         R = st["R"]
-        m = R.shape[1]
         acc = np.zeros_like(R)
         outboxes = {}
         for t, tgt in sh.tgt.items():
@@ -2138,9 +2135,16 @@ class HyperBallKernel:
             if t == sh.pid:
                 acc[ud] = np.maximum(acc[ud], rows)  # ud unique
             else:
-                out = np.zeros((tgt["size"], m), dtype=np.uint8)
-                out[ud] = rows
-                outboxes[t] = out
+                # the ghost list is exactly the unique dsts, so the
+                # dst-sorted unique indices are a full arange(size):
+                # rows already IS the dense per-slot outbox
+                if len(ud) == tgt["size"]:
+                    outboxes[t] = rows
+                else:  # invariant drift guard — scatter explicitly
+                    out = np.zeros((tgt["size"], R.shape[1]),
+                                   dtype=np.uint8)
+                    out[ud] = rows
+                    outboxes[t] = out
         st["acc"] = acc
         return outboxes
 
@@ -2179,21 +2183,16 @@ class HyperBallKernel:
             "rho": pa.array(R[vi, bucket].astype(np.int64),
                             type=pa.int64())})
 
-    @staticmethod
-    def state_table(sh, st) -> pa.Table:
-        R = st["R"]
-        vi, bucket = np.nonzero(R)
-        return pa.table({
-            "v": pa.array(sh.verts[vi], type=pa.int64()),
-            "bucket": pa.array(bucket.astype(np.int64), type=pa.int64()),
-            "rho": pa.array(R[vi, bucket].astype(np.int64),
-                            type=pa.int64())})
+    state_table = None  # = result (rebound below)
 
     @staticmethod
     def load_state(sh, st, t: pa.Table):
         idx = np.searchsorted(sh.verts, np.asarray(t["v"]))
         st["R"][idx, np.asarray(t["bucket"])] = \
             np.asarray(t["rho"]).astype(np.uint8)
+
+
+HyperBallKernel.state_table = HyperBallKernel.result
 
 
 KERNELS = {

@@ -20,15 +20,15 @@ import numpy as np
 import pyarrow as pa
 
 from totem_ray.hashing import as_u64, splitmix64
-
-# powers of two for exact integer bit_length (float log2 misrounds at
-# the 54-bit edge); POW_BITLEN[i] = 2^i
-_POW = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+from totem_ray.nputil import bit_length_u64 as _bit_length_u64
 
 
-def _bit_length_u64(w: np.ndarray) -> np.ndarray:
-    """Exact vectorized bit_length of uint64 values (0 -> 0)."""
-    return np.searchsorted(_POW, w, side="right").astype(np.int64)
+def hll_alpha(m: int) -> float:
+    """The HLL bias-correction constant alpha_m (Flajolet et al. 2007,
+    Fig. 3) — shared by the corpus sketch and HyperBall estimators."""
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
 
 
 def hll_token_registers(docs, p: int = 10):
@@ -73,17 +73,12 @@ def hll_estimate(registers, p: int = 10) -> float:
     import pandas as pd
 
     if not isinstance(registers, pd.DataFrame):
-        try:  # ray Dataset
-            registers = registers.to_pandas()
-        except AttributeError:  # pyarrow table
-            registers = registers.to_pandas()
+        registers = registers.to_pandas()  # ray Dataset / pyarrow Table
     m = 1 << p
     reg = np.zeros(m, dtype=np.int64)
     if len(registers):
         reg[registers["bucket"].to_numpy()] = registers["rho"].to_numpy()
-    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else \
-        {16: 0.673, 32: 0.697, 64: 0.709}[m]
-    e = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    e = hll_alpha(m) * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
     zeros = int((reg == 0).sum())
     if e <= 2.5 * m and zeros:
         e = m * np.log(m / zeros)

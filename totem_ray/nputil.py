@@ -156,3 +156,30 @@ def lookup_sorted(sorted_keys: np.ndarray, values: np.ndarray,
             "absent from the lookup table (first missing: "
             f"{np.asarray(keys)[miss][:3].tolist()})")
     return values[idx]
+
+
+_POW2_U64 = None
+
+
+def bit_length_u64(w: "np.ndarray") -> "np.ndarray":
+    """Exact vectorized bit_length of uint64 values (0 -> 0) — float
+    log2 misrounds at the 54-bit edge, so compare against a
+    powers-of-two table instead."""
+    global _POW2_U64
+    if _POW2_U64 is None:
+        _POW2_U64 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return np.searchsorted(_POW2_U64, w, side="right").astype(np.int64)
+
+
+def group_sum_pairs(a: np.ndarray, b: np.ndarray, w: np.ndarray):
+    """Sum w per unique (a, b) pair (lexsort + run-boundary reduceat).
+    Returns (a_unique, b_unique, sums); empty inputs pass through."""
+    if not len(a):
+        return a, b, w
+    order = np.lexsort((b, a))
+    a, b, w = a[order], b[order], w[order]
+    chg = np.empty(len(a), dtype=bool)
+    chg[0] = True
+    chg[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(chg)
+    return a[starts], b[starts], np.add.reduceat(w, starts)

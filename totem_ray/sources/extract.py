@@ -134,19 +134,12 @@ def extract_host_edges_batch(batch: pa.Table) -> pa.Table:
     sh, dh = sh.filter(keep), dh.filter(keep)
     inter = pc.invert(pc.equal(sh, dh))
     sh, dh = sh.filter(inter), dh.filter(inter)
+    from totem_ray.nputil import group_sum_pairs
+
     src = hash_strings_i64(sh, seed=URL_HASH_SEED)
     dst = hash_strings_i64(dh, seed=URL_HASH_SEED)
-    if len(src):
-        order = np.lexsort((dst, src))
-        src, dst = src[order], dst[order]
-        chg = np.empty(len(src), dtype=bool)
-        chg[0] = True
-        chg[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
-        starts = np.flatnonzero(chg)
-        cnt = np.diff(np.append(starts, len(src))).astype(np.float64)
-        src, dst = src[starts], dst[starts]
-    else:
-        cnt = np.empty(0, np.float64)
+    src, dst, cnt = group_sum_pairs(src, dst,
+                                    np.ones(len(src), dtype=np.float64))
     return pa.table({"src": pa.array(src, type=pa.int64()),
                      "dst": pa.array(dst, type=pa.int64()),
                      "weight": pa.array(cnt, type=pa.float64())})
@@ -173,39 +166,38 @@ def pages_to_host_edges(pages_ds, num_buckets: int = 64):
         return t.append_column("_b", pa.array(b))
 
     def combine(t: pa.Table) -> pa.Table:
-        s = np.asarray(t["src"])
-        d = np.asarray(t["dst"])
-        w = np.asarray(t["weight"])
-        order = np.lexsort((d, s))
-        s, d, w = s[order], d[order], w[order]
-        chg = np.empty(len(s), dtype=bool)
-        if len(s):
-            chg[0] = True
-            chg[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
-        starts = np.flatnonzero(chg)
+        from totem_ray.nputil import group_sum_pairs
+
+        s, d, w = group_sum_pairs(np.asarray(t["src"]),
+                                  np.asarray(t["dst"]),
+                                  np.asarray(t["weight"]))
         return pa.table({
-            "src": pa.array(s[starts], type=pa.int64()),
-            "dst": pa.array(d[starts], type=pa.int64()),
-            "weight": pa.array(np.add.reduceat(w, starts)
-                               if len(starts) else w,
-                               type=pa.float64())})
+            "src": pa.array(s, type=pa.int64()),
+            "dst": pa.array(d, type=pa.int64()),
+            "weight": pa.array(w, type=pa.float64())})
 
     return partial.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_b").map_groups(combine, batch_format="pyarrow")
 
 
 def host_id_map(pages_ds, num_buckets: int = 64):
-    """Dataset (host_id, host) — distinct hosts of the PAGE urls with
-    their stable ids, for joining host-graph results back to names.
-    host_id is a pure hash of host, so identical rows dedup exactly;
-    one small bucketed exchange (dedup_edges' pattern), not a per-key
-    groupby."""
+    """Dataset (host_id, host) — distinct hosts with their stable ids,
+    for joining host-graph results back to names. Covers EVERY vertex
+    pages_to_host_edges can emit: hosts of the page urls AND hosts of
+    the link targets (an external host that is linked to but never
+    crawled is still a dst vertex). host_id is a pure hash of host,
+    so identical rows dedup exactly; one small bucketed exchange
+    (dedup_edges' pattern), not a per-key groupby."""
     def hosts(t: pa.Table) -> pa.Table:
-        h = url_host(t["url"])
-        h = h.filter(pc.is_valid(h))
-        if isinstance(h, pa.ChunkedArray):
-            h = h.combine_chunks()
-        hu = pc.unique(h)
+        links = extract_links_batch(t)
+        parts = [url_host(t["url"]), url_host(links["dst_url"])]
+        arrs = []
+        for h in parts:
+            h = h.filter(pc.is_valid(h))
+            if isinstance(h, pa.ChunkedArray):
+                h = h.combine_chunks()
+            arrs.append(h.cast(pa.large_string()))
+        hu = pc.unique(pa.concat_arrays(arrs))
         ids = hash_strings_i64(hu, seed=URL_HASH_SEED)
         b = (ids.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
         return pa.table({"host_id": pa.array(ids, type=pa.int64()),
