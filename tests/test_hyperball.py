@@ -89,3 +89,43 @@ def test_hyperball_rejects_huge_p():
         out = hyperball(edges_from_arrays(e), num_partitions=1, p=20)
     if out is not None:  # pragma: no cover
         out["engine"].shutdown()
+
+
+def test_neighborhood_function_path():
+    """Directed path 0->1->...->5: exact N(t) = sum_v min(t, depth(v))
+    + V; with p=12 the tiny-set linear-counting estimates are within
+    a few percent."""
+    from totem_ray.algs import neighborhood_function
+
+    n = 6
+    e = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    res = neighborhood_function(edges_from_arrays(e), num_partitions=2,
+                                p=12)
+    res["engine"].shutdown()
+    # exact pair counts: vertex i's in-ball at radius t has min(i,t)+1
+    exact = [sum(min(i, t) + 1 for i in range(n)) for t in range(n)]
+    assert res["radius"] == n - 1  # growth stops exactly at the path length
+    got = res["nf"]
+    assert len(got) == n
+    for g, x in zip(got, exact):
+        assert abs(g - x) / x < 0.05
+
+
+def test_effective_diameter_star_and_path():
+    from totem_ray.algs import effective_diameter
+
+    # symmetric star: every pair within 2 hops, most within... the
+    # 0.9-quantile lands between 1 and 2
+    spokes = np.arange(1, 30)
+    e = np.concatenate([np.stack([spokes, np.zeros_like(spokes)], 1),
+                        np.stack([np.zeros_like(spokes), spokes], 1)])
+    d = effective_diameter(edges_from_arrays(e), num_partitions=2, p=12)
+    assert 1.0 <= d["effective_diameter"] <= 2.0
+
+    # directed path of length 9: diameter grows with the path
+    n = 10
+    ep = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    dp = effective_diameter(edges_from_arrays(ep), num_partitions=2,
+                            p=12)
+    assert dp["radius"] == n - 1
+    assert 6.0 <= dp["effective_diameter"] <= 9.0

@@ -5,8 +5,10 @@ from totem_ray.algs.triangles import (triangle_counts,  # noqa: F401
                                       clustering_coefficient,
                                       edge_supports)
 from totem_ray.algs.ktruss import ktruss  # noqa: F401
-from totem_ray.algs.linkrank import (hits,  # noqa: F401
-                                     hyperball, hyperball_estimates,
+from totem_ray.algs.linkrank import (effective_diameter,  # noqa: F401
+                                     hits, hyperball,
+                                     hyperball_estimates,
+                                     neighborhood_function,
                                      pagerank_weighted,
                                      personalized_pagerank)
 from totem_ray.algs.traversal import (apsp, bfs, bfs_stepwise,  # noqa: F401

@@ -138,3 +138,50 @@ def hyperball_estimates(registers, p: int = 6):
                          "ball_size": pa.array(e, type=pa.float64())})
 
     return agg.map_batches(estimate, batch_format="pyarrow")
+
+
+def neighborhood_function(edges, num_partitions: int = 4,
+                          partitioner=None, p: int = 10,
+                          max_radius: int | None = None) -> dict:
+    """HyperANF-style neighborhood function (Boldi-Vigna): N(t) =
+    estimated number of (u, v) pairs with a path u -> v of length
+    <= t, for t = 0..T. One HyperBall run supplies every N(t) — each
+    superstep's global ball-size sum rides the engine's reduced stats
+    (zero extra passes). Returns {"nf": [N(0), N(1), ...],
+    "radius": T, "num_vertices": V, "engine": ...}."""
+    out = hyperball(edges, num_partitions=num_partitions,
+                    partitioner=partitioner, p=p, radius=max_radius)
+    v = out["engine"].total_vertices
+    nf = [float(v)]  # N(0): every ball is exactly {v}
+    nf.extend(m["ball_sum"] for m in out["metrics"])
+    # past the fixpoint the sums repeat; trim trailing duplicates so
+    # radius reflects when growth actually stopped
+    while len(nf) > 1 and nf[-1] == nf[-2]:
+        nf.pop()
+    return {"nf": nf, "radius": len(nf) - 1, "num_vertices": v,
+            "engine": out["engine"], "iterations": out["iterations"]}
+
+
+def effective_diameter(edges, num_partitions: int = 4, partitioner=None,
+                       p: int = 10, quantile: float = 0.9,
+                       max_radius: int | None = None) -> dict:
+    """Effective diameter: the (interpolated) smallest t such that
+    N(t) >= quantile * N(T), with N the neighborhood function at its
+    fixpoint — the standard HyperANF summary statistic for web-graph
+    distance distributions."""
+    res = neighborhood_function(edges, num_partitions=num_partitions,
+                                partitioner=partitioner, p=p,
+                                max_radius=max_radius)
+    res["engine"].shutdown()
+    nf = res["nf"]
+    target = quantile * nf[-1]
+    d = 0.0
+    for t, n in enumerate(nf):
+        if n >= target:
+            if t == 0 or nf[t] == nf[t - 1]:
+                d = float(t)
+            else:  # linear interpolation between t-1 and t
+                d = (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+            break
+    return {"effective_diameter": d, "nf": nf, "radius": res["radius"],
+            "num_vertices": res["num_vertices"]}

@@ -2149,7 +2149,20 @@ class HyperBallKernel:
         return outboxes
 
     @staticmethod
-    def apply(sh, st, inboxes, superstep: int) -> dict:
+    def _estimate_rows(R: np.ndarray) -> np.ndarray:
+        """Vectorized per-vertex HLL estimate over an (nv, m) register
+        matrix (same math as algs.linkrank.hyperball_estimates)."""
+        from totem_ray.functions.sketch import hll_alpha
+        m = R.shape[1]
+        s = np.exp2(-R.astype(np.float64)).sum(axis=1)
+        e = hll_alpha(m) * m * m / s
+        zeros = (R == 0).sum(axis=1)
+        lc_ok = (e <= 2.5 * m) & (zeros > 0)
+        e[lc_ok] = m * np.log(m / zeros[lc_ok])
+        return e
+
+    @classmethod
+    def apply(cls, sh, st, inboxes, superstep: int) -> dict:
         acc = st.pop("acc")
         for q, arr in inboxes.items():
             idx = sh.inbox_maps[q]
@@ -2157,7 +2170,10 @@ class HyperBallKernel:
         new_r = np.maximum(st["R"], acc)
         changed = int((new_r != st["R"]).any(axis=1).sum())
         st["R"] = new_r
-        return {"changed": changed}
+        # N(t) for free: the engine sums ball_sum across shards, so
+        # the metrics stream IS the neighborhood function
+        return {"changed": changed,
+                "ball_sum": float(cls._estimate_rows(new_r).sum())}
 
     @staticmethod
     def done(agg: dict, superstep: int, st_params: dict) -> bool:
