@@ -176,6 +176,98 @@ def test_knn_ivf_seeded_block_layout_invariant():
     pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
+def test_knn_ivf_indexed_matches_knn_ivf(tmp_path):
+    """The persisted cell-partitioned index must reproduce the
+    scan-based knn_ivf exactly (same fit / ncells / nprobe): same
+    centroids, same assignment, same probe order."""
+    from totem_ray.functions.similarity import (build_ivf_index, knn_ivf,
+                                                knn_ivf_indexed)
+
+    emb, x = _emb_table(n=300, seed=11)
+    q = x[:4]
+    scan = knn_ivf(emb, q, np.arange(4), k=7, ncells=6, nprobe=2,
+                   fit="seeded")
+    res = build_ivf_index(emb, str(tmp_path / "ivf"), ncells=6,
+                          fit="seeded")
+    assert res["ncells"] == 6
+    idx = knn_ivf_indexed(str(tmp_path / "ivf"), q, np.arange(4),
+                          k=7, nprobe=2)
+    key = ["query_id", "knn_rank"]
+    pd.testing.assert_frame_equal(
+        scan.sort_values(key).reset_index(drop=True),
+        idx.sort_values(key).reset_index(drop=True))
+
+
+def test_knn_ivf_indexed_full_probe_is_exact(tmp_path):
+    from totem_ray.functions.similarity import (build_ivf_index,
+                                                knn_brute_force,
+                                                knn_ivf_indexed)
+
+    emb, x = _emb_table(n=250, seed=5)
+    q = x[:3]
+    bf = knn_brute_force(emb, q, np.arange(3), k=5)
+    build_ivf_index(emb, str(tmp_path / "ivf"), ncells=5, fit="kmeans")
+    idx = knn_ivf_indexed(str(tmp_path / "ivf"), q, np.arange(3),
+                          k=5, nprobe=5)
+    key = ["query_id", "knn_rank"]
+    pd.testing.assert_frame_equal(
+        bf.sort_values(key).reset_index(drop=True),
+        idx.sort_values(key).reset_index(drop=True))
+
+
+def test_knn_ivf_indexed_reads_only_probed_cells(tmp_path):
+    """The point of the persisted layout: a partial probe must read
+    strictly fewer bytes (and cells) than the full index."""
+    from totem_ray.functions.similarity import (build_ivf_index,
+                                                knn_ivf_indexed)
+
+    emb, x = _emb_table(n=400, seed=7)
+    build_ivf_index(emb, str(tmp_path / "ivf"), ncells=8, fit="seeded")
+    stats: dict = {}
+    knn_ivf_indexed(str(tmp_path / "ivf"), x[:2], np.arange(2),
+                    k=5, nprobe=2, stats=stats)
+    # 2 queries x nprobe=2 touch at most 4 of the 8 cells
+    assert stats["probed_cells"] <= 4 < stats["total_cells"]
+    assert 0 < stats["bytes_probed"] < stats["bytes_total"]
+
+
+def test_build_ivf_index_resumes(tmp_path):
+    """A second build over the same input skips every finished cell;
+    clearing one cell's marker re-writes only that cell, and the
+    probe result is unchanged."""
+    import os
+
+    from totem_ray.functions.similarity import (build_ivf_index,
+                                                knn_ivf_indexed)
+
+    emb, x = _emb_table(n=200, seed=3)
+    path = str(tmp_path / "ivf")
+    first = build_ivf_index(emb, path, ncells=4, fit="seeded")
+    assert first["written"] + first["skipped"] == 4
+    before = knn_ivf_indexed(path, x[:2], np.arange(2), k=5, nprobe=4)
+    again = build_ivf_index(emb, path, ncells=4, fit="seeded")
+    assert again["skipped"] == 4 and again["written"] == 0
+    # simulate a crash that lost one cell's completion
+    os.remove(os.path.join(path, "part-00002", "_DONE"))
+    os.remove(os.path.join(path, "_ALL_DONE"))
+    resumed = build_ivf_index(emb, path, ncells=4, fit="seeded")
+    assert resumed["skipped"] == 3
+    after = knn_ivf_indexed(path, x[:2], np.arange(2), k=5, nprobe=4)
+    key = ["query_id", "knn_rank"]
+    pd.testing.assert_frame_equal(
+        before.sort_values(key).reset_index(drop=True),
+        after.sort_values(key).reset_index(drop=True))
+
+
+def test_load_ivf_index_incomplete_raises(tmp_path):
+    import pytest
+
+    from totem_ray.functions.similarity import load_ivf_index
+
+    with pytest.raises(ValueError, match="incomplete or missing"):
+        load_ivf_index(str(tmp_path / "nope"))
+
+
 # ----------------------------------------------------------------- text
 def test_token_stats_closed_form():
     from totem_ray.functions.text import token_stats

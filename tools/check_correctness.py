@@ -69,7 +69,8 @@ def main():
             continue
         t0 = time.time()
         try:
-            got = normalize(to_pandas(fn(sf_dir)))
+            raw_got = to_pandas(fn(sf_dir))
+            got = normalize(raw_got)
         except Exception as e:
             print(f"FAIL  {name}: ray error {type(e).__name__}: {e}")
             n_fail += 1
@@ -80,8 +81,19 @@ def main():
             n_rowsonly += 1
             continue
         t0 = time.time()
-        exp = normalize(con.execute(oracles[name]).fetchdf())
+        raw_exp = con.execute(oracles[name]).fetchdf()
+        exp = normalize(raw_exp)
         dto = time.time() - t0
+        # the DRIVER's hash does not normalize dtypes — a DuckDB
+        # HUGEINT vs engine int64 mismatch passes here but hash-fails
+        # there (r3's copurchase_degree_histogram). Surface it loudly.
+        dtype_warn = [
+            c for c in raw_got.columns if c in raw_exp.columns
+            and raw_got[c].dtype != raw_exp[c].dtype]
+        if dtype_warn:
+            print(f"WARN  {name}: raw dtype mismatch vs oracle on "
+                  f"{dtype_warn} — likely a driver hash-FAIL; CAST the "
+                  f"oracle column(s)")
         ok_rows = len(got) == len(exp)
         ok_cols = list(got.columns) == list(exp.columns)
         ok_vals = False

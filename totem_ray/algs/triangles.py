@@ -47,22 +47,33 @@ from totem_ray.hashing import hash_partition
 from totem_ray.nputil import group_starts_sizes, lookup_sorted, slice_offsets
 
 
+# driver-merge gate for the partial-sum dual plans, in BYTES of
+# driver heap (row gates derive from the per-row footprint). 256 MB:
+# a shared driver on a multi-tenant cluster head should not absorb
+# the old 50M-row (~1.2 GB) worst case.
+_DRIVER_MERGE_MAX_BYTES = 256 << 20
+
+
 def _sum_partials_by_v(partials, value_col: str, alias: str,
-                       driver_merge_max: int = 50_000_000):
+                       driver_merge_max: int | None = None):
     """Sum per-vertex int64 partials -> Dataset (v, alias).
 
     Dual plan (the module's broadcast/distributed idiom): when the
-    partial row count fits ``driver_merge_max`` (16 B/row through the
-    driver — the same footprint class as the broadcast plans'
-    fingerprint/degree arrays), merge with one vectorized
-    sort+reduceat on the driver and re-emit as Dataset blocks.
-    Ray Data's sort-based groupby costs seconds of fixed shuffle
-    overhead even on tiny inputs (measured 4-6 s on 566k partial rows
-    at P=32 — half the triangle pipeline's wall time); past the gate
-    it is still the right tool and we fall back to it."""
+    partial stream fits the driver-merge byte budget
+    (``_DRIVER_MERGE_MAX_BYTES``, 16 B/row here — the same footprint
+    class as the broadcast plans' fingerprint/degree arrays), merge
+    with one vectorized sort+reduceat on the driver and re-emit as
+    Dataset blocks. Ray Data's sort-based groupby costs seconds of
+    fixed shuffle overhead even on tiny inputs (measured 4-6 s on
+    566k partial rows at P=32 — half the triangle pipeline's wall
+    time); past the gate it is still the right tool and we fall back
+    to it. ``driver_merge_max`` (rows) overrides the byte-derived
+    gate, mainly for tests pinning plan equality."""
     import ray as _ray
     import ray.data as _rd
 
+    if driver_merge_max is None:
+        driver_merge_max = _DRIVER_MERGE_MAX_BYTES // 16
     parts = partials.materialize()
     if parts.count() > driver_merge_max:
         return parts.groupby("v").aggregate(Sum(value_col,
@@ -113,13 +124,15 @@ def _combine_edge_credits(alo: np.ndarray, ahi: np.ndarray,
 
 
 def _sum_partials_by_edge(partials, value_col: str, alias: str,
-                          driver_merge_max: int = 50_000_000):
+                          driver_merge_max: int | None = None):
     """Sum per-edge int64 partials -> Dataset (lo, hi, alias): the
-    2-key twin of _sum_partials_by_v (same gated driver-merge /
-    groupby dual plan, same footprint math at 24 B/row)."""
+    2-key twin of _sum_partials_by_v (same byte-budgeted driver-merge
+    / groupby dual plan, at 24 B/row)."""
     import ray as _ray
     import ray.data as _rd
 
+    if driver_merge_max is None:
+        driver_merge_max = _DRIVER_MERGE_MAX_BYTES // 24
     parts = partials.materialize()
     if parts.count() > driver_merge_max:
         return parts.groupby(["lo", "hi"]).aggregate(
@@ -370,7 +383,11 @@ def _oriented_edges(simple_und, num_join_partitions: int,
 def _ensure_src_whole(oriented, num_buckets: int, n_edges: int,
                       bucket_of=None):
     """Guarantee the wedge-generation contract: every source's forward
-    adjacency whole within one block.
+    adjacency whole within one block. Returns ``(ds, n_wedges)`` —
+    the exact candidate-wedge count (sum of C(forward_degree, 2))
+    rides the SAME metadata pass for free (per-block counts are exact
+    once blocks keep each source whole), so the join plan's
+    Bloom-or-not gate costs no extra execution.
 
     Ray's dynamic block splitting (DataContext.target_max_block_size,
     128 MiB default) can fragment a bucket's output block once the
@@ -383,22 +400,40 @@ def _ensure_src_whole(oriented, num_buckets: int, n_edges: int,
     split threshold: a single source's forward adjacency is
     degree-orientation-bounded by ~sqrt(2E) rows, so no group can
     outgrow a block again."""
+    from totem_ray.nputil import unique_counts
+
     if bucket_of is None:
         def bucket_of(a):
             return hash_partition(a, num_buckets)
 
-    def fragmented(ds_, key_of) -> bool:
+    def check(ds_, key_of):
+        """(fragmented?, n_wedges). The wedge count is only valid when
+        not fragmented (a split source would double-count partials) —
+        the repair loop recomputes it on the repaired layout."""
         def meta(t: pa.Table) -> pa.Table:
-            bids = np.unique(key_of(np.asarray(t["a"])))
-            return pa.table({"bid": pa.array(bids, type=pa.int64())})
+            a = np.asarray(t["a"])
+            bids = np.unique(key_of(a))
+            if len(a):
+                _, c = unique_counts(a)
+                w = int((c * (c - 1) // 2).sum())
+            else:
+                w = 0
+            return pa.table({
+                "bid": pa.array(bids, type=pa.int64()),
+                "w": pa.array(np.r_[np.int64(w),
+                                    np.zeros(len(bids) - 1, np.int64)]
+                              if len(bids) else
+                              np.empty(0, np.int64), type=pa.int64()),
+            })
         pdf = ds_.map_batches(meta, batch_size=None,
                               batch_format="pyarrow").to_pandas()
         if "bid" not in pdf.columns:  # empty dataset -> no columns
-            return False
-        return bool(pdf["bid"].duplicated().any())
+            return False, 0
+        return bool(pdf["bid"].duplicated().any()), int(pdf["w"].sum())
 
-    if not fragmented(oriented, bucket_of):
-        return oriented
+    frag, n_wedges = check(oriented, bucket_of)
+    if not frag:
+        return oriented, n_wedges
 
     # size repair buckets to a quarter of the LIVE block-split target
     # (16 B/row), so regrouped blocks stay whole; a single source's
@@ -425,9 +460,10 @@ def _ensure_src_whole(oriented, num_buckets: int, n_edges: int,
         repaired = oriented.map_batches(add_b, batch_format="pyarrow") \
             .groupby("_rb").map_groups(strip, batch_format="pyarrow") \
             .materialize()
-        if not fragmented(repaired,
-                          lambda a, _nb=nb2: hash_partition(a, _nb)):
-            return repaired
+        frag, n_wedges = check(repaired,
+                               lambda a, _nb=nb2: hash_partition(a, _nb))
+        if not frag:
+            return repaired, n_wedges
         nb2 *= 2
     raise RuntimeError(
         "_ensure_src_whole: could not produce an unfragmented "
@@ -662,13 +698,14 @@ def triangle_counts(edges, num_buckets: int = 64,
     oriented = oriented.materialize()
     n_oriented = oriented.count()
     layout_buckets = num_buckets if degs is not None else num_join_partitions
-    oriented = _ensure_src_whole(oriented, layout_buckets,
-                                 n_oriented, bucket_of=bucket_of)
+    oriented, n_wedges = _ensure_src_whole(oriented, layout_buckets,
+                                           n_oriented, bucket_of=bucket_of)
     if use_broadcast_close:
         return _triangle_counts_broadcast(oriented, n_edges=n_oriented,
                                           emit=emit)
     return _triangle_counts_join(oriented, num_join_partitions,
-                                 n_edges=n_oriented, emit=emit)
+                                 n_edges=n_oriented, emit=emit,
+                                 n_wedges=n_wedges)
 
 
 def edge_supports(edges, num_buckets: int = 64,
@@ -748,14 +785,29 @@ def _edge_bloom(oriented, n_edges: int, bits_per_edge: int = 16):
 
     # batch_size=None on BOTH sides: whole blocks in, whole blocks out
     # (the default 256-row iter batches would re-run the scatter — and
-    # its bool temp allocation — thousands of times per million edges)
+    # its bool temp allocation — thousands of times per million edges).
+    # Buffer the incoming position arrays and scatter in a few big
+    # flushes: one scatter pays the bool-temp + packbits cost once,
+    # not once per block (64 blocks x a 2^25-bit temp dominated the
+    # whole build at bench scale). The buffer is bounded: flush at
+    # ~m_bits/4 positions (the temp's own size), so driver heap stays
+    # O(bitmap), never O(position stream).
+    m_bits = len(bloom) << 3
+    flush_at = max(m_bits >> 2, 4_000_000)
+    buf: list[np.ndarray] = []
+    buffered = 0
     for blk in oriented.map_batches(positions, batch_size=None,
                                     batch_format="pyarrow") \
                        .iter_batches(batch_size=None,
                                      batch_format="pyarrow"):
         if blk.num_rows:
-            _bloom_scatter(bloom,
-                           np.asarray(blk.column("p").combine_chunks()))
+            buf.append(np.asarray(blk.column("p").combine_chunks()))
+            buffered += blk.num_rows
+            if buffered >= flush_at:
+                _bloom_scatter(bloom, np.concatenate(buf))
+                buf, buffered = [], 0
+    if buf:
+        _bloom_scatter(bloom, np.concatenate(buf))
     return bloom, mask
 
 
@@ -793,7 +845,8 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
                           wedge_chunk: int = 4_000_000,
                           bloom_max_edges: int = 2_000_000_000,
                           n_edges: int | None = None,
-                          emit: str = "vertex"):
+                          emit: str = "vertex",
+                          n_wedges: int | None = None):
     """Distributed path: wedges generated IN PLACE from the
     src-grouped oriented blocks (both producers — ``orient_b`` over
     the src-bucketed layout and ``_oriented_edges`` ending on its src
@@ -814,47 +867,19 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
         # The Bloom's only job is shrinking the wedge SHUFFLE (~97%
         # of candidate wedges do not close); building it costs a full
         # extra pass over the oriented edges. Skip it when the exact
-        # wedge count (one cheap counting pass) says the unpruned
-        # shuffle is small anyway — at bench scale the Bloom build was
-        # pure constant overhead on the distributed plan. The skip is
+        # wedge count (riding _ensure_src_whole's metadata pass, else
+        # one cheap counting pass here) says the unpruned shuffle is
+        # small anyway — at bench scale the Bloom build was pure
+        # constant overhead on the distributed plan. The skip is
         # capped in ABSOLUTE wedges: past ~50M candidate rows the
         # shuffle bytes dwarf the Bloom build even at low wedge/edge
         # ratios (a 2e9-edge graph at ratio 4 would otherwise shuffle
         # ~190 GB of wedges to save a ~4 GB Bloom pass).
-        n_wedges = _count_wedges(oriented)
+        if n_wedges is None:
+            n_wedges = _count_wedges(oriented)
         if n_wedges > min(max(8 * n_edges, 4_000_000), 50_000_000):
             bloom, bmask = _edge_bloom(oriented, n_edges)
             bloom_ref = _ray.put((bloom, bmask))
-
-    def wedges(t: pa.Table):
-        # one src-grouped block's forward-edge set -> canonicalized
-        # candidate wedges, yielded in bounded chunks (a hub block can
-        # expand quadratically; never materialize all its wedges)
-        a = np.asarray(t["a"])
-        b = np.asarray(t["b"])
-        blm = _ray.get(bloom_ref) if bloom_ref is not None else None
-        emitted = False
-        for u, lo, hi in _wedge_chunks(a, b, wedge_chunk):
-            if blm is not None and len(lo):
-                wh1, wh2 = _edge_fingerprints(lo, hi)
-                keep = _bloom_probe(blm[0], blm[1], wh1, wh2)
-                lo, hi, u = lo[keep], hi[keep], u[keep]
-            if len(lo):
-                emitted = True
-                yield pa.table({
-                    "u": pa.array(u, type=pa.int64()),
-                    "lo": pa.array(lo, type=pa.int64()),
-                    "hi": pa.array(hi, type=pa.int64()),
-                })
-        if not emitted:
-            # a typed empty block keeps the dataset schema consistent
-            yield pa.table({"u": pa.array([], type=pa.int64()),
-                            "lo": pa.array([], type=pa.int64()),
-                            "hi": pa.array([], type=pa.int64())})
-
-    # batch_size=None: a batch IS one src-grouped block
-    wc = oriented.map_batches(wedges, batch_size=None,
-                              batch_format="pyarrow")
 
     # A wedge (u; lo, hi) closes iff the edge between lo and hi
     # exists. Instead of a generic row join, both sides exchange on
@@ -863,35 +888,54 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
     # duplicate-run scan — the distributed twin of the broadcast
     # plan's probe). Edge rows ship 16 B of fingerprint; a false
     # positive needs both 64-bit halves to collide (~never). Credits
-    # are emitted straight from the merge — no second pass.
-    def tag_wedge(t: pa.Table) -> pa.Table:
-        lo = np.asarray(t["lo"])
-        wh1, _ = _edge_fingerprints(lo, np.asarray(t["hi"]))
-        return pa.table({
-            "u": t["u"], "lo": t["lo"], "hi": t["hi"],
-            "_side": pa.array(np.zeros(len(lo), dtype=np.int8)),
-            "_b": pa.array((wh1 % int(num_join_partitions))
-                           .astype(np.int64)),
-        })
-
-    def edge_fp(t: pa.Table) -> pa.Table:
+    # are emitted straight from the merge — no second pass. ONE
+    # generator pass over the oriented blocks produces BOTH exchange
+    # sides: the block's edge-fingerprint rows (_side=1) and its
+    # surviving candidate wedges (_side=0), each tagged with its join
+    # bucket at creation (the wedge fingerprints are already in hand
+    # for the Bloom probe). A separate edge pass + tagging stage +
+    # union added two map stages of pure overhead.
+    def both_sides(t: pa.Table):
         a = np.asarray(t["a"])
         b = np.asarray(t["b"])
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
-        h1, h2 = _edge_fingerprints(lo, hi)
-        n = len(a)
-        return pa.table({
-            "u": pa.array(np.zeros(n, dtype=np.int64)),
-            "lo": pa.array(h1.view(np.int64)),   # fingerprint halves
-            "hi": pa.array(h2.view(np.int64)),   # ride the id columns
-            "_side": pa.array(np.ones(n, dtype=np.int8)),
+        # edge side: fingerprint halves ride the id columns
+        elo = np.minimum(a, b)
+        ehi = np.maximum(a, b)
+        h1, h2 = _edge_fingerprints(elo, ehi)
+        yield pa.table({
+            "u": pa.array(np.zeros(len(a), dtype=np.int64)),
+            "lo": pa.array(h1.view(np.int64)),
+            "hi": pa.array(h2.view(np.int64)),
+            "_side": pa.array(np.ones(len(a), dtype=np.int8)),
             "_b": pa.array((h1 % int(num_join_partitions))
                            .astype(np.int64)),
         })
+        # wedge side: one src-grouped block's forward-edge set ->
+        # canonicalized candidate wedges, yielded in bounded chunks (a
+        # hub block can expand quadratically; never materialize all
+        # its wedges)
+        blm = _ray.get(bloom_ref) if bloom_ref is not None else None
+        for u, lo, hi in _wedge_chunks(a, b, wedge_chunk):
+            wh1 = None
+            if blm is not None and len(lo):
+                wh1, wh2 = _edge_fingerprints(lo, hi)
+                keep = _bloom_probe(blm[0], blm[1], wh1, wh2)
+                lo, hi, u, wh1 = lo[keep], hi[keep], u[keep], wh1[keep]
+            if len(lo):
+                if wh1 is None:
+                    wh1, _ = _edge_fingerprints(lo, hi)
+                yield pa.table({
+                    "u": pa.array(u, type=pa.int64()),
+                    "lo": pa.array(lo, type=pa.int64()),
+                    "hi": pa.array(hi, type=pa.int64()),
+                    "_side": pa.array(np.zeros(len(lo), dtype=np.int8)),
+                    "_b": pa.array((wh1 % int(num_join_partitions))
+                                   .astype(np.int64)),
+                })
 
-    tagged = wc.map_batches(tag_wedge, batch_format="pyarrow").union(
-        oriented.map_batches(edge_fp, batch_format="pyarrow"))
+    # batch_size=None: a batch IS one src-grouped block
+    tagged = oriented.map_batches(both_sides, batch_size=None,
+                                  batch_format="pyarrow")
 
     def close(t: pa.Table) -> pa.Table:
         side = np.asarray(t["_side"])

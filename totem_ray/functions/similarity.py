@@ -165,6 +165,115 @@ def _kmeans_lite(x: np.ndarray, ncells: int, iters: int = 8,
     return cent
 
 
+def _fit_centroids(emb, ncells: int, fit: str, seed: int, sample_n: int,
+                   total: int, id_col: str, emb_col: str) -> np.ndarray:
+    """Normalized (ncells, d) centroid matrix. ``fit='kmeans'`` fits
+    k-means-lite on a deterministic id-hash sample spread over the
+    WHOLE dataset (limit(n) would take the first rows — on clustered /
+    label-sorted storage the centroids then miss most of the space and
+    recall collapses). ``fit='seeded'`` takes the embeddings of the
+    ncells smallest ids as centroids directly: lower recall per probe,
+    but a pure function of the data, so the approximate partial-probe
+    result itself is exactly reproducible by the SQL oracle. Both fits
+    are deterministic, which is what lets an interrupted
+    ``build_ivf_index`` resume: a re-run re-derives identical
+    centroids, hence identical cell assignments."""
+    from totem_ray.hashing import as_u64, splitmix64
+
+    if fit == "seeded":
+        return _normalize(_seed_centroids(emb, ncells, id_col, emb_col))
+    ratio = 1.25 * sample_n / total if total else 1.0
+    # ratio >= 1 means "keep everything" — skip the filter, both
+    # to save a pass and because ratio*(2^64-1) rounds to exactly
+    # 2^64 at ratio=1.0, which overflows np.uint64
+    if total > sample_n and ratio < 1.0:
+        thresh = np.uint64(ratio * (2.0 ** 64 - 1))
+
+        def samp(t: pa.Table) -> pa.Table:
+            h = splitmix64(as_u64(np.asarray(t[id_col]))
+                           ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+            return t.filter(pa.array(h <= thresh))
+
+        sample = emb.map_batches(samp, batch_format="pyarrow").to_pandas()
+        if not len(sample):  # degenerate fallback
+            sample = emb.limit(sample_n).to_pandas()
+    else:
+        sample = emb.to_pandas()
+    xs = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
+    return _normalize(_kmeans_lite(xs, ncells, seed=seed))
+
+
+def _probes_for(cent: np.ndarray, qn: np.ndarray,
+                nprobe: int) -> np.ndarray:
+    # stable sort: probe-order ties between equal-similarity centroids
+    # resolve to the lower cell index, matching the oracle's
+    # (sim DESC, cid ASC) tie-break
+    return np.argsort(-(qn @ cent.T), axis=1,
+                      kind="stable")[:, :min(nprobe, len(cent))]
+
+
+class _ProbeTopK:
+    """Actor-pool batch fn: per-cell partial top-k of the probing
+    queries against the batch's rows. Constructor args ride a single
+    ``ray.put`` ref so the (possibly large) query matrix is broadcast
+    once per actor, not per batch."""
+
+    def __init__(self, ref, k, id_col, emb_col, exclude_self):
+        self.cent, self.qn, self.qids, probes = ray.get(ref)
+        self.k, self.id_col, self.emb_col = k, id_col, emb_col
+        self.exclude_self = exclude_self
+        # (ncells, Q) probe-membership table: one bool lookup per
+        # cell group replaces a per-QUERY python loop with np.isin
+        # over the whole batch (which made IVF slower than brute
+        # force at moderate Q)
+        self.probed_by = np.zeros((len(self.cent), len(self.qids)),
+                                  dtype=bool)
+        self.probed_by[probes, np.arange(len(self.qids))[:, None]] = True
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_TOPK
+        ids = np.asarray(t[self.id_col]).astype(np.int64)
+        x = _normalize(_as_matrix(t[self.emb_col]))
+        if "ivf_cell" in t.column_names:
+            # indexed layout: the persisted assignment (identical to
+            # the recompute — same centroids, same float ops)
+            cell = np.asarray(t["ivf_cell"]).astype(np.int64)
+        else:
+            cell = np.argmax(x @ self.cent.T, axis=1)
+        # group rows by cell: per PRESENT CELL (<= ncells, not Q)
+        # one dense matmul of the probing queries x the cell's rows
+        # — the IVF sparsity is preserved, the loop bound is small
+        order = np.argsort(cell, kind="stable")
+        cell_s, ids_s, x_s = cell[order], ids[order], x[order]
+        starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
+        ends = np.r_[starts[1:], len(cell_s)]
+        outs = []
+        for g0, g1 in zip(starts, ends):
+            qsel = np.flatnonzero(self.probed_by[cell_s[g0]])
+            if not len(qsel):
+                continue
+            sub_ids = ids_s[g0:g1]
+            sims = self.qn[qsel] @ x_s[g0:g1].T        # (q_c, n_c)
+            if self.exclude_self:
+                sims[self.qids[qsel][:, None] == sub_ids[None, :]] \
+                    = -np.inf
+            kk = min(self.k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qrows = np.repeat(np.arange(len(qsel)), kk)
+            outs.append((self.qids[qsel][qrows],
+                         sub_ids[idx.reshape(-1)],
+                         sims[qrows, idx.reshape(-1)]))
+        if not outs:
+            return _EMPTY_TOPK
+        q = np.concatenate([o[0] for o in outs])
+        n = np.concatenate([o[1] for o in outs])
+        s = np.concatenate([o[2] for o in outs])
+        return pa.table({"query_id": pa.array(q, type=pa.int64()),
+                         "neighbor_id": pa.array(n, type=pa.int64()),
+                         "cos_sim": pa.array(s, type=pa.float64())})
+
+
 def knn_ivf(emb, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             ncells: int = 16, nprobe: int = 4, sample_n: int = 10_000,
             id_col: str = "vec_id", emb_col: str = "embedding",
@@ -173,102 +282,161 @@ def knn_ivf(emb, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     """IVF ANN: centroids from a sample, assignment via broadcast
     centroid matrix, probe only the nprobe closest cells per query.
 
-    ``fit='kmeans'`` (default) fits k-means-lite centroids on a
-    deterministic id-hash sample spread over the WHOLE dataset
-    (limit(n) would take the first rows — on clustered / label-sorted
-    storage the centroids then miss most of the space and recall
-    collapses). ``fit='seeded'`` takes the embeddings of the ncells
-    smallest ids as centroids directly: lower recall per probe, but a
-    pure function of the data, so the approximate partial-probe result
-    itself is exactly reproducible by the SQL oracle."""
-    from totem_ray.hashing import as_u64, splitmix64
-
+    Probing prunes COMPUTE but still scans the full dataset's bytes
+    every call; for index-once / probe-few I/O over a persistent
+    corpus use ``build_ivf_index`` + ``knn_ivf_indexed``."""
     # count() is metadata-only for parquet sources; a DERIVED input
     # pays one extra pass here — pre-materialize it if that matters
     total = emb.count()
     if total == 0:
         # same typed empty result as knn_brute_force on empty input
         return _final_topk(_EMPTY_TOPK.to_pandas(), k)
-    if fit == "seeded":
-        cent = _normalize(_seed_centroids(emb, ncells, id_col, emb_col))
-    else:
-        ratio = 1.25 * sample_n / total if total else 1.0
-        # ratio >= 1 means "keep everything" — skip the filter, both
-        # to save a pass and because ratio*(2^64-1) rounds to exactly
-        # 2^64 at ratio=1.0, which overflows np.uint64
-        if total > sample_n and ratio < 1.0:
-            thresh = np.uint64(ratio * (2.0 ** 64 - 1))
-
-            def samp(t: pa.Table) -> pa.Table:
-                h = splitmix64(as_u64(np.asarray(t[id_col]))
-                               ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
-                return t.filter(pa.array(h <= thresh))
-
-            sample = emb.map_batches(samp, batch_format="pyarrow").to_pandas()
-            if not len(sample):  # degenerate fallback
-                sample = emb.limit(sample_n).to_pandas()
-        else:
-            sample = emb.to_pandas()
-        xs = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
-        cent = _normalize(_kmeans_lite(xs, ncells, seed=seed))
+    cent = _fit_centroids(emb, ncells, fit, seed, sample_n, total,
+                          id_col, emb_col)
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
-    # stable sort: probe-order ties between equal-similarity centroids
-    # resolve to the lower cell index, matching the oracle's
-    # (sim DESC, cid ASC) tie-break
-    probes = np.argsort(-(qn @ cent.T), axis=1,
-                        kind="stable")[:, :nprobe]  # (Q, nprobe)
+    probes = _probes_for(cent, qn, nprobe)  # (Q, nprobe)
     ref = ray.put((cent, qn, qids, probes))
+    partials = emb.map_batches(
+        _ProbeTopK, fn_constructor_args=(ref, k, id_col, emb_col,
+                                         exclude_self),
+        batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    return _final_topk(partials, k)
 
-    class ProbeTopK:
-        def __init__(self):
-            self.cent, self.qn, self.qids, probes = ray.get(ref)
-            # (ncells, Q) probe-membership table: one bool lookup per
-            # cell group replaces a per-QUERY python loop with np.isin
-            # over the whole batch (which made IVF slower than brute
-            # force at moderate Q)
-            self.probed_by = np.zeros((len(self.cent), len(self.qids)),
-                                      dtype=bool)
-            self.probed_by[probes, np.arange(len(self.qids))[:, None]] = True
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return _EMPTY_TOPK
-            ids = np.asarray(t[id_col]).astype(np.int64)
-            x = _normalize(_as_matrix(t[emb_col]))
-            cell = np.argmax(x @ self.cent.T, axis=1)
-            # group rows by cell: per PRESENT CELL (<= ncells, not Q)
-            # one dense matmul of the probing queries x the cell's rows
-            # — the IVF sparsity is preserved, the loop bound is small
-            order = np.argsort(cell, kind="stable")
-            cell_s, ids_s, x_s = cell[order], ids[order], x[order]
-            starts = np.flatnonzero(np.r_[True, cell_s[1:] != cell_s[:-1]])
-            ends = np.r_[starts[1:], len(cell_s)]
-            outs = []
-            for g0, g1 in zip(starts, ends):
-                qsel = np.flatnonzero(self.probed_by[cell_s[g0]])
-                if not len(qsel):
-                    continue
-                sub_ids = ids_s[g0:g1]
-                sims = self.qn[qsel] @ x_s[g0:g1].T        # (q_c, n_c)
-                if exclude_self:
-                    sims[self.qids[qsel][:, None] == sub_ids[None, :]] \
-                        = -np.inf
-                kk = min(k, sims.shape[1])
-                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-                qrows = np.repeat(np.arange(len(qsel)), kk)
-                outs.append((self.qids[qsel][qrows],
-                             sub_ids[idx.reshape(-1)],
-                             sims[qrows, idx.reshape(-1)]))
-            if not outs:
-                return _EMPTY_TOPK
-            q = np.concatenate([o[0] for o in outs])
-            n = np.concatenate([o[1] for o in outs])
-            s = np.concatenate([o[2] for o in outs])
-            return pa.table({"query_id": pa.array(q, type=pa.int64()),
-                             "neighbor_id": pa.array(n, type=pa.int64()),
-                             "cos_sim": pa.array(s, type=pa.float64())})
+class _AssignCell:
+    def __init__(self, ref, emb_col):
+        self.cent = ray.get(ref)
+        self.emb_col = emb_col
 
-    partials = emb.map_batches(ProbeTopK, batch_format="pyarrow",
-                               concurrency=(1, 8)).to_pandas()
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("ivf_cell",
+                                   pa.array([], type=pa.int64()))
+        x = _normalize(_as_matrix(t[self.emb_col]))
+        cell = np.argmax(x @ self.cent.T, axis=1).astype(np.int64)
+        return t.append_column("ivf_cell", pa.array(cell))
+
+
+def build_ivf_index(emb, path: str, ncells: int = 16,
+                    fit: str = "kmeans", seed: int = 42,
+                    sample_n: int = 10_000, id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> dict:
+    """Persist an IVF cell-partitioned layout: fit centroids once,
+    assign every vector to its argmax-cosine cell, and write the
+    vectors grouped by cell — one ``part-{cell:05d}/`` parquet
+    directory per cell via the resumable sink — plus the centroid
+    matrix (``_centroids.npy``) and index metadata
+    (``_IVF_META.json``).
+
+    This is the index-once / probe-few I/O shape an ANN index needs at
+    corpus scale: ``knn_ivf_indexed`` then reads ONLY the probed
+    cells' files per query set instead of re-scanning and re-assigning
+    the whole dataset per call (which is what plain ``knn_ivf`` does —
+    fine for one-shot queries, wrong for a served index). The
+    reference has no ANN operator; the layout mirrors its
+    partition-then-place design (src/totem/totem_partition.cu) applied
+    to vector cells instead of graph partitions.
+
+    Resumable: both fits are deterministic, so an interrupted build
+    re-derives identical centroids and assignments, and the sink skips
+    cells already marked ``_DONE``. On a multi-node cluster ``path``
+    must be shared storage (same contract as the sink)."""
+    import json
+    import os
+
+    from totem_ray.sources.sink import write_parquet_resumable
+
+    total = emb.count()
+    if total == 0:
+        raise ValueError("cannot build an IVF index over an empty dataset")
+    cent = _fit_centroids(emb, ncells, fit, seed, sample_n, total,
+                          id_col, emb_col)
+    os.makedirs(path, exist_ok=True)
+    # centroids + meta before the data shuffle: a resumed build
+    # overwrites them with bit-identical values (deterministic fit)
+    tmp = os.path.join(path, ".centroids.tmp")
+    with open(tmp, "wb") as f:
+        np.save(f, cent)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "_centroids.npy"))
+    meta = {"ncells": int(len(cent)), "dim": int(cent.shape[1]),
+            "fit": fit, "seed": seed, "id_col": id_col,
+            "emb_col": emb_col}
+    tmp = os.path.join(path, ".meta.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "_IVF_META.json"))
+    ref = ray.put(cent)
+    assigned = emb.map_batches(
+        _AssignCell, fn_constructor_args=(ref, emb_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+    res = write_parquet_resumable(assigned, path, key="ivf_cell",
+                                  num_partitions=int(len(cent)),
+                                  partitioner="identity")
+    return {**res, **meta}
+
+
+def load_ivf_index(path: str):
+    """(centroids, meta) for a completed ``build_ivf_index`` layout;
+    raises if the build never finished (re-run build_ivf_index — it
+    resumes from the finished cells)."""
+    import json
+    import os
+
+    if not os.path.exists(os.path.join(path, "_ALL_DONE")):
+        raise ValueError(
+            f"IVF index at {path!r} is incomplete or missing; run "
+            "build_ivf_index(emb, path) to (re)build it — an "
+            "interrupted build resumes from the finished cells")
+    with open(os.path.join(path, "_IVF_META.json")) as f:
+        meta = json.load(f)
+    cent = np.load(os.path.join(path, "_centroids.npy"))
+    return cent, meta
+
+
+def knn_ivf_indexed(index_path: str, queries: np.ndarray,
+                    query_ids: np.ndarray, k: int = 10, nprobe: int = 4,
+                    exclude_self: bool = True,
+                    stats: dict | None = None) -> pd.DataFrame:
+    """ANN top-k against a persisted ``build_ivf_index`` layout:
+    reads ONLY the ``nprobe`` probed cells' parquet files per query
+    set (cells with no file were empty), so I/O scales with the
+    probed fraction, not corpus size. With nprobe == ncells this is
+    exact (reproduces brute force); results are identical to
+    ``knn_ivf`` with the same fit/ncells/nprobe on the same data.
+
+    Pass ``stats={}`` to receive bytes_probed / bytes_total /
+    probed_cells / total_cells for the probed-I/O accounting."""
+    import os
+
+    cent, meta = load_ivf_index(index_path)
+    ncells = meta["ncells"]
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    probes = _probes_for(cent, qn, nprobe)
+    cells = np.unique(probes)
+
+    def cell_file(c: int) -> str:
+        return os.path.join(index_path, f"part-{c:05d}", "data.parquet")
+
+    files = [cell_file(c) for c in cells if os.path.exists(cell_file(c))]
+    if stats is not None:
+        all_files = [cell_file(c) for c in range(ncells)
+                     if os.path.exists(cell_file(c))]
+        stats.update(
+            probed_cells=int(len(cells)), total_cells=int(ncells),
+            bytes_probed=sum(os.path.getsize(f) for f in files),
+            bytes_total=sum(os.path.getsize(f) for f in all_files))
+    if not files:
+        return _final_topk(_EMPTY_TOPK.to_pandas(), k)
+    ds = ray.data.read_parquet(files)
+    ref = ray.put((cent, qn, qids, probes))
+    partials = ds.map_batches(
+        _ProbeTopK, fn_constructor_args=(ref, k, meta["id_col"],
+                                         meta["emb_col"], exclude_self),
+        batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
     return _final_topk(partials, k)

@@ -65,16 +65,22 @@ def _write_marker(path: str, content: str):
 
 
 def write_parquet_resumable(ds, path: str, key: str,
-                            num_partitions: int = 64) -> dict:
+                            num_partitions: int = 64,
+                            partitioner: str = "hash") -> dict:
     """Write ``ds`` to ``path`` as ``num_partitions`` key-hash
     partition directories, skipping partitions already marked done by
     a previous (possibly failed) run.
 
-    The partition function is the deterministic ``hash_partition`` of
-    the ``key`` column, so a re-run over the SAME input produces the
-    same rows per partition — the property resumability needs. Rows
-    route to their partition in one groupby shuffle; each partition
-    group writes its file atomically from inside the map task (tmp ->
+    With ``partitioner='hash'`` (default) the partition function is
+    the deterministic ``hash_partition`` of the ``key`` column, so a
+    re-run over the SAME input produces the same rows per partition —
+    the property resumability needs. ``partitioner='identity'`` uses
+    the ``key`` column value itself as the partition id (values must
+    lie in [0, num_partitions)); this is how a layout whose reader
+    must know which directory holds which key — e.g. an IVF cell
+    index that reads only probed cells — is persisted. Rows route to
+    their partition in one groupby shuffle; each partition group
+    writes its file atomically from inside the map task (tmp ->
     rename, then the ``_DONE`` marker), so a task killed mid-write
     never leaves a partition half-visible.
 
@@ -85,6 +91,8 @@ def write_parquet_resumable(ds, path: str, key: str,
 
     import pyarrow.parquet as pq
 
+    if partitioner not in ("hash", "identity"):
+        raise ValueError(f"unknown partitioner {partitioner!r}")
     sch = ds.schema()
     if sch is not None and key in sch.names:
         ktype = dict(zip(sch.names, sch.types))[key]
@@ -124,6 +132,7 @@ def write_parquet_resumable(ds, path: str, key: str,
             lines = f.read().splitlines()
         prev = int((lines[0] if lines else "").strip() or 0)
         prev_key = lines[1].strip() if len(lines) > 1 else None
+        prev_part = lines[2].strip() if len(lines) > 2 else "hash"
         if prev != num_partitions:
             raise ValueError(
                 f"{path} was written with num_partitions={prev}; resume "
@@ -134,9 +143,13 @@ def write_parquet_resumable(ds, path: str, key: str,
             raise ValueError(
                 f"{path} was written with key={prev_key!r}; resume "
                 f"with the same key (got {key!r})")
+        if prev_part != partitioner:
+            raise ValueError(
+                f"{path} was written with partitioner={prev_part!r}; "
+                f"resume with the same value (got {partitioner!r})")
     else:
         with open(meta_path, "w") as f:
-            f.write(f"{num_partitions}\n{key}")
+            f.write(f"{num_partitions}\n{key}\n{partitioner}")
     done = np.array([_done(os.path.join(path, f"part-{p:05d}"))
                      for p in range(num_partitions)])
     if done.all():
@@ -146,7 +159,14 @@ def write_parquet_resumable(ds, path: str, key: str,
         return {"written": 0, "skipped": int(num_partitions), "path": path}
 
     def add_part(t: pa.Table) -> pa.Table:
-        pid = hash_partition(np.asarray(t[key]), num_partitions)
+        if partitioner == "identity":
+            pid = np.asarray(t[key]).astype(np.int64)
+            if len(pid) and (pid.min() < 0 or pid.max() >= num_partitions):
+                raise ValueError(
+                    f"identity partition key {key!r} has values outside "
+                    f"[0, {num_partitions})")
+        else:
+            pid = hash_partition(np.asarray(t[key]), num_partitions)
         keep = ~done[pid]
         t = t.filter(pa.array(keep))
         return t.append_column("_part", pa.array(pid[keep]))
