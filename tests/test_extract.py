@@ -242,3 +242,25 @@ def test_host_id_map_covers_external_hosts(tmp_path):
     name_of = dict(zip(hm["host_id"], hm["host"]))
     assert name_of[hg["src"].iloc[0]] == "crawled.example"
     assert name_of[hg["dst"].iloc[0]] == "external.example"
+
+
+def test_url_host_normalization():
+    """Case, userinfo and port variants of one logical host must map
+    to a single host vertex (Common-Crawl host-graph convention);
+    IPv6 literals keep their brackets."""
+    import pyarrow as pa
+
+    from totem_ray.sources.extract import url_host
+
+    urls = pa.array([
+        "HTTP://A.Example/x",
+        "http://a.example:80/y",
+        "https://user@A.EXAMPLE/z",
+        "http://u:pw@a.example:8080/q",
+        "http://[2001:DB8::1]:443/v6",
+        "not a url",
+    ])
+    got = url_host(urls).to_pylist()
+    assert got[:4] == ["a.example"] * 4
+    assert got[4] == "[2001:db8::1]"
+    assert got[5] is None

@@ -131,6 +131,39 @@ def test_degree_partitioner_hubs():
     assert stats["total_edges"] == len(e)
 
 
+def test_degree_partitioner_matches_sorted_walk():
+    """from_degrees selects hubs with per-block partial top-k + one
+    reduce (no ds.sort all-to-all); the hub set must equal the
+    reference degree-sorted budget walk (ties by ascending vertex id)
+    regardless of block layout or direction."""
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    v = np.arange(500, dtype=np.int64)
+    deg = rng.integers(1, 100, size=500).astype(np.int64)
+    deg[::50] = 1000  # a few clear hubs + plenty of ties
+    df = pd.DataFrame({"v": v, "degree": deg})
+
+    for descending in (True, False):
+        for alpha, max_hubs in ((0.3, 1_000_000), (0.9, 25)):
+            sign = -1 if descending else 1
+            order = np.lexsort((v, sign * deg))
+            cum = np.cumsum(deg[order].astype(np.float64))
+            budget = alpha * float(deg.sum())
+            take = min(int(np.searchsorted(cum, budget, "left")) + 1,
+                       len(v), max_hubs)
+            expect = np.sort(v[order][:take])
+            for nb in (1, 7):
+                ds = ray.data.from_pandas(df).repartition(nb)
+                part = DegreePartitioner.from_degrees(
+                    ds, num_partitions=4, alpha=alpha,
+                    descending=descending, max_hubs=max_hubs)
+                got = np.sort(part.hub_ids)
+                assert got.tolist() == expect.tolist(), (
+                    descending, alpha, max_hubs, nb)
+
+
 def test_modularity_two_cliques():
     # two triangles joined by one edge: strong communities -> Q > 0.3
     tri1 = [(0, 1), (1, 2), (0, 2)]

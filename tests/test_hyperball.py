@@ -129,3 +129,21 @@ def test_effective_diameter_star_and_path():
                             p=12)
     assert dp["radius"] == n - 1
     assert 6.0 <= dp["effective_diameter"] <= 9.0
+
+
+def test_hyperball_estimates_rejects_mismatched_p():
+    """A register table built with a larger p than the estimator's p
+    must fail loudly, not skew estimates (the table carries no p)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from totem_ray.algs.linkrank import hyperball_estimates
+
+    regs = ray.data.from_pandas(pd.DataFrame({
+        "v": np.zeros(70, dtype=np.int64),
+        "bucket": np.arange(70, dtype=np.int64),   # needs p >= 7
+        "rho": np.ones(70, dtype=np.int64)}))
+    with pytest.raises(Exception, match="larger p"):
+        hyperball_estimates(regs, p=6).to_pandas()

@@ -108,3 +108,56 @@ def test_labelprop_resume_identical_result(tmp_path):
     eng.shutdown()
     assert np.array_equal(got, ref)
     assert resumed["iterations"] == total_iters
+
+
+def test_actor_death_mid_run_resume(tmp_path):
+    """Multi-node failure shape: a shard actor dies HARD (ray.kill, no
+    graceful shutdown) partway through a checkpointed job. The running
+    job must surface the failure (not hang or silently drop a shard),
+    and a fresh engine with resume=True must continue from the last
+    complete checkpoint to the bitwise-identical converged result."""
+    import pytest
+    import ray
+
+    ckpt = str(tmp_path / "ckpt")
+    n, e = topology_edges("grid_15")
+
+    eng = BspEngine(3).build(edges_from_arrays(e))
+    full = _run(eng)
+    ref = full["result"].to_pandas().sort_values("v")["rank"].to_numpy()
+    total_iters = full["iterations"]
+    eng.shutdown()
+
+    eng = BspEngine(3).build(edges_from_arrays(e))
+    partial = _run(eng, checkpoint_dir=ckpt, checkpoint_every=2,
+                   max_supersteps=6)
+    assert not partial["converged"]
+    ray.kill(eng.shards[1], no_restart=True)
+    with pytest.raises(ray.exceptions.RayError):
+        _run(eng, checkpoint_dir=ckpt, checkpoint_every=2)
+    # the "crashed" job never shuts down cleanly; reap the survivors
+    # without pooling them (a dead set must not be recycled)
+    eng.shutdown(pool=False)
+
+    eng2 = BspEngine(3).build(edges_from_arrays(e))
+    resumed = _run(eng2, checkpoint_dir=ckpt, checkpoint_every=2,
+                   resume=True)
+    assert resumed["resumed_from"] == 6  # checkpoints at steps 1,3,5
+    got = resumed["result"].to_pandas().sort_values("v")["rank"].to_numpy()
+    assert resumed["converged"]
+    assert np.array_equal(got, ref)
+    assert resumed["iterations"] == total_iters
+    eng2.shutdown()
+
+    # pool hygiene: kill one actor of the PARKED set; the next engine
+    # must detect the dead candidate set, replace it, and still work
+    import totem_ray.engine.bsp as bspmod
+    for sets in bspmod._SHARD_POOL.values():
+        if sets:
+            ray.kill(sets[-1][0], no_restart=True)
+            break
+    eng3 = BspEngine(3).build(edges_from_arrays(e))
+    again = _run(eng3)
+    got3 = again["result"].to_pandas().sort_values("v")["rank"].to_numpy()
+    assert np.array_equal(got3, ref)
+    eng3.shutdown()

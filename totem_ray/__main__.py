@@ -93,7 +93,9 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--rounds", type=int, default=None,
                    help="hits: iteration count (default 5); ktruss: "
                         "bounded peel rounds (default: peel to the "
-                        "fixpoint)")
+                        "fixpoint); hyperball: sketch radius in hops "
+                        "(default 2; must be >= 1 — radius 0 is just "
+                        "the seed registers)")
     return p
 
 
@@ -256,7 +258,8 @@ def main(argv=None) -> int:
                             else args.rounds, **kw, **run_kw)
         from totem_ray.algs import hyperball_estimates
 
-        out = dict(hb, result=hyperball_estimates(hb["result"]))
+        out = dict(hb, result=hyperball_estimates(hb["result"],
+                                                  p=hb["p"]))
     else:  # pragma: no cover — argparse choices guard this
         raise SystemExit(f"unknown alg {args.alg}")
 

@@ -100,6 +100,9 @@ def hyperball(edges, num_partitions: int = 4, partitioner=None,
                      checkpoint_dir=checkpoint_dir,
                      checkpoint_every=checkpoint_every, resume=resume)
     out["engine"] = engine
+    # the register table itself does not carry p; callers must feed
+    # the SAME p to hyperball_estimates, so return it alongside
+    out["p"] = p
     return out
 
 
@@ -108,7 +111,12 @@ def hyperball_estimates(registers, p: int = 6):
     from a (v, bucket, rho) register table. Two vectorized aggregates
     (sum of 2^-rho and register count per vertex), then the standard
     alpha_m correction with linear counting for the small range — no
-    per-vertex Python."""
+    per-vertex Python.
+
+    ``p`` MUST be the p the hyperball run used (the register table
+    carries no p of its own — read it from the run's result dict,
+    ``hb["p"]``); a register bucket >= 2^p fails loudly here instead
+    of silently skewing every estimate."""
     import numpy as np
     import pyarrow as pa
     from ray.data.aggregate import Count, Sum
@@ -119,6 +127,13 @@ def hyperball_estimates(registers, p: int = 6):
     alpha = hll_alpha(m)
 
     def powcol(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["bucket"])
+        if len(b) and int(b.max()) >= m:
+            raise ValueError(
+                f"register bucket {int(b.max())} >= 2^p={m}: these "
+                f"registers were built with a larger p than the "
+                f"p={p} passed to hyperball_estimates — pass the "
+                "run's own p (hyperball(...)['p'])")
         rho = np.asarray(t["rho"], dtype=np.float64)
         return pa.table({"v": t["v"],
                          "pw": pa.array(np.exp2(-rho))})

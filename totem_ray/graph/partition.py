@@ -55,30 +55,53 @@ class DegreePartitioner:
     def from_degrees(cls, degree_ds, num_partitions: int, alpha: float = 0.2,
                      descending: bool = True, max_hubs: int = 1_000_000,
                      salt: int = 0):
-        """Build from a (v, degree) Dataset: walk the degree-sorted
+        """Build from a (v, degree) Dataset: walk the degree-ordered
         vertex list until the cumulative degree reaches ``alpha`` of
-        total edges (totem_partition.cu:322-339's edge-budget walk).
-        Streams the sorted Dataset and stops early — only the selected
-        hub ids are materialized."""
+        total edges (totem_partition.cu:322-339's edge-budget walk),
+        capped at ``max_hubs``.
+
+        The walk only ever needs the extreme-degree prefix, so there
+        is NO global sort (``ds.sort`` is an all-to-all range
+        exchange): each block contributes its own top-``max_hubs``
+        rows by (degree, v) — a valid partial, since every vertex of
+        the global prefix is inside its block's prefix — then one
+        single-block reduce pass shrinks what the driver sees to
+        <= max_hubs rows (the _seed_centroids idiom,
+        functions/similarity.py). Ties at the boundary degree break by
+        ascending vertex id, making the hub set a deterministic
+        function of the data (the sort-based walk inherited whatever
+        tie order the distributed sort produced)."""
+        import pyarrow as pa
+
         total = degree_ds.sum("degree")
         budget = alpha * float(total or 0)
-        hubs = []
-        n_hubs = 0
-        acc = 0.0
-        for batch in degree_ds.sort("degree", descending=descending) \
-                              .iter_batches(batch_size=65536, batch_format="numpy"):
-            deg = batch["degree"].astype(np.float64)
-            take = int(np.searchsorted(np.cumsum(deg), budget - acc, side="left")) + 1
-            take = min(take, len(deg), max_hubs - n_hubs)
-            if take <= 0:
-                break
-            hubs.append(batch["v"][:take])
-            n_hubs += take
-            acc += float(deg[:take].sum())
-            if acc >= budget or n_hubs >= max_hubs:
-                break
-        hub_ids = np.concatenate(hubs) if hubs else np.empty(0, dtype=np.uint64)
-        return cls(num_partitions, hub_ids, descending=descending, salt=salt)
+        sign = -1 if descending else 1
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.select(["v", "degree"])
+            if t.num_rows <= max_hubs:
+                return t
+            v = np.asarray(t["v"])
+            d = np.asarray(t["degree"])
+            order = np.lexsort((v, sign * d))[:max_hubs]
+            return t.take(pa.array(np.sort(order)))
+
+        parts = degree_ds.map_batches(partial, batch_format="pyarrow") \
+            .repartition(1) \
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None) \
+            .to_pandas()
+        if not len(parts):
+            return cls(num_partitions, np.empty(0, dtype=np.int64),
+                       descending=descending, salt=salt)
+        v = parts["v"].to_numpy()
+        d = parts["degree"].to_numpy()
+        order = np.lexsort((v, sign * d))
+        v, d = v[order], d[order].astype(np.float64)
+        take = int(np.searchsorted(np.cumsum(d), budget, side="left")) + 1
+        take = min(take, len(v), max_hubs)
+        return cls(num_partitions, v[:take], descending=descending,
+                   salt=salt)
 
     def pid_np(self, ids: np.ndarray) -> np.ndarray:
         ids = np.asarray(ids).astype(np.int64, copy=False)

@@ -114,10 +114,19 @@ _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/?#]+)"
 
 
 def url_host(col) -> pa.Array:
-    """url strings -> authority component (scheme://HOST/...); null
-    where the url has no scheme://host prefix. RE2-vectorized."""
-    return pc.struct_field(pc.extract_regex(_as_large_string(col),
-                                            _HOST_RE), "host")
+    """url strings -> NORMALIZED host component (scheme://HOST/...);
+    null where the url has no scheme://host prefix. RE2-vectorized.
+
+    Normalization follows the conventional Common-Crawl host-graph
+    treatment: the authority is lowercased and stripped of an optional
+    'userinfo@' prefix and ':port' suffix, so 'HTTP://A.example',
+    'http://a.example:80' and 'http://u@a.example' all hash to ONE
+    host vertex instead of splitting a logical host's PageRank mass."""
+    h = pc.struct_field(pc.extract_regex(_as_large_string(col),
+                                         _HOST_RE), "host")
+    h = pc.replace_substring_regex(h, r"^[^@/\[\]]*@", "")
+    h = pc.replace_substring_regex(h, r":\d+$", "")
+    return pc.utf8_lower(h)
 
 
 def extract_host_edges_batch(batch: pa.Table) -> pa.Table:
