@@ -37,10 +37,22 @@ def tumbling_window(events, width_s: int = 3600, key: str = "user_id",
         })
 
     win = events.map_batches(add_window, batch_format="pyarrow")
-    return win.groupby([key, "window_start"]).aggregate(
+    agg = win.groupby([key, "window_start"]).aggregate(
         Count(alias_name="n_events"),
         Sum(value_col, alias_name="sum_value"),
         Mean(value_col, alias_name="avg_value"))
+
+    # Ray's sort-aggregate narrows the timestamp key to seconds (all
+    # window starts are whole seconds, so no value changes) — restore
+    # the input's microsecond unit so downstream schema/hash compares
+    # against SQL (date_trunc yields timestamp[us]) stay exact
+    def fix_unit(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("window_start")
+        return t.set_column(
+            i, "window_start",
+            t["window_start"].cast(pa.timestamp("us")))
+
+    return agg.map_batches(fix_unit, batch_format="pyarrow")
 
 
 def session_windows(events, gap_s: int = 1800, key: str = "user_id",
