@@ -701,3 +701,28 @@ def test_multimodal_null_payload_rows():
     fr = sample_frames(ds, every_n=1, batch_size=4).to_pandas()
     vids = t.filter(pa.compute.equal(t["media_type"], "video"))
     assert set(fr["media_id"]).issubset(set(vids["media_id"].to_pylist()))
+
+
+def test_minhash_clone_family_collapses_to_star():
+    """A family of f identical docs must emit O(f) candidate rows (a
+    star to the min id, est 1.0), not the C(f,2) clique — and the dup
+    groups must equal the all-pairs mode's."""
+    from totem_ray.functions.dedup import (minhash_dedup_groups,
+                                           minhash_lsh_candidates)
+
+    f = 30
+    text = "many words of shared boilerplate content flowing onward " * 4
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(f), type=pa.int64()),
+        "text": pa.array([text] * f)}))
+    cand = minhash_lsh_candidates(docs).to_pandas()
+    # star: exactly f-1 distinct pairs, all (0, j), est 1.0
+    assert len(cand) == f - 1
+    assert set(cand["a"]) == {0}
+    assert (cand["jaccard_est"] == 1.0).all()
+    allp = minhash_lsh_candidates(
+        docs, collapse_identical=False).to_pandas()
+    assert len(allp) == f * (f - 1) // 2
+    g1 = minhash_dedup_groups(docs, tau=0.8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (g1["dup_group"] == 0).all()

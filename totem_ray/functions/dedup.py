@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Min
 
 from totem_ray.graph.joins import hash_join
 from totem_ray.hashing import as_u64, splitmix64, tab_hash_strings
@@ -52,6 +52,36 @@ def _shuffle_group(*cols, buckets: int = 64) -> np.ndarray:
     for c in cols:
         g = splitmix64(g ^ as_u64(np.asarray(c)))
     return (g % buckets).astype(np.int64)
+
+
+def _combine_pairs(pairs, value_col: str, how: str):
+    """Distinct (a, b) with min/sum of ``value_col`` — the cross-band
+    pair combine. One hash(a, b) shuffle group + a vectorized
+    lexsort/reduceat per group, replacing Ray's two-key sort
+    aggregate, which measured ~50x slower than the data justifies on
+    a few million pair rows (115 s for a 2M-row distinct)."""
+    import pyarrow as _pa
+
+    def add_g(t: _pa.Table) -> _pa.Table:
+        return t.append_column("_g", _pa.array(
+            _shuffle_group(t["a"], t["b"])))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        v = df[value_col].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, v = a[order], b[order], v[order]
+        starts, _ = composite_group_starts(a, b)
+        if how == "min":
+            out = np.minimum.reduceat(v, starts)
+        else:
+            out = np.add.reduceat(v, starts)
+        return pd.DataFrame({"a": a[starts], "b": b[starts],
+                             value_col: out})
+
+    return pairs.map_batches(add_g, batch_format="pyarrow") \
+        .groupby("_g").map_groups(combine, batch_format="pandas")
 
 
 # ----------------------------------------------------------------------
@@ -161,7 +191,8 @@ def _decode_sigs(col, num_perm: int) -> np.ndarray:
 
 def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
                            shingle_k: int = 3, id_col: str = "doc_id",
-                           max_bucket: int = 2000):
+                           max_bucket: int = 2000,
+                           collapse_identical: bool = True):
     """(a, b, jaccard_est) candidate near-dup pairs.
 
     signatures -> explode to (band_id, band_hash, doc, sig) rows ->
@@ -173,7 +204,19 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
     extra bytes ride the one shuffle that already moves the rows).
     Buckets larger than ``max_bucket`` are truncated — the standard
     guard against degenerate buckets.
-    """
+
+    ``collapse_identical`` (default True): docs whose signatures are
+    bit-identical within a bucket (boilerplate clone families — the
+    dominant shape of a web corpus) are represented by a STAR to
+    their min-id member (est exactly 1.0) plus cross pairs between
+    representatives only, instead of the full C(f, 2) clique. A
+    clone family of f docs emits O(f) rows instead of O(f^2) —
+    without this a 200-member family costs ~20k pair rows PER BAND.
+    Connectivity (and therefore minhash_dedup_groups / the dup-group
+    oracle) is exactly preserved: est is a pure function of the two
+    signatures, so member->rep->other paths carry the same >= tau
+    reachability as the dropped member-member edges. Pass False for
+    the literal all-pairs set."""
     if num_perm % bands != 0:
         raise ValueError(f"num_perm ({num_perm}) must be divisible by "
                          f"bands ({bands}) — a remainder would silently "
@@ -226,19 +269,55 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
         ords = np.arange(len(ids)) - np.repeat(starts, sizes)
         keep = ords < max_bucket                 # truncate huge buckets
         band, bh, ids, sig = band[keep], bh[keep], ids[keep], sig[keep]
-        starts, sizes = composite_group_starts(band, bh)
-        first, second = pairs_within_groups(starts, sizes)
-        est = (sig[first] == sig[second]).mean(axis=1) if len(first) else \
-            np.empty(0, np.float64)
-        return pd.DataFrame({"a": ids[first], "b": ids[second],
-                             "jaccard_est": est})
+        if not collapse_identical:
+            starts, sizes = composite_group_starts(band, bh)
+            first, second = pairs_within_groups(starts, sizes)
+            est = (sig[first] == sig[second]).mean(axis=1) \
+                if len(first) else np.empty(0, np.float64)
+            return pd.DataFrame({"a": ids[first], "b": ids[second],
+                                 "jaccard_est": est})
+        # collapse identical signatures per bucket: a 128-bit fold of
+        # the signature row identifies clones (two independent 64-bit
+        # halves — same collision class as the triangle edge
+        # fingerprints); runs of one fold value collapse to their
+        # min-id representative
+        f1 = np.zeros(len(ids), dtype=np.uint64)
+        f2 = np.full(len(ids), np.uint64(0x9E3779B97F4A7C15))
+        for j in range(num_perm):
+            c = as_u64(np.ascontiguousarray(sig[:, j]))
+            f1 = splitmix64(f1 ^ c)
+            f2 = splitmix64(f2 ^ c)
+        order = np.lexsort((ids, f2.view(np.int64), f1.view(np.int64),
+                            bh, band))
+        band, bh, ids, sig = band[order], bh[order], ids[order], sig[order]
+        f1, f2 = f1[order], f2[order]
+        # runs of identical (band, bhash, sigfold): star to the first
+        # (= min id) member
+        run_starts, run_sizes = composite_group_starts(
+            band, bh, f1.view(np.int64), f2.view(np.int64))
+        rep_of = np.repeat(run_starts, run_sizes)
+        member = np.flatnonzero(np.arange(len(ids)) != rep_of)
+        star_a = ids[rep_of[member]]
+        star_b = ids[member]
+        # cross pairs between the representatives of each bucket
+        reps = run_starts
+        rband, rbh, rids, rsig = band[reps], bh[reps], ids[reps], sig[reps]
+        bstarts, bsizes = composite_group_starts(rband, rbh)
+        first, second = pairs_within_groups(bstarts, bsizes)
+        est = (rsig[first] == rsig[second]).mean(axis=1) \
+            if len(first) else np.empty(0, np.float64)
+        a = np.concatenate([star_a, np.minimum(rids[first], rids[second])])
+        b = np.concatenate([star_b, np.maximum(rids[first], rids[second])])
+        return pd.DataFrame({
+            "a": a, "b": b,
+            "jaccard_est": np.concatenate(
+                [np.ones(len(star_a), dtype=np.float64), est])})
 
     pairs = band_rows.map_batches(add_g, batch_format="pyarrow") \
         .groupby("_g").map_groups(bucket_pairs, batch_format="pandas")
     # a pair found in multiple bands appears multiple times (same est
     # each time) -> distinct via min
-    return pairs.groupby(["a", "b"]).aggregate(
-        Min("jaccard_est", alias_name="jaccard_est"))
+    return _combine_pairs(pairs, "jaccard_est", "min")
 
 
 def minhash_dedup_groups(docs, tau: float = 0.8, num_perm: int = 64,
@@ -389,8 +468,7 @@ def simhash_near_dup_pairs(docs, max_hamming: int = 3,
 
     pairs = chunk_rows.map_batches(add_g, batch_format="pyarrow") \
         .groupby("_g").map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    return _combine_pairs(pairs, "hamming", "min")
 
 
 # ----------------------------------------------------------------------
@@ -434,8 +512,7 @@ def ngram_jaccard_pairs(docs, tau: float = 0.5, shingle_k: int = 3,
 
     pair_partials = rows.map_batches(add_g, batch_format="pyarrow") \
         .groupby("_g").map_groups(group_pairs, batch_format="pandas")
-    commons = pair_partials.groupby(["a", "b"]).aggregate(
-        Sum("common", alias_name="common"))
+    commons = _combine_pairs(pair_partials, "common", "sum")
 
     na = _count_renamed(doc_counts, "a", "na")
     nb = _count_renamed(doc_counts, "b", "nb")
