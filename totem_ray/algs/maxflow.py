@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from ray.data.aggregate import Sum
+
 
 from totem_ray.engine.bsp import BspEngine
 from totem_ray.graph.edges import create_bidirectional
@@ -36,8 +36,9 @@ def maxflow(edges, source: int, sink: int, num_partitions: int = 4,
         e = e.map_batches(add_w, batch_format="pyarrow")
     # combine parallel edges: the mirror of (u, v) must be the UNIQUE
     # (v, u) row (MaxflowKernel's pair-identified reverse indices)
-    e = e.groupby(["src", "dst"]).aggregate(Sum("weight",
-                                                alias_name="weight"))
+    from totem_ray.graph.joins import grouped_reduce
+
+    e = grouped_reduce(e, ["src", "dst"], ["weight"], how="sum")
     residual = create_bidirectional(e).select_columns(["src", "dst",
                                                        "weight"])
     if engine is None:

@@ -76,8 +76,10 @@ def _sum_partials_by_v(partials, value_col: str, alias: str,
         driver_merge_max = _DRIVER_MERGE_MAX_BYTES // 16
     parts = partials.materialize()
     if parts.count() > driver_merge_max:
-        return parts.groupby("v").aggregate(Sum(value_col,
-                                                alias_name=alias))
+        from totem_ray.graph.joins import grouped_reduce
+
+        return grouped_reduce(parts, ["v"], [value_col], how="sum",
+                              out_names=[alias])
     vs, cs = [], []
     for blk in _ray.get(parts.to_arrow_refs()):
         if blk.num_rows:
@@ -135,8 +137,10 @@ def _sum_partials_by_edge(partials, value_col: str, alias: str,
         driver_merge_max = _DRIVER_MERGE_MAX_BYTES // 24
     parts = partials.materialize()
     if parts.count() > driver_merge_max:
-        return parts.groupby(["lo", "hi"]).aggregate(
-            Sum(value_col, alias_name=alias))
+        from totem_ray.graph.joins import grouped_reduce
+
+        return grouped_reduce(parts, ["lo", "hi"], [value_col],
+                              how="sum", out_names=[alias])
     los, his, cs = [], [], []
     for blk in _ray.get(parts.to_arrow_refs()):
         if blk.num_rows:

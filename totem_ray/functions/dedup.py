@@ -56,32 +56,12 @@ def _shuffle_group(*cols, buckets: int = 64) -> np.ndarray:
 
 def _combine_pairs(pairs, value_col: str, how: str):
     """Distinct (a, b) with min/sum of ``value_col`` — the cross-band
-    pair combine. One hash(a, b) shuffle group + a vectorized
-    lexsort/reduceat per group, replacing Ray's two-key sort
-    aggregate, which measured ~50x slower than the data justifies on
-    a few million pair rows (115 s for a 2M-row distinct)."""
-    import pyarrow as _pa
+    pair combine (see joins.grouped_reduce for why this is not Ray's
+    two-key sort aggregate, which measured 115 s on a 2M-row
+    distinct)."""
+    from totem_ray.graph.joins import grouped_reduce
 
-    def add_g(t: _pa.Table) -> _pa.Table:
-        return t.append_column("_g", _pa.array(
-            _shuffle_group(t["a"], t["b"])))
-
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["a"].to_numpy()
-        b = df["b"].to_numpy()
-        v = df[value_col].to_numpy()
-        order = np.lexsort((b, a))
-        a, b, v = a[order], b[order], v[order]
-        starts, _ = composite_group_starts(a, b)
-        if how == "min":
-            out = np.minimum.reduceat(v, starts)
-        else:
-            out = np.add.reduceat(v, starts)
-        return pd.DataFrame({"a": a[starts], "b": b[starts],
-                             value_col: out})
-
-    return pairs.map_batches(add_g, batch_format="pyarrow") \
-        .groupby("_g").map_groups(combine, batch_format="pandas")
+    return grouped_reduce(pairs, ["a", "b"], [value_col], how=how)
 
 
 # ----------------------------------------------------------------------

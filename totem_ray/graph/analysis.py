@@ -28,39 +28,14 @@ def degree_histogram(edges):
     return deg.groupby("degree").aggregate(Count(alias_name="num_vertices"))
 
 
-def _sum_by_pair(ds, value_cols: list[str], out_names: list[str],
-                 num_buckets: int = 64):
+def _sum_by_pair(ds, value_cols: list[str], out_names: list[str]):
     """groupby (src, dst) summing ``value_cols`` -> Dataset (src, dst,
-    *out_names). One hash(src, dst) shuffle group + a vectorized
-    lexsort/reduceat per group — Ray's two-key sort aggregate measured
-    ~50x slower than the data justifies on few-million-row inputs
-    (the same pathology functions/dedup.py's _combine_pairs works
-    around)."""
-    import pandas as pd
+    *out_names); hash-bucket combine (see joins.grouped_reduce for
+    why this is not Ray's two-key sort aggregate)."""
+    from totem_ray.graph.joins import grouped_reduce
 
-    from totem_ray.hashing import as_u64, splitmix64
-    from totem_ray.nputil import composite_group_starts
-
-    def add_g(t: pa.Table) -> pa.Table:
-        g = splitmix64(splitmix64(as_u64(np.asarray(t["src"])))
-                       ^ as_u64(np.asarray(t["dst"])))
-        return t.append_column(
-            "_g", pa.array((g % num_buckets).astype(np.int64)))
-
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["src"].to_numpy()
-        d = df["dst"].to_numpy()
-        order = np.lexsort((d, s))
-        s, d = s[order], d[order]
-        starts, _ = composite_group_starts(s, d)
-        out = {"src": s[starts], "dst": d[starts]}
-        for col, name in zip(value_cols, out_names):
-            v = df[col].to_numpy()[order]
-            out[name] = np.add.reduceat(v, starts)
-        return pd.DataFrame(out)
-
-    return ds.map_batches(add_g, batch_format="pyarrow") \
-        .groupby("_g").map_groups(combine, batch_format="pandas")
+    return grouped_reduce(ds, ["src", "dst"], value_cols, how="sum",
+                          out_names=out_names)
 
 
 def repeated_edges(edges):

@@ -178,3 +178,48 @@ def semi_join_broadcast(ds, keys: np.ndarray, on: str, anti: bool = False):
             return t.filter(pa.array(~ok if anti else ok))
 
     return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def grouped_reduce(ds, key_cols: list[str], value_cols: list[str],
+                   how: list[str] | str = "sum",
+                   out_names: list[str] | None = None,
+                   num_buckets: int = 64):
+    """Hash-bucket grouped sum/min over integer key columns ->
+    Dataset (*key_cols, *out_names).
+
+    One hash(keys) shuffle group + a vectorized lexsort/reduceat per
+    group. This exists because Ray Data's sort-based
+    ``groupby(keys).aggregate(...)`` measured ~8 s (one key) to
+    ~16-115 s (two keys) on 2M-row inputs where the data justifies
+    ~1 s — at corpus scale that aggregate is the difference between a
+    combine and a stall. All keys and values must be numeric numpy
+    dtypes; ``how`` is "sum" or "min", scalar or per-value-column."""
+    from totem_ray.hashing import as_u64, splitmix64
+    from totem_ray.nputil import composite_group_starts
+
+    out_names = out_names or value_cols
+    hows = [how] * len(value_cols) if isinstance(how, str) else list(how)
+    if len(hows) != len(value_cols) or len(out_names) != len(value_cols):
+        raise ValueError("value_cols / how / out_names length mismatch")
+
+    def add_g(t: pa.Table) -> pa.Table:
+        g = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            g = splitmix64(g ^ as_u64(np.asarray(t[c])))
+        return t.append_column(
+            "_g", pa.array((g % num_buckets).astype(np.int64)))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [df[c].to_numpy() for c in key_cols]
+        order = np.lexsort(tuple(reversed(keys)))
+        keys = [k[order] for k in keys]
+        starts, _ = composite_group_starts(*keys)
+        out = {c: k[starts] for c, k in zip(key_cols, keys)}
+        for c, name, h in zip(value_cols, out_names, hows):
+            v = df[c].to_numpy()[order]
+            red = np.minimum if h == "min" else np.add
+            out[name] = red.reduceat(v, starts)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(add_g, batch_format="pyarrow") \
+        .groupby("_g").map_groups(combine, batch_format="pandas")
