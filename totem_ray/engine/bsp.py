@@ -179,6 +179,7 @@ class BspEngine:
         # (3) popped sets are health-checked before use; a set with a
         # dead actor is killed and replaced by a fresh spawn.
         self._pool_key = None
+        self._num_cpus_per_shard = float(num_cpus_per_shard)
         if float(num_cpus_per_shard) == 0.0:
             try:
                 job = ray.get_runtime_context().get_job_id()
@@ -235,6 +236,18 @@ class BspEngine:
         self.shutdown()
 
     # ------------------------------------------------------------------
+    def _respawn_shards(self):
+        """Kill the current shard set and spawn a fresh one — the
+        build-time recovery path when an actor turns out dead on first
+        contact (``ray.kill`` is asynchronous, so a pooled set can
+        pass its ``__ray_ready__`` validation while one member is
+        already dying)."""
+        for s in self.shards:
+            ray.kill(s, no_restart=True)
+        shard_cls = ray.remote(num_cpus=self._num_cpus_per_shard)(GraphShard)
+        self.shards = [shard_cls.remote(p, self.P, self.group_size)
+                       for p in range(self.P)]
+
     def build(self, edges_ds, vertices_ds=None,
               route_by: str = "src") -> "BspEngine":
         """Route edges (and optionally an explicit vertex universe, for
@@ -243,7 +256,22 @@ class BspEngine:
         ``route_by='src'`` (default) builds the push-mode structures
         every kernel uses; ``route_by='dst'`` builds the pull-mode
         in-edge groups (GROOVES_PULL) used by ``pagerank_pull``.
-        """
+
+        If a shard actor dies during the build (a pooled actor whose
+        in-flight kill outran validation, or a real worker loss), the
+        whole set is replaced and the build retried once from the
+        materialized input — no kernel state exists yet, so
+        replacement is clean. A death during ``run`` is NOT absorbed:
+        it surfaces, and recovery is ``resume=True`` from the last
+        checkpoint."""
+        try:
+            return self._build_once(edges_ds, vertices_ds, route_by)
+        except ray.exceptions.RayActorError:
+            self._respawn_shards()
+            return self._build_once(edges_ds, vertices_ds, route_by)
+
+    def _build_once(self, edges_ds, vertices_ds=None,
+                    route_by: str = "src") -> "BspEngine":
         self.mode = route_by
         shards = self.shards
         partitioner = self.partitioner

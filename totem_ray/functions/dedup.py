@@ -74,10 +74,11 @@ def exact_dedup(docs, id_col: str = "doc_id"):
     doc, not the text."""
     from totem_ray.functions.text import doc_fingerprints
 
+    from totem_ray.graph.joins import grouped_reduce
+
     fps = doc_fingerprints(docs, normalize=False, id_col=id_col)
-    return fps.groupby("fingerprint") \
-              .aggregate(Min(id_col, alias_name=id_col)) \
-              .select_columns([id_col])
+    return grouped_reduce(fps, ["fingerprint"], [id_col], how="min") \
+        .select_columns([id_col])
 
 
 # ----------------------------------------------------------------------

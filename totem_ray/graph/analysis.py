@@ -19,13 +19,18 @@ def degree_histogram(edges):
     endpoints: in-only (sink) vertices contribute to the degree-0
     bucket. Two-level aggregate: per-vertex degree, then count per
     degree value."""
+    from totem_ray.graph.joins import grouped_reduce
+
     deg = vertex_degrees(edges).select_columns(["out_degree"])
 
-    def ren(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["degree"])
+    def partial(t: pa.Table) -> pa.Table:
+        d, c = np.unique(np.asarray(t["out_degree"]), return_counts=True)
+        return pa.table({"degree": pa.array(d, type=pa.int64()),
+                         "_n": pa.array(c, type=pa.int64())})
 
-    deg = deg.map_batches(ren, batch_format="pyarrow")
-    return deg.groupby("degree").aggregate(Count(alias_name="num_vertices"))
+    part = deg.map_batches(partial, batch_format="pyarrow")
+    return grouped_reduce(part, ["degree"], ["_n"], how="sum",
+                          out_names=["num_vertices"])
 
 
 def _sum_by_pair(ds, value_cols: list[str], out_names: list[str]):

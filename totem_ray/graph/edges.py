@@ -148,8 +148,11 @@ def degree_table(edges, alias: str = "degree"):
         return pa.table({"v": pa.array(v, type=pa.int64()),
                          "_c": pa.array(c, type=pa.int64())})
 
+    from totem_ray.graph.joins import grouped_reduce
+
     part = edges.select_columns(["src"]).map_batches(partial, batch_format="pyarrow")
-    return part.groupby("v").aggregate(Sum("_c", alias_name=alias))
+    return grouped_reduce(part, ["v"], ["_c"], how="sum",
+                          out_names=[alias])
 
 
 def vertex_degrees(edges):
@@ -167,9 +170,11 @@ def vertex_degrees(edges):
             "_in": pa.array(np.concatenate([np.zeros_like(cs), cd]), type=pa.int64()),
         })
 
+    from totem_ray.graph.joins import grouped_reduce
+
     part = edges.select_columns(["src", "dst"]).map_batches(partial, batch_format="pyarrow")
-    return part.groupby("v").aggregate(Sum("_out", alias_name="out_degree"),
-                                       Sum("_in", alias_name="in_degree"))
+    return grouped_reduce(part, ["v"], ["_out", "_in"], how="sum",
+                          out_names=["out_degree", "in_degree"])
 
 
 def subgraph(edges, keep_vertices: np.ndarray):
