@@ -29,7 +29,7 @@ from ray.data.aggregate import Count, Min
 from totem_ray.graph.joins import hash_join
 from totem_ray.hashing import as_u64, splitmix64, tab_hash_strings
 from totem_ray.nputil import (composite_group_starts, group_starts_sizes,
-                              pairs_within_groups, slice_offsets)
+                              pairs_within_groups)
 
 # The Unicode White_Space set written as an EXPLICIT character class
 # (literal code points, resolved by the Python string literal): the
