@@ -237,3 +237,41 @@ def test_sum_partials_by_v_both_plans_match(rows, nblocks):
         got = got.set_index("v")["t"].sort_index()
         assert list(got.index) == list(exp.index)
         assert list(got.values) == list(exp.values)
+
+
+@given(st.lists(st.tuples(st.integers(-5, 5), st.integers(0, 3),
+                          st.integers(-100, 100),
+                          st.floats(-10, 10, allow_nan=False)),
+                min_size=0, max_size=120),
+       st.integers(1, 5))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grouped_reduce_matches_pandas(rows, nblocks):
+    """joins.grouped_reduce (hash-bucket lexsort/reduceat) must equal
+    the pandas groupby for sum AND min, with mixed int/float value
+    columns, any key cardinality, and any block layout."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from totem_ray.graph.joins import grouped_reduce
+
+    if not rows:
+        return
+    k1 = np.array([r[0] for r in rows], dtype=np.int64)
+    k2 = np.array([r[1] for r in rows], dtype=np.int64)
+    vi = np.array([r[2] for r in rows], dtype=np.int64)
+    vf = np.array([r[3] for r in rows], dtype=np.float64)
+    t = pa.table({"a": pa.array(k1), "b": pa.array(k2),
+                  "vi": pa.array(vi), "vf": pa.array(vf)})
+    step = max(1, len(rows) // nblocks)
+    ds = rd.from_arrow([t.slice(i, step)
+                        for i in range(0, len(rows), step)])
+    got = grouped_reduce(ds, ["a", "b"], ["vi", "vf"],
+                         how=["sum", "min"],
+                         out_names=["si", "mf"]).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    pdf = pd.DataFrame({"a": k1, "b": k2, "vi": vi, "vf": vf})
+    want = pdf.groupby(["a", "b"], as_index=False) \
+        .agg(si=("vi", "sum"), mf=("vf", "min")) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
