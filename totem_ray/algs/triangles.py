@@ -861,7 +861,17 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
     the canonicalized oriented edges confirms exactly. Past
     ``bloom_max_edges`` the pre-filter is skipped (no broadcast state
     at all) and the same semi join runs unpruned — scales past any
-    object-store gate, just with the full wedge shuffle."""
+    object-store gate, just with the full wedge shuffle.
+
+    Disk budget: the exchange ships every SURVIVING wedge once
+    (~33 B/row), and on triangle-dense graphs the survivors are
+    dominated by TRUE closures, which no filter can prune — RMAT s21
+    ef16 (2.98B candidate wedges, measured) wants tens of GB of
+    aggregate shuffle spill. That is ~hundreds of MB per node on the
+    multi-node cluster this plan targets, but more than one test
+    box's disk; the broadcast plan (in-place counting, nothing
+    materialized, ~43M wedges/s measured) remains the right choice
+    whenever the fingerprint table fits the object store."""
     import ray as _ray
 
     if n_edges is None:
