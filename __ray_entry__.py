@@ -382,7 +382,9 @@ def q_hyperball_r2(sf_dir: str):
 
     eng_out = hyperball(copurchase_edges(sf_dir), num_partitions=4,
                         p=6, radius=2)
-    res = eng_out["result"].to_pandas()
+    # the register table carries a constant 'p' column (estimator
+    # self-verification); the oracle transcribes registers only
+    res = eng_out["result"].drop_columns(["p"]).to_pandas()
     eng_out["engine"].shutdown()
     return res
 

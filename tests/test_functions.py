@@ -259,6 +259,52 @@ def test_build_ivf_index_resumes(tmp_path):
         after.sort_values(key).reset_index(drop=True))
 
 
+def test_build_ivf_index_refuses_param_mismatch(tmp_path):
+    """Rebuilding an existing layout with different params must
+    refuse BEFORE mutating anything — previously new centroids were
+    written first, the sink then raised on the partition-count
+    mismatch, and the intact _ALL_DONE left knn_ivf_indexed serving
+    new centroids over the old cell files (silently wrong)."""
+    import os
+
+    import pytest
+
+    from totem_ray.functions.similarity import (build_ivf_index,
+                                                knn_ivf_indexed)
+
+    emb, x = _emb_table(n=200, seed=3)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, ncells=4, fit="seeded")
+    cent_before = open(os.path.join(path, "_centroids.npy"), "rb").read()
+    before = knn_ivf_indexed(path, x[:2], np.arange(2), k=5, nprobe=4)
+    with pytest.raises(ValueError, match="different parameters"):
+        build_ivf_index(emb, path, ncells=8, fit="seeded")
+    # nothing on disk changed: centroids bit-identical, probes intact
+    assert open(os.path.join(path, "_centroids.npy"),
+                "rb").read() == cent_before
+    after = knn_ivf_indexed(path, x[:2], np.arange(2), k=5, nprobe=4)
+    key = ["query_id", "knn_rank"]
+    pd.testing.assert_frame_equal(
+        before.sort_values(key).reset_index(drop=True),
+        after.sort_values(key).reset_index(drop=True))
+
+
+def test_build_ivf_index_refuses_changed_input(tmp_path):
+    """Same params, different rows: the resumable sink would skip
+    every _DONE cell and leave refit centroids over stale files — the
+    input fingerprint in _IVF_META.json must catch it up front."""
+    import pytest
+
+    from totem_ray.functions.similarity import build_ivf_index
+
+    emb, x = _emb_table(n=200, seed=3)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, ncells=4, fit="seeded")
+    other, _ = _emb_table(n=150, seed=9)
+    with pytest.raises(ValueError, match="input_fingerprint"):
+        build_ivf_index(other, path, ncells=4, fit="seeded")
+
+
 def test_load_ivf_index_incomplete_raises(tmp_path):
     import pytest
 
@@ -315,6 +361,22 @@ def test_tumbling_window_counts():
     assert k.loc[(1, 3600), "n_events"] == 1
     assert k.loc[(2, 3600), "n_events"] == 1
     assert k.loc[(1, 7200), "n_events"] == 1
+
+
+def test_tumbling_window_string_key_raises():
+    """Non-integer keys must fail with the fix spelled out, not crash
+    deep inside the uint64 mix (ADVICE r4: the int64 cast silently
+    restricted the key domain)."""
+    import pytest
+
+    from totem_ray.functions.windows import tumbling_window
+
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array(["alice", "bob"], type=pa.string()),
+        "ts": pa.array(np.array([0, 1], dtype="datetime64[us]")),
+        "value": pa.array([1.0, 2.0], type=pa.float64())}))
+    with pytest.raises(Exception, match="integer-typed"):
+        tumbling_window(ev, width_s=3600).to_pandas()
 
 
 def test_session_windows_gap_split():

@@ -147,3 +147,28 @@ def test_hyperball_estimates_rejects_mismatched_p():
         "rho": np.ones(70, dtype=np.int64)}))
     with pytest.raises(Exception, match="larger p"):
         hyperball_estimates(regs, p=6).to_pandas()
+
+
+def test_hyperball_estimates_infers_and_verifies_p():
+    """The register table carries its own p: p=None reads it, and a
+    WRONG explicit p (smaller or larger) raises instead of silently
+    skewing every estimate through the wrong m (ADVICE r4: the old
+    guard only caught the too-large direction)."""
+    spokes = np.arange(1, 51)
+    e = np.stack([spokes, np.zeros_like(spokes)], axis=1)
+    out = hyperball(edges_from_arrays(e), num_partitions=2, p=8,
+                    radius=1)
+    try:
+        inferred = hyperball_estimates(out["result"]).to_pandas() \
+            .set_index("v")
+        explicit = hyperball_estimates(out["result"], p=8).to_pandas() \
+            .set_index("v")
+        assert np.allclose(inferred["ball_size"], explicit["ball_size"])
+        # smaller p than the registers were built with: previously
+        # passed silently whenever max bucket < 2^p
+        with pytest.raises(Exception, match="carries p=8"):
+            hyperball_estimates(out["result"], p=10).to_pandas()
+        with pytest.raises(Exception, match="carries p=8"):
+            hyperball_estimates(out["result"], p=4).to_pandas()
+    finally:
+        out["engine"].shutdown()

@@ -100,3 +100,30 @@ def test_hash_semi_join_composite_large_ids():
                     right_cols=["lo", "hi"]).to_pandas()
     assert out["u"].tolist() == [101]
     assert out["lo"].tolist() == [BIG] and out["hi"].tolist() == [BIG + 1]
+
+
+def test_grouped_reduce_null_value_raises():
+    """A null in a value column must raise, not silently degrade the
+    int64 values to float64 (the combine works on raw numpy views of
+    the Arrow buffers)."""
+    import pytest
+
+    from totem_ray.graph.joins import grouped_reduce
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array([10, None, 30], pa.int64())}))
+    with pytest.raises(Exception, match="null"):
+        grouped_reduce(ds, ["k"], ["v"], how="sum").to_pandas()
+
+
+def test_grouped_reduce_string_key_raises():
+    from totem_ray.graph.joins import grouped_reduce
+
+    import pytest
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["x", "y"], pa.string()),
+        "v": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(Exception, match="integer-typed"):
+        grouped_reduce(ds, ["k"], ["v"], how="sum").to_pandas()

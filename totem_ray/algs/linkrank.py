@@ -100,33 +100,67 @@ def hyperball(edges, num_partitions: int = 4, partitioner=None,
                      checkpoint_dir=checkpoint_dir,
                      checkpoint_every=checkpoint_every, resume=resume)
     out["engine"] = engine
-    # the register table itself does not carry p; callers must feed
-    # the SAME p to hyperball_estimates, so return it alongside
     out["p"] = p
+
+    # persist p IN the register table (constant column) so
+    # hyperball_estimates can verify it instead of trusting the
+    # caller — a wrong p silently skews every estimate via the wrong
+    # m in the alpha_m / linear-counting math, in BOTH directions
+    # (registers built with a larger p overflow the bucket range;
+    # with a smaller p they underfill it undetectably)
+    def addp(t):
+        import numpy as np
+        import pyarrow as pa
+        return t.append_column(
+            "p", pa.array(np.full(t.num_rows, p, dtype=np.int64)))
+
+    out["result"] = out["result"].map_batches(addp,
+                                              batch_format="pyarrow")
     return out
 
 
-def hyperball_estimates(registers, p: int = 6):
+def hyperball_estimates(registers, p: int | None = None):
     """Dataset (v, ball_size) — HLL cardinality estimate per vertex
     from a (v, bucket, rho) register table. Two vectorized aggregates
     (sum of 2^-rho and register count per vertex), then the standard
     alpha_m correction with linear counting for the small range — no
     per-vertex Python.
 
-    ``p`` MUST be the p the hyperball run used (the register table
-    carries no p of its own — read it from the run's result dict,
-    ``hb["p"]``); a register bucket >= 2^p fails loudly here instead
-    of silently skewing every estimate."""
+    Register tables written by :func:`hyperball` carry their own ``p``
+    column; with ``p=None`` (default) it is read from the table, and
+    an explicitly-passed ``p`` is verified against it (a wrong m
+    silently skews EVERY estimate, in both directions). For a legacy
+    table without the column, ``p`` must be passed and only the
+    too-large direction (bucket >= 2^p) is detectable."""
     import numpy as np
     import pyarrow as pa
     from ray.data.aggregate import Count, Sum
 
     from totem_ray.functions.sketch import hll_alpha
 
+    sch = registers.schema()
+    has_p = sch is not None and "p" in sch.names
+    if p is None:
+        if not has_p:
+            raise ValueError(
+                "register table has no 'p' column (built before p was "
+                "persisted?) — pass the run's own p explicitly "
+                "(hyperball(...)['p'])")
+        first = registers.limit(1).to_pandas()
+        if not len(first):
+            raise ValueError("empty register table: cannot infer p")
+        p = int(first["p"].iloc[0])
     m = 1 << p
     alpha = hll_alpha(m)
 
     def powcol(t: pa.Table) -> pa.Table:
+        if "p" in t.column_names:
+            tp = np.asarray(t["p"])
+            if len(tp) and ((tp.min() != p) or (tp.max() != p)):
+                raise ValueError(
+                    f"register table carries p={int(tp[0])} but "
+                    f"p={p} was passed to hyperball_estimates — use "
+                    "the run's own p (hyperball(...)['p']) or omit p")
         b = np.asarray(t["bucket"])
         if len(b) and int(b.max()) >= m:
             raise ValueError(

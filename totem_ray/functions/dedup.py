@@ -20,7 +20,6 @@ Design rules:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -28,8 +27,8 @@ from ray.data.aggregate import Count, Min
 
 from totem_ray.graph.joins import hash_join
 from totem_ray.hashing import as_u64, splitmix64, tab_hash_strings
-from totem_ray.nputil import (composite_group_starts, group_starts_sizes,
-                              pairs_within_groups)
+from totem_ray.nputil import (col_np, composite_group_starts,
+                              group_starts_sizes, pairs_within_groups)
 
 # The Unicode White_Space set written as an EXPLICIT character class
 # (literal code points, resolved by the Python string literal): the
@@ -239,13 +238,14 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
         g = _shuffle_group(t["bhash"], t["band"])
         return t.append_column("_g", pa.array(g))
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(t: pa.Table) -> pa.Table:
         # all (band, bhash) groups of one shuffle bucket, vectorized
-        df = df.sort_values(["band", "bhash", id_col], kind="stable")
-        band = df["band"].to_numpy()
-        bh = df["bhash"].to_numpy()
-        ids = df[id_col].to_numpy()
-        sig = _decode_sigs(list(df["sig"]), num_perm)
+        band = col_np(t, "band")
+        bh = col_np(t, "bhash")
+        ids = col_np(t, id_col)
+        sig = _decode_sigs(t["sig"], num_perm)
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids, sig = band[order], bh[order], ids[order], sig[order]
         starts, sizes = composite_group_starts(band, bh)
         ords = np.arange(len(ids)) - np.repeat(starts, sizes)
         keep = ords < max_bucket                 # truncate huge buckets
@@ -255,8 +255,10 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
             first, second = pairs_within_groups(starts, sizes)
             est = (sig[first] == sig[second]).mean(axis=1) \
                 if len(first) else np.empty(0, np.float64)
-            return pd.DataFrame({"a": ids[first], "b": ids[second],
-                                 "jaccard_est": est})
+            return pa.table({
+                "a": pa.array(ids[first], type=pa.int64()),
+                "b": pa.array(ids[second], type=pa.int64()),
+                "jaccard_est": pa.array(est, type=pa.float64())})
         # collapse identical signatures per bucket: a 128-bit fold of
         # the signature row identifies clones (two independent 64-bit
         # halves — same collision class as the triangle edge
@@ -289,13 +291,15 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
             if len(first) else np.empty(0, np.float64)
         a = np.concatenate([star_a, np.minimum(rids[first], rids[second])])
         b = np.concatenate([star_b, np.maximum(rids[first], rids[second])])
-        return pd.DataFrame({
-            "a": a, "b": b,
-            "jaccard_est": np.concatenate(
-                [np.ones(len(star_a), dtype=np.float64), est])})
+        return pa.table({
+            "a": pa.array(a, type=pa.int64()),
+            "b": pa.array(b, type=pa.int64()),
+            "jaccard_est": pa.array(np.concatenate(
+                [np.ones(len(star_a), dtype=np.float64), est]),
+                type=pa.float64())})
 
     pairs = band_rows.map_batches(add_g, batch_format="pyarrow") \
-        .groupby("_g").map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("_g").map_groups(bucket_pairs, batch_format="pyarrow")
     # a pair found in multiple bands appears multiple times (same est
     # each time) -> distinct via min
     return _combine_pairs(pairs, "jaccard_est", "min")
@@ -429,13 +433,18 @@ def simhash_near_dup_pairs(docs, max_hamming: int = 3,
         g = _shuffle_group(t["chash"], t["chunk"])
         return t.append_column("_g", pa.array(g))
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["chunk", "chash", id_col], kind="stable") \
-               .drop_duplicates(["chunk", "chash", id_col])
-        ch = df["chunk"].to_numpy()
-        bh = df["chash"].to_numpy()
-        ids = df[id_col].to_numpy()
-        sig = as_u64(df["sig"].to_numpy())
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        ch = col_np(t, "chunk")
+        bh = col_np(t, "chash")
+        ids = col_np(t, id_col)
+        sig = as_u64(col_np(t, "sig"))
+        order = np.lexsort((ids, bh, ch))
+        ch, bh, ids, sig = ch[order], bh[order], ids[order], sig[order]
+        # distinct (chunk, chash, id): sorted, so runs collapse to
+        # their first row (replaces pandas drop_duplicates)
+        rstarts, _ = composite_group_starts(ch, bh, ids)
+        ch, bh, ids, sig = ch[rstarts], bh[rstarts], ids[rstarts], \
+            sig[rstarts]
         starts, sizes = composite_group_starts(ch, bh)
         ords = np.arange(len(ids)) - np.repeat(starts, sizes)
         keep = ords < max_bucket
@@ -444,11 +453,13 @@ def simhash_near_dup_pairs(docs, max_hamming: int = 3,
         first, second = pairs_within_groups(starts, sizes)
         ham = _popcount64(sig[first] ^ sig[second]).astype(np.int64)
         ok = ham <= max_hamming
-        return pd.DataFrame({"a": ids[first][ok], "b": ids[second][ok],
-                             "hamming": ham[ok]})
+        return pa.table({
+            "a": pa.array(ids[first][ok], type=pa.int64()),
+            "b": pa.array(ids[second][ok], type=pa.int64()),
+            "hamming": pa.array(ham[ok], type=pa.int64())})
 
     pairs = chunk_rows.map_batches(add_g, batch_format="pyarrow") \
-        .groupby("_g").map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("_g").map_groups(bucket_pairs, batch_format="pyarrow")
     return _combine_pairs(pairs, "hamming", "min")
 
 
@@ -476,11 +487,12 @@ def ngram_jaccard_pairs(docs, tau: float = 0.5, shingle_k: int = 3,
     def add_g(t: pa.Table) -> pa.Table:
         return t.append_column("_g", pa.array(_shuffle_group(t["sh"])))
 
-    def group_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def group_pairs(t: pa.Table) -> pa.Table:
         # all shingle groups of one shuffle bucket, vectorized
-        df = df.sort_values(["sh", "doc"], kind="stable")
-        sh = df["sh"].to_numpy()
-        ids = df["doc"].to_numpy()
+        sh = col_np(t, "sh")
+        ids = col_np(t, "doc")
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
         starts, sizes = group_starts_sizes(sh)
         # df cut: drop stop-shingles (> max_df docs)
         ok_grp = sizes <= max_df
@@ -488,11 +500,13 @@ def ngram_jaccard_pairs(docs, tau: float = 0.5, shingle_k: int = 3,
         sh, ids = sh[keep], ids[keep]
         starts, sizes = group_starts_sizes(sh)
         first, second = pairs_within_groups(starts, sizes)
-        return pd.DataFrame({"a": ids[first], "b": ids[second],
-                             "common": np.ones(len(first), dtype=np.int64)})
+        return pa.table({
+            "a": pa.array(ids[first], type=pa.int64()),
+            "b": pa.array(ids[second], type=pa.int64()),
+            "common": pa.array(np.ones(len(first), dtype=np.int64))})
 
     pair_partials = rows.map_batches(add_g, batch_format="pyarrow") \
-        .groupby("_g").map_groups(group_pairs, batch_format="pandas")
+        .groupby("_g").map_groups(group_pairs, batch_format="pyarrow")
     commons = _combine_pairs(pair_partials, "common", "sum")
 
     na = _count_renamed(doc_counts, "a", "na")

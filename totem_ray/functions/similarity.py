@@ -318,6 +318,29 @@ class _AssignCell:
         return t.append_column("ivf_cell", pa.array(cell))
 
 
+def _ivf_input_fingerprint(emb, id_col: str, total: int) -> str:
+    """Order-independent fingerprint of the indexed id set: xor of
+    splitmix64(id) over all rows, plus the row count. One narrow
+    column scan; commutative, so block layout / parallelism don't
+    change it. Used to refuse resuming an IVF layout over CHANGED
+    input (same params, different rows), where the resumable sink
+    would otherwise skip every _DONE cell and leave refit centroids
+    pointing at stale files."""
+    from totem_ray.hashing import as_u64, splitmix64
+
+    def fp(t: pa.Table) -> pa.Table:
+        h = splitmix64(as_u64(np.asarray(t[id_col])))
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table({"x": pa.array([int(x)], type=pa.uint64())})
+
+    parts = emb.select_columns([id_col]) \
+        .map_batches(fp, batch_format="pyarrow").to_pandas()
+    acc = np.uint64(0)
+    for v in parts["x"].to_numpy():
+        acc ^= np.uint64(v)
+    return f"{int(acc):016x}-{total}"
+
+
 def build_ivf_index(emb, path: str, ncells: int = 16,
                     fit: str = "kmeans", seed: int = 42,
                     sample_n: int = 10_000, id_col: str = "vec_id",
@@ -352,6 +375,33 @@ def build_ivf_index(emb, path: str, ncells: int = 16,
         raise ValueError("cannot build an IVF index over an empty dataset")
     cent = _fit_centroids(emb, ncells, fit, seed, sample_n, total,
                           id_col, emb_col)
+    meta = {"ncells": int(len(cent)), "dim": int(cent.shape[1]),
+            "fit": fit, "seed": seed, "id_col": id_col,
+            "emb_col": emb_col,
+            "input_fingerprint": _ivf_input_fingerprint(emb, id_col,
+                                                        total)}
+    # validate BEFORE mutating anything on disk: a rebuild with
+    # different params (or over changed input) against an existing
+    # layout must refuse up front — writing new centroids first and
+    # letting the sink raise later would leave _ALL_DONE intact with
+    # centroids that no longer match the cell files, and
+    # knn_ivf_indexed would then return silently wrong neighbors
+    meta_file = os.path.join(path, "_IVF_META.json")
+    if os.path.exists(meta_file):
+        with open(meta_file) as f:
+            prev = json.load(f)
+        # prev.get(k, v): layouts written before a meta key existed
+        # (e.g. input_fingerprint) can't be validated on it — accept
+        # them; this run records the full meta going forward
+        stale = {k: (prev.get(k, v), v) for k, v in meta.items()
+                 if prev.get(k, v) != v}
+        if stale:
+            raise ValueError(
+                f"IVF layout at {path!r} was built with different "
+                f"parameters or input: "
+                + ", ".join(f"{k}={old!r} (requested {new!r})"
+                            for k, (old, new) in sorted(stale.items()))
+                + "; delete the directory to rebuild from scratch")
     os.makedirs(path, exist_ok=True)
     # centroids + meta before the data shuffle: a resumed build
     # overwrites them with bit-identical values (deterministic fit)
@@ -361,9 +411,6 @@ def build_ivf_index(emb, path: str, ncells: int = 16,
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, "_centroids.npy"))
-    meta = {"ncells": int(len(cent)), "dim": int(cent.shape[1]),
-            "fit": fit, "seed": seed, "id_col": id_col,
-            "emb_col": emb_col}
     tmp = os.path.join(path, ".meta.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)

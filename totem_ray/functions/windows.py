@@ -11,12 +11,12 @@ sort by ts; buckets are hash(key) so each key's events land in one
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from totem_ray.hashing import as_u64, hash_partition, splitmix64
-from totem_ray.nputil import composite_group_starts, group_starts_sizes
+from totem_ray.nputil import (col_i64, col_np, composite_group_starts,
+                              group_starts_sizes)
 
 
 def tumbling_window(events, width_s: int = 3600, key: str = "user_id",
@@ -31,7 +31,12 @@ def tumbling_window(events, width_s: int = 3600, key: str = "user_id",
     the small partial rows sums them — at event-stream scale the
     shuffle moves one row per (key, window, batch), never one per
     event, and Ray's two-key sort aggregate (measured ~50x slower
-    than the data justifies) is avoided entirely."""
+    than the data justifies) is avoided entirely.
+
+    ``key`` must be an integer column (the partial/combine path hashes
+    and lexsorts it as int64); hash a string key to int64 first
+    (``totem_ray.hashing.hash_strings_i64``) — a non-integer key
+    raises up front."""
     us = width_s * 1_000_000
 
     def partial(t: pa.Table) -> pa.Table:
@@ -40,7 +45,7 @@ def tumbling_window(events, width_s: int = 3600, key: str = "user_id",
                              "_w": pa.array([], type=pa.int64()),
                              "_n": pa.array([], type=pa.int64()),
                              "_s": pa.array([], type=pa.float64())})
-        k = np.asarray(t[key])
+        k = col_i64(t, key, "tumbling_window key")
         ts = np.asarray(t[ts_col].combine_chunks().cast(pa.int64()))
         w = (ts // us) * us
         v = np.asarray(t[value_col], dtype=np.float64)
@@ -59,26 +64,26 @@ def tumbling_window(events, width_s: int = 3600, key: str = "user_id",
         return t.append_column(
             "_g", pa.array((g % num_buckets).astype(np.int64)))
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        k = df[key].to_numpy()
-        w = df["_w"].to_numpy()
-        n = df["_n"].to_numpy()
-        s = df["_s"].to_numpy()
+    def combine(t: pa.Table) -> pa.Table:
+        k = col_np(t, key)
+        w = col_np(t, "_w")
+        n = col_np(t, "_n")
+        s = col_np(t, "_s")
         order = np.lexsort((w, k))
         k, w, n, s = k[order], w[order], n[order], s[order]
         starts, _ = composite_group_starts(k, w)
         tot_n = np.add.reduceat(n, starts)
         tot_s = np.add.reduceat(s, starts)
-        return pd.DataFrame({
-            key: k[starts],
-            "window_start": w[starts].astype("datetime64[us]"),
-            "n_events": tot_n,
-            "sum_value": tot_s,
-            "avg_value": tot_s / tot_n})
+        return pa.table({
+            key: pa.array(k[starts]),
+            "window_start": pa.array(w[starts].astype("datetime64[us]")),
+            "n_events": pa.array(tot_n),
+            "sum_value": pa.array(tot_s),
+            "avg_value": pa.array(tot_s / tot_n)})
 
     return events.map_batches(partial, batch_format="pyarrow") \
         .map_batches(add_g, batch_format="pyarrow") \
-        .groupby("_g").map_groups(combine, batch_format="pandas")
+        .groupby("_g").map_groups(combine, batch_format="pyarrow")
 
 
 def session_windows(events, gap_s: int = 1800, key: str = "user_id",
@@ -87,20 +92,23 @@ def session_windows(events, gap_s: int = 1800, key: str = "user_id",
     previous event of the same key exceeds ``gap_s``. Output one row
     per session: (key, session_id, n_events, start_ts, end_ts), with
     session_id = per-key ordinal starting at 1 (matches the SQL
-    lag+cumsum idiom)."""
+    lag+cumsum idiom). ``key`` must be an integer column (hash string
+    keys with ``totem_ray.hashing.hash_strings_i64`` first)."""
     gap_us = gap_s * 1_000_000
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        k = col_i64(t, key, "session_windows key")
         return pa.table({
             key: t[key],
             "_ts": t[ts_col].combine_chunks().cast(pa.int64()),
-            "_b": pa.array(hash_partition(np.asarray(t[key]), num_buckets)),
+            "_b": pa.array(hash_partition(k, num_buckets)),
         })
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, "_ts"], kind="stable")
-        k = df[key].to_numpy()
-        ts = df["_ts"].to_numpy()
+    def sessions(t: pa.Table) -> pa.Table:
+        k = col_np(t, key)
+        ts = col_np(t, "_ts")
+        order = np.lexsort((ts, k))
+        k, ts = k[order], ts[order]
         new_key = np.concatenate([[True], k[1:] != k[:-1]])
         big_gap = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
         new_sess = new_key | big_gap
@@ -111,16 +119,16 @@ def session_windows(events, gap_s: int = 1800, key: str = "user_id",
         kstarts, ksizes = group_starts_sizes(keys_of_sess)
         sid = np.arange(len(starts)) - np.repeat(kstarts, ksizes) + 1
         ends = np.concatenate([starts[1:], [len(k)]]) - 1
-        return pd.DataFrame({
-            key: keys_of_sess,
-            "session_id": sid.astype(np.int64),
-            "n_events": sizes.astype(np.int64),
-            "start_ts": ts[starts].astype("datetime64[us]"),
-            "end_ts": ts[ends].astype("datetime64[us]"),
+        return pa.table({
+            key: pa.array(keys_of_sess),
+            "session_id": pa.array(sid.astype(np.int64)),
+            "n_events": pa.array(sizes.astype(np.int64)),
+            "start_ts": pa.array(ts[starts].astype("datetime64[us]")),
+            "end_ts": pa.array(ts[ends].astype("datetime64[us]")),
         })
 
     return events.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("_b").map_groups(sessions, batch_format="pandas")
+        .groupby("_b").map_groups(sessions, batch_format="pyarrow")
 
 
 def as_of_join(left, right, key: str, ts_left: str, ts_right: str,

@@ -383,18 +383,21 @@ def sort_vertices_by_degree(edges, bucket_bits: int = 12):
     offset_map = {(int(d), int(b)): int(o) for d, b, o in
                   zip(counts["degree"], counts["_b"], offs)}
 
-    def relabel(df):
-        import pandas as pd
-        key = (int(df["degree"].iloc[0]), int(df["_b"].iloc[0]))
-        df = df.sort_values("v", kind="stable")
-        return pd.DataFrame({
-            "v": df["v"].to_numpy(),
-            "degree": df["degree"].to_numpy(),
-            "new_id": offset_map[key] + np.arange(len(df), dtype=np.int64),
+    def relabel(t: pa.Table) -> pa.Table:
+        from totem_ray.nputil import col_np
+        v = col_np(t, "v")
+        deg = col_np(t, "degree")
+        key = (int(deg[0]), int(col_np(t, "_b")[0]))
+        order = np.argsort(v, kind="stable")
+        return pa.table({
+            "v": pa.array(v[order]),
+            "degree": pa.array(deg[order]),
+            "new_id": pa.array(offset_map[key]
+                               + np.arange(t.num_rows, dtype=np.int64)),
         })
 
     return db.groupby(["degree", "_b"]).map_groups(relabel,
-                                                   batch_format="pandas")
+                                                   batch_format="pyarrow")
 
 
 def remap_vertex_ids(edges, mapping, num_buckets: int = 32):

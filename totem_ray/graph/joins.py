@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import ray
 
 from totem_ray.hashing import hash_partition, splitmix64, as_u64
-from totem_ray.nputil import in_sorted
+from totem_ray.nputil import col_i64, col_np, in_sorted
 
 
 def broadcast_lookup(ds, small_df: pd.DataFrame, key: str, on: str,
@@ -192,8 +192,11 @@ def grouped_reduce(ds, key_cols: list[str], value_cols: list[str],
     ``groupby(keys).aggregate(...)`` measured ~8 s (one key) to
     ~16-115 s (two keys) on 2M-row inputs where the data justifies
     ~1 s — at corpus scale that aggregate is the difference between a
-    combine and a stall. All keys and values must be numeric numpy
-    dtypes; ``how`` is "sum" or "min", scalar or per-value-column."""
+    combine and a stall. All keys must be integer-typed and all
+    columns null-free (checked — this combine works on raw numpy
+    views of the Arrow buffers, where a null would otherwise degrade
+    int64 to float64 silently); ``how`` is "sum" or "min", scalar or
+    per-value-column."""
     from totem_ray.hashing import as_u64, splitmix64
     from totem_ray.nputil import composite_group_starts
 
@@ -205,21 +208,21 @@ def grouped_reduce(ds, key_cols: list[str], value_cols: list[str],
     def add_g(t: pa.Table) -> pa.Table:
         g = np.zeros(t.num_rows, dtype=np.uint64)
         for c in key_cols:
-            g = splitmix64(g ^ as_u64(np.asarray(t[c])))
+            g = splitmix64(g ^ as_u64(col_i64(t, c, "grouped_reduce key")))
         return t.append_column(
             "_g", pa.array((g % num_buckets).astype(np.int64)))
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        keys = [df[c].to_numpy() for c in key_cols]
+    def combine(t: pa.Table) -> pa.Table:
+        keys = [col_i64(t, c, "grouped_reduce key") for c in key_cols]
         order = np.lexsort(tuple(reversed(keys)))
         keys = [k[order] for k in keys]
         starts, _ = composite_group_starts(*keys)
-        out = {c: k[starts] for c, k in zip(key_cols, keys)}
+        out = {c: pa.array(k[starts]) for c, k in zip(key_cols, keys)}
         for c, name, h in zip(value_cols, out_names, hows):
-            v = df[c].to_numpy()[order]
+            v = col_np(t, c, "grouped_reduce value")[order]
             red = np.minimum if h == "min" else np.add
-            out[name] = red.reduceat(v, starts)
-        return pd.DataFrame(out)
+            out[name] = pa.array(red.reduceat(v, starts))
+        return pa.table(out)
 
     return ds.map_batches(add_g, batch_format="pyarrow") \
-        .groupby("_g").map_groups(combine, batch_format="pandas")
+        .groupby("_g").map_groups(combine, batch_format="pyarrow")

@@ -3,6 +3,36 @@
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
+
+
+def col_np(t: pa.Table, name: str, what: str = "column") -> np.ndarray:
+    """Null-checked numpy view of an Arrow table column (zero-copy for
+    null-free numeric arrays). The vectorized combine paths work on
+    raw numpy views of the Arrow buffers, where a null would silently
+    degrade int64 to float64 — so a null here is an error, not a NaN."""
+    col = t[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            f"{what} {name!r} contains {col.null_count} null(s); drop "
+            "or fill them first (this vectorized path refuses the "
+            "silent int64->float64 degrade a null would cause)")
+    return np.asarray(col)
+
+
+def col_i64(t: pa.Table, name: str, what: str = "key column") -> np.ndarray:
+    """`col_np` + integer-dtype check: grouping/hashing keys must be
+    integers (string keys would crash deep inside the uint64 mix with
+    an opaque cast error — fail here with the fix spelled out)."""
+    v = col_np(t, name, what)
+    if not np.issubdtype(v.dtype, np.integer):
+        raise ValueError(
+            f"{what} {name!r} must be integer-typed (got {v.dtype}); "
+            "hash string keys to int64 first "
+            "(totem_ray.hashing.hash_strings_i64)")
+    return v
 
 
 def slice_offsets(counts: np.ndarray) -> np.ndarray:
