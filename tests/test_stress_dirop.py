@@ -4,6 +4,7 @@ stress += sigma * delta, source excluded) and direction-optimizing
 BFS parity (src/alg/totem_bfs_stepwise_hybrid.cu)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from totem_ray.algs import apsp, bfs, bfs_stepwise, stress
@@ -204,3 +205,22 @@ def test_bottom_up_trailing_isolated_vertex():
     assert any(m.get("bu_steps", 0) > 0 for m in gt["metrics"])
     gt["engine"].shutdown()
     assert (wtree.sort_index() == gtree.sort_index()).all().all()
+
+
+def test_apsp_full_universe_streams_sources():
+    """sources=None runs every vertex via the streamed iterator (no
+    driver-side take_all of the vertex universe) and reports the
+    count; distances must match the explicit-sources run."""
+    e = np.array([[0, 1], [1, 2], [2, 3]])
+    out = apsp(edges_from_arrays(e), num_partitions=2)
+    try:
+        got = out["result"].to_pandas() \
+            .sort_values(["source", "v"]).reset_index(drop=True)
+        assert out["sources"] is None and out["num_sources"] == 4
+        exp = apsp(edges_from_arrays(e), sources=[0, 1, 2, 3],
+                   num_partitions=2, engine=out["engine"])
+        expdf = exp["result"].to_pandas() \
+            .sort_values(["source", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, expdf)
+    finally:
+        out["engine"].shutdown()

@@ -177,3 +177,34 @@ def test_triangle_counts_empty_input():
                              **kw)
         assert ds.schema().names == ["v", "triangles"]
         assert ds.count() == 0
+
+
+def test_wave_limited_join_agrees():
+    """The wave-limited join (wedge_wave_bytes bounds per-wave shuffle
+    spill; wedges keyed by hash(source) across waves) must reproduce
+    the single-exchange plans exactly — counts AND edge supports."""
+    from totem_ray.algs.triangles import edge_supports, triangle_counts
+    from totem_ray.graph.edges import edges_from_arrays
+    from totem_ray.sources.fixtures import topology_edges
+
+    n, e = topology_edges("rmat_s10_ef8")
+    fast = triangle_counts(edges_from_arrays(e), num_buckets=8,
+                           num_join_partitions=8).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    # ~1 KB per wave forces many waves on this fixture
+    waved = triangle_counts(edges_from_arrays(e), num_buckets=8,
+                            num_join_partitions=8,
+                            broadcast_max_edges=0,
+                            wedge_wave_bytes=200_000).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert fast.equals(waved)
+    assert fast["triangles"].sum() > 0
+    sup_fast = edge_supports(edges_from_arrays(e), num_buckets=8,
+                             num_join_partitions=8).to_pandas() \
+        .sort_values(["lo", "hi"]).reset_index(drop=True)
+    sup_waved = edge_supports(edges_from_arrays(e), num_buckets=8,
+                              num_join_partitions=8,
+                              broadcast_max_edges=0,
+                              wedge_wave_bytes=200_000).to_pandas() \
+        .sort_values(["lo", "hi"]).reset_index(drop=True)
+    assert sup_fast.equals(sup_waved)

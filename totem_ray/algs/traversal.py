@@ -127,19 +127,30 @@ def apsp(edges, sources=None, num_partitions: int = 4, partitioner=None,
     if engine is None:
         engine = BspEngine(num_partitions, partitioner)
         engine.build(edges, vertices_ds=vertices)
+    explicit_sources = sources is not None
     if sources is None:
         # the full vertex universe — sink-only vertices included (the
         # reference loops every vertex, totem_apsp.cu: their rows are
-        # just (v, v, 0))
+        # just (v, v, 0)) — STREAMED to the per-source loop one block
+        # at a time (iter_batches over the sorted distinct-vertex
+        # Dataset), never materialized whole on the driver; the
+        # per-source checkpoint loop already bounds live state to one
+        # source at a time
         def verts(t: pa.Table) -> pa.Table:
             u = np.unique(np.concatenate([np.asarray(t["src"]),
                                           np.asarray(t["dst"])]))
             return pa.table({"v": pa.array(u, type=pa.int64())})
 
-        rows = edges.select_columns(["src", "dst"]) \
+        vert_ds = edges.select_columns(["src", "dst"]) \
             .map_batches(verts, batch_format="pyarrow") \
-            .groupby("v").count().sort("v").take_all()
-        sources = [r["v"] for r in rows]
+            .groupby("v").count().sort("v")
+
+        def _stream_sources():
+            for b in vert_ds.iter_batches(batch_format="pyarrow",
+                                          batch_size=65536):
+                yield from np.asarray(b["v"]).tolist()
+
+        sources = _stream_sources()
 
     from totem_ray.algs.sweep import sweep_sources, union_all
 
@@ -162,7 +173,13 @@ def apsp(edges, sources=None, num_partitions: int = 4, partitioner=None,
         engine, "apsp", sources, run_one,
         checkpoint_dir=checkpoint_dir, resume=resume)
     return {"result": union_all(per_source),
-            "sources": list(map(int, sources)),
+            # the id list is only echoed back when the caller provided
+            # one; the streamed full-universe path reports the count
+            # (re-listing it would re-materialize what we just avoided)
+            "sources": (list(map(int, sources)) if explicit_sources
+                        else None),
+            "num_sources": (sweep_info["sources_loaded"]
+                            + sweep_info["sources_run"]),
             "engine": engine, "sweep": sweep_info}
 
 

@@ -650,7 +650,8 @@ def triangle_counts(edges, num_buckets: int = 64,
                     broadcast_max_edges: int = 100_000_000,
                     driver_degrees_max: int = 50_000_000,
                     assume_simple: bool = False,
-                    emit: str = "vertex"):
+                    emit: str = "vertex",
+                    wedge_wave_bytes: int | None = None):
     """Dataset (v, triangles) — exact per-vertex triangle counts
     (``emit="edge"``: Dataset (lo, hi, support) per-EDGE counts
     instead — see edge_supports).
@@ -668,7 +669,9 @@ def triangle_counts(edges, num_buckets: int = 64,
     Vertices in no triangle are absent (join back / fill 0 downstream,
     as clustering_coefficient does). Pass ``assume_simple=True`` when
     the input is already a symmetrized simple graph (skips the
-    symmetrize pass)."""
+    symmetrize pass). ``wedge_wave_bytes`` (join plan only) bounds the
+    in-flight wedge-shuffle spill by running the exchange in waves —
+    see _triangle_counts_join."""
     import ray as _ray
 
     if _bucketed is not None:
@@ -709,14 +712,16 @@ def triangle_counts(edges, num_buckets: int = 64,
                                           emit=emit)
     return _triangle_counts_join(oriented, num_join_partitions,
                                  n_edges=n_oriented, emit=emit,
-                                 n_wedges=n_wedges)
+                                 n_wedges=n_wedges,
+                                 wedge_wave_bytes=wedge_wave_bytes)
 
 
 def edge_supports(edges, num_buckets: int = 64,
                   num_join_partitions: int = 32,
                   broadcast_max_edges: int = 100_000_000,
                   driver_degrees_max: int = 50_000_000,
-                  assume_simple: bool = False):
+                  assume_simple: bool = False,
+                  wedge_wave_bytes: int | None = None):
     """Dataset (lo, hi, support) — per-EDGE triangle counts over the
     simple undirected graph, edges canonicalized lo < hi. Edges in no
     triangle are absent (support 0). Exactly triangle_counts'
@@ -728,7 +733,8 @@ def edge_supports(edges, num_buckets: int = 64,
                            num_join_partitions=num_join_partitions,
                            broadcast_max_edges=broadcast_max_edges,
                            driver_degrees_max=driver_degrees_max,
-                           assume_simple=assume_simple, emit="edge")
+                           assume_simple=assume_simple, emit="edge",
+                           wedge_wave_bytes=wedge_wave_bytes)
 
 
 def _bloom_alloc(n_edges: int, bits_per_edge: int = 16):
@@ -850,7 +856,8 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
                           bloom_max_edges: int = 2_000_000_000,
                           n_edges: int | None = None,
                           emit: str = "vertex",
-                          n_wedges: int | None = None):
+                          n_wedges: int | None = None,
+                          wedge_wave_bytes: int | None = None):
     """Distributed path: wedges generated IN PLACE from the
     src-grouped oriented blocks (both producers — ``orient_b`` over
     the src-bucketed layout and ``_oriented_edges`` ending on its src
@@ -867,15 +874,34 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
     (~33 B/row), and on triangle-dense graphs the survivors are
     dominated by TRUE closures, which no filter can prune — RMAT s21
     ef16 (2.98B candidate wedges, measured) wants tens of GB of
-    aggregate shuffle spill. That is ~hundreds of MB per node on the
-    multi-node cluster this plan targets, but more than one test
-    box's disk; the broadcast plan (in-place counting, nothing
-    materialized, ~43M wedges/s measured) remains the right choice
-    whenever the fingerprint table fits the object store."""
+    aggregate shuffle spill. ``wedge_wave_bytes`` bounds the
+    IN-FLIGHT spill instead of the total: wedges are generated in
+    ``ceil(total_wedge_bytes / wedge_wave_bytes)`` waves keyed by
+    hash(wedge source) — each wave runs its own bounded
+    shuffle+close, reduces its credits to <= one row per touched
+    key, and materializes that small partial so the wave's shuffle
+    spill is garbage-collected before the next wave starts. Each
+    wave re-scans the oriented blocks and re-ships the 16 B/edge
+    fingerprint side (the price of the bound: W extra edge-side
+    passes for a W-fold smaller disk high-water mark); the per-wave
+    credit partials stay <= |touched keys| rows. ``None`` (default)
+    keeps the single-exchange plan — right for a multi-node cluster
+    where the spill is ~hundreds of MB per node; set it when one
+    box's disk must absorb the whole exchange. The broadcast plan
+    (in-place counting, nothing materialized, ~43M wedges/s
+    measured) remains the right choice whenever the fingerprint
+    table fits the object store."""
     import ray as _ray
 
     if n_edges is None:
         n_edges = oriented.count()
+    waves = 1
+    if wedge_wave_bytes:
+        if n_wedges is None:
+            n_wedges = _count_wedges(oriented)
+        # ~33 B per surviving wedge row in the exchange; candidates
+        # upper-bound survivors, so the wave count is conservative
+        waves = max(1, -(-(n_wedges * 33) // int(wedge_wave_bytes)))
     bloom_ref = None
     if 0 < n_edges <= bloom_max_edges:
         # The Bloom's only job is shrinking the wedge SHUFFLE (~97%
@@ -909,47 +935,56 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
     # bucket at creation (the wedge fingerprints are already in hand
     # for the Bloom probe). A separate edge pass + tagging stage +
     # union added two map stages of pure overhead.
-    def both_sides(t: pa.Table):
-        a = np.asarray(t["a"])
-        b = np.asarray(t["b"])
-        # edge side: fingerprint halves ride the id columns
-        elo = np.minimum(a, b)
-        ehi = np.maximum(a, b)
-        h1, h2 = _edge_fingerprints(elo, ehi)
-        yield pa.table({
-            "u": pa.array(np.zeros(len(a), dtype=np.int64)),
-            "lo": pa.array(h1.view(np.int64)),
-            "hi": pa.array(h2.view(np.int64)),
-            "_side": pa.array(np.ones(len(a), dtype=np.int8)),
-            "_b": pa.array((h1 % int(num_join_partitions))
-                           .astype(np.int64)),
-        })
-        # wedge side: one src-grouped block's forward-edge set ->
-        # canonicalized candidate wedges, yielded in bounded chunks (a
-        # hub block can expand quadratically; never materialize all
-        # its wedges)
-        blm = _ray.get(bloom_ref) if bloom_ref is not None else None
-        for u, lo, hi in _wedge_chunks(a, b, wedge_chunk):
-            wh1 = None
-            if blm is not None and len(lo):
-                wh1, wh2 = _edge_fingerprints(lo, hi)
-                keep = _bloom_probe(blm[0], blm[1], wh1, wh2)
-                lo, hi, u, wh1 = lo[keep], hi[keep], u[keep], wh1[keep]
-            if len(lo):
-                if wh1 is None:
-                    wh1, _ = _edge_fingerprints(lo, hi)
-                yield pa.table({
-                    "u": pa.array(u, type=pa.int64()),
-                    "lo": pa.array(lo, type=pa.int64()),
-                    "hi": pa.array(hi, type=pa.int64()),
-                    "_side": pa.array(np.zeros(len(lo), dtype=np.int8)),
-                    "_b": pa.array((wh1 % int(num_join_partitions))
-                                   .astype(np.int64)),
-                })
-
-    # batch_size=None: a batch IS one src-grouped block
-    tagged = oriented.map_batches(both_sides, batch_size=None,
-                                  batch_format="pyarrow")
+    def make_both_sides(wave: int):
+        def both_sides(t: pa.Table):
+            a = np.asarray(t["a"])
+            b = np.asarray(t["b"])
+            # edge side: fingerprint halves ride the id columns
+            # (re-shipped every wave — the probe side must be complete
+            # in every wave's buckets)
+            elo = np.minimum(a, b)
+            ehi = np.maximum(a, b)
+            h1, h2 = _edge_fingerprints(elo, ehi)
+            yield pa.table({
+                "u": pa.array(np.zeros(len(a), dtype=np.int64)),
+                "lo": pa.array(h1.view(np.int64)),
+                "hi": pa.array(h2.view(np.int64)),
+                "_side": pa.array(np.ones(len(a), dtype=np.int8)),
+                "_b": pa.array((h1 % int(num_join_partitions))
+                               .astype(np.int64)),
+            })
+            if waves > 1:
+                # this wave generates only the wedges whose CENTER
+                # source hashes to it: each wedge is produced exactly
+                # once across waves, and a wave's wedge volume is
+                # ~1/waves of the total (hash-spread sources; forward
+                # degree is already sqrt-bounded by the orientation)
+                keep = hash_partition(a, waves) == wave
+                a, b = a[keep], b[keep]
+            # wedge side: one src-grouped block's forward-edge set ->
+            # canonicalized candidate wedges, yielded in bounded
+            # chunks (a hub block can expand quadratically; never
+            # materialize all its wedges)
+            blm = _ray.get(bloom_ref) if bloom_ref is not None else None
+            for u, lo, hi in _wedge_chunks(a, b, wedge_chunk):
+                wh1 = None
+                if blm is not None and len(lo):
+                    wh1, wh2 = _edge_fingerprints(lo, hi)
+                    keep = _bloom_probe(blm[0], blm[1], wh1, wh2)
+                    lo, hi, u, wh1 = lo[keep], hi[keep], u[keep], wh1[keep]
+                if len(lo):
+                    if wh1 is None:
+                        wh1, _ = _edge_fingerprints(lo, hi)
+                    yield pa.table({
+                        "u": pa.array(u, type=pa.int64()),
+                        "lo": pa.array(lo, type=pa.int64()),
+                        "hi": pa.array(hi, type=pa.int64()),
+                        "_side": pa.array(np.zeros(len(lo),
+                                                   dtype=np.int8)),
+                        "_b": pa.array((wh1 % int(num_join_partitions))
+                                       .astype(np.int64)),
+                    })
+        return both_sides
 
     def close(t: pa.Table) -> pa.Table:
         side = np.asarray(t["_side"])
@@ -979,11 +1014,39 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
         return pa.table({"v": pa.array(vu, type=pa.int64()),
                          "_t": pa.array(cnt, type=pa.int64())})
 
-    per_bucket = tagged.groupby("_b").map_groups(close,
-                                                 batch_format="pyarrow")
+    def wave_partials(wave: int):
+        # batch_size=None: a batch IS one src-grouped block
+        tagged = oriented.map_batches(make_both_sides(wave),
+                                      batch_size=None,
+                                      batch_format="pyarrow")
+        return tagged.groupby("_b").map_groups(close,
+                                               batch_format="pyarrow")
+
+    if waves == 1:
+        per_bucket = wave_partials(0)
+        if emit == "edge":
+            return _sum_partials_by_edge(per_bucket, "_t", "support")
+        return _sum_partials_by_v(per_bucket, "_t", "triangles")
+
+    # wave loop: each wave's shuffle runs to completion, its credits
+    # collapse to <= one row per touched key (grouped_reduce), and the
+    # materialize() barrier lets Ray free the wave's shuffle spill
+    # before the next wave shuffles — the disk high-water mark is one
+    # wave's exchange, not the whole wedge volume
+    from totem_ray.graph.joins import grouped_reduce
+
+    keys = ["lo", "hi"] if emit == "edge" else ["v"]
+    wave_sums = []
+    for w in range(waves):
+        wave_sums.append(
+            grouped_reduce(wave_partials(w), keys, ["_t"],
+                           how="sum").materialize())
+    acc = wave_sums[0]
+    for part in wave_sums[1:]:
+        acc = acc.union(part)
     if emit == "edge":
-        return _sum_partials_by_edge(per_bucket, "_t", "support")
-    return _sum_partials_by_v(per_bucket, "_t", "triangles")
+        return _sum_partials_by_edge(acc, "_t", "support")
+    return _sum_partials_by_v(acc, "_t", "triangles")
 
 
 def _probe_fp_sorted(eh1: np.ndarray, eh2: np.ndarray,
