@@ -15,14 +15,18 @@ build/partition time reported separately (Totem's time_init/time_par
 split).
 
 Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR (default sf0.1).
-``--scaling`` runs the headline at two taskset-pinned parallelism
-levels in fresh processes and appends the efficiency table to
-BASELINE.md (the two-cluster-size criterion evidenced at N and 4N
-parallelism). Default pair SCALING_CPUS=2,8 — the box's linear
-region; 8->32 (set SCALING_CPUS=8,32) runs into the measured
-~40 GB/s single-box memory-bandwidth ceiling, an emulation artifact
-that does not exist across real N -> 4N NODES, where each node
-brings its own memory channels (see BASELINE.md methodology).
+``--scaling`` runs the headline at every SCALING_CPUS leg (default
+2,8,32) in taskset-pinned fresh processes and appends one
+self-contained efficiency table to BASELINE.md: the 2->8 pair is the
+box's linear region (the N -> 4N-node proxy), while 8->32 runs into
+the measured ~40 GB/s single-box memory-bandwidth ceiling, an
+emulation artifact that does not exist across real N -> 4N NODES,
+where each node brings its own memory channels (see BASELINE.md
+methodology). Both pairs are always reported together.
+``--wedge-join-study`` runs the distributed triangle join at RMAT
+s{BENCH_WJS_SCALE:-21} ef16 under the wave-limited spill bound
+(BENCH_WJS_WAVE_BYTES, default 12 GiB) and appends wall time + disk
+high-water mark to BASELINE.md.
 """
 
 from __future__ import annotations
@@ -130,16 +134,17 @@ def ensure_rmat_edges_distributed(scale: int, ef: int,
     return path
 
 
-def ensure_pages(scale: int, ef: int = 8) -> str:
+def ensure_pages(scale: int, ef: int = 8, num_hosts: int = 17) -> str:
     from totem_ray.sources.fixtures import rmat_edges
     from totem_ray.sources.pages import write_pages_parquet
 
-    path = os.path.join(BENCH_DIR, f"pages_s{scale}_ef{ef}")
+    suffix = "" if num_hosts == 17 else f"_h{num_hosts}"
+    path = os.path.join(BENCH_DIR, f"pages_s{scale}_ef{ef}{suffix}")
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
     n, e = rmat_edges(scale, ef)
-    write_pages_parquet(path, n, e)
+    write_pages_parquet(path, n, e, num_hosts=num_hosts)
     with open(done, "w") as f:
         f.write(str(n))
     return path
@@ -408,6 +413,105 @@ def bench_dedup(sf_dir: str) -> dict:
     return {"minhash_dedup_sec": t, "n_docs": counts["n"]}
 
 
+def bench_corpus_pipeline(scale: int | None = None,
+                          num_hosts: int = 1024) -> dict:
+    """End-to-end corpus pipeline — the composed run a 100-TB user
+    actually executes, timed per stage in ONE pass (not best-of;
+    composition cost IS the metric): pages -> host-level weighted
+    link graph (sources/extract.pages_to_host_edges) -> weighted
+    PageRank to convergence -> MinHash near-dup groups over the
+    pages' own extracted text (dup groups via the engine's BSP CC).
+    Every stage consumes the previous stage's Dataset."""
+    import ray.data
+
+    from totem_ray.algs import pagerank_weighted
+    from totem_ray.functions.dedup import minhash_dedup_groups
+    from totem_ray.hashing import hash_strings_i64
+    from totem_ray.sources.extract import (pages_to_host_edges,
+                                           pages_to_text)
+
+    if scale is None:
+        scale = int(os.environ.get("BENCH_CORPUS_SCALE", "17"))
+    pages_path = ensure_pages(scale, num_hosts=num_hosts)
+    stages = {}
+    t_all = time.perf_counter()
+
+    pages = ray.data.read_parquet(pages_path, columns=["url", "html"])
+    t0 = time.perf_counter()
+    host_edges = pages_to_host_edges(pages).materialize()
+    n_host_edges = host_edges.count()
+    stages["host_graph_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pr = pagerank_weighted(host_edges, num_partitions=8)
+    n_hosts = pr["result"].count()
+    pr["engine"].shutdown()
+    stages["weighted_pagerank_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+
+    def add_doc_id(t):
+        import pyarrow as _pa
+        return t.append_column(
+            "doc_id", _pa.array(hash_strings_i64(t["url"]),
+                                type=_pa.int64()))
+
+    docs = pages_to_text(pages) \
+        .map_batches(add_doc_id, batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"])
+    n_groups = minhash_dedup_groups(docs, tau=0.5).count()
+    stages["minhash_dedup_sec"] = round(time.perf_counter() - t0, 3)
+
+    stages["total_sec"] = round(time.perf_counter() - t_all, 3)
+    return {**stages, "n_pages": 1 << scale, "n_hosts": int(n_hosts),
+            "n_host_edges": int(n_host_edges),
+            "n_doc_rows": int(n_groups), "scale": scale,
+            "num_hosts_cap": num_hosts}
+
+
+def run_corpus_1m():
+    """The 1M-page composed corpus pipeline (BENCH_CORPUS_SCALE=20),
+    recorded once per round in BASELINE.md — the per-round driver
+    bench runs the same pipeline at s17 (131k pages) to keep its
+    wall time bounded."""
+    import ray
+
+    _ensure_repo_on_path()
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    out = bench_corpus_pipeline(scale=20)
+    out["metric"] = "corpus_pipeline_1m"
+    out["num_cpus"] = ncpu
+    out["cpu_canary_sort10m_sec"] = cpu_canary()
+    print(json.dumps(out))
+    stamp = __import__("datetime").datetime.now().isoformat(
+        timespec="seconds")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE.md"), "a") as f:
+        f.write(f"""
+## Composed corpus pipeline at 1M pages (bench.py --corpus-1m, {stamp})
+
+pages (2^20 = 1,048,576, {out['num_hosts_cap']} hosts) -> host-level
+weighted link graph ({out['n_host_edges']:,} host edges) -> weighted
+PageRank to convergence ({out['n_hosts']:,} hosts) -> MinHash
+near-dup groups over the extracted text ({out['n_doc_rows']:,}
+doc rows), num_cpus={out['num_cpus']}, canary
+{out['cpu_canary_sort10m_sec']}:
+
+| stage | sec |
+|---|---|
+| host graph (extract + aggregate) | {out['host_graph_sec']} |
+| weighted PageRank | {out['weighted_pagerank_sec']} |
+| minhash dedup (incl. BSP-CC groups) | {out['minhash_dedup_sec']} |
+| **composed total** | **{out['total_sec']}** |
+""")
+    ray.shutdown()
+
+
 def cpu_canary() -> float:
     """Single-core machine-speed canary: seconds to np.sort 10M
     doubles (fixed seed). Recorded in ``extra`` so runs on this
@@ -480,6 +584,9 @@ def run_once(headline_only: bool = False) -> dict:
         queries["text_extract"] = ext["text_extract_sec"]
         dd = bench_dedup(sf_dir)
         queries["minhash_dedup"] = dd["minhash_dedup_sec"]
+        cp = bench_corpus_pipeline()
+        queries["corpus_pipeline"] = cp["total_sec"]
+        extra["corpus_pipeline"] = cp
         extra["sf_queries"] = q
         extra["extraction"] = ext
         extra["dedup"] = dd
@@ -624,8 +731,103 @@ not share.
         f.write(block)
 
 
+def run_wedge_join_study():
+    """Distributed triangle join at RMAT s{BENCH_WJS_SCALE} ef16 with
+    the wave-limited spill bound — the >100M-edge regime where the
+    join plan is the only plan, demonstrated within one box's disk.
+    Tracks the disk high-water mark (free-space delta on the spill
+    filesystem, polled) alongside wall time; appends both to
+    BASELINE.md's wedge-volume table context and prints one JSON
+    line."""
+    import shutil
+    import threading
+
+    _ensure_repo_on_path()
+    scale = int(os.environ.get("BENCH_WJS_SCALE", "21"))
+    ef = int(os.environ.get("BENCH_WJS_EF", "16"))
+    wave_bytes = int(os.environ.get("BENCH_WJS_WAVE_BYTES",
+                                    str(12 << 30)))
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+    path = ensure_rmat_edges_distributed(scale, ef)
+
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from totem_ray.algs.triangles import triangle_counts
+
+    free0 = shutil.disk_usage("/tmp").free
+    peak = {"used": 0}
+    stop = threading.Event()
+
+    def monitor():
+        while not stop.is_set():
+            used = free0 - shutil.disk_usage("/tmp").free
+            if used > peak["used"]:
+                peak["used"] = used
+            stop.wait(2.0)
+
+    th = threading.Thread(target=monitor, daemon=True)
+    th.start()
+    edges = ray.data.read_parquet(path)
+    t0 = time.perf_counter()
+    tri = triangle_counts(edges, num_buckets=64,
+                          num_join_partitions=32,
+                          broadcast_max_edges=0,
+                          wedge_wave_bytes=wave_bytes)
+    import numpy as _np
+    import pyarrow as _pa
+
+    def _part_sum(t):
+        return _pa.table({"s": _pa.array(
+            [int(_np.asarray(t["triangles"]).sum())], type=_pa.int64())})
+
+    total = int(tri.map_batches(_part_sum,
+                                batch_format="pyarrow").sum("s"))
+    wall = time.perf_counter() - t0
+    stop.set()
+    th.join(timeout=5)
+    canary = cpu_canary()
+    out = {
+        "metric": "wedge_join_study",
+        "scale": scale, "ef": ef,
+        "wedge_wave_bytes": wave_bytes,
+        "num_cpus": ncpu,
+        "join_wall_sec": round(wall, 1),
+        "triangle_credit_sum": total,
+        "peak_disk_used_bytes": int(peak["used"]),
+        "peak_disk_used_gb": round(peak["used"] / (1 << 30), 2),
+        "cpu_canary_sort10m_sec": canary,
+    }
+    print(json.dumps(out))
+    stamp = __import__("datetime").datetime.now().isoformat(
+        timespec="seconds")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE.md"), "a") as f:
+        f.write(f"""
+## Wave-limited distributed triangle join (bench.py --wedge-join-study, {stamp})
+
+RMAT s{scale} ef{ef}, join plan forced (broadcast_max_edges=0),
+wedge_wave_bytes={wave_bytes >> 30} GiB, num_cpus={ncpu}:
+wall **{out['join_wall_sec']} s**, disk high-water mark
+**{out['peak_disk_used_gb']} GB** (free-space delta on the spill
+filesystem, 2 s poll), per-vertex triangle credit sum
+{total:,} (canary {canary}).
+""")
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--wedge-join-study" in sys.argv:
+        run_wedge_join_study()
+    elif "--corpus-1m" in sys.argv:
+        run_corpus_1m()
     else:
         print(json.dumps(run_once(headline_only="--headline-only" in sys.argv)))

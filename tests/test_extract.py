@@ -264,3 +264,21 @@ def test_url_host_normalization():
     assert got[:4] == ["a.example"] * 4
     assert got[4] == "[2001:db8::1]"
     assert got[5] is None
+
+
+def test_pages_fixture_num_hosts_param():
+    """num_hosts spreads fixture pages over that many synthetic hosts
+    (corpus-pipeline bench); the default stays 17 so every
+    byte-identity fixture is unchanged."""
+    import numpy as np
+
+    from totem_ray.sources.pages import render_pages_table, url_of
+
+    assert url_of(40) == url_of(40, 17)
+    e = np.array([[0, 1], [1, 2], [2, 0]])
+    t17 = render_pages_table(3, e)
+    t64 = render_pages_table(3, e, num_hosts=64)
+    assert t17["text"].to_pylist() == t64["text"].to_pylist()
+    assert t64["url"].to_pylist() == [url_of(v, 64) for v in range(3)]
+    # anchors must point at the num_hosts-consistent urls
+    assert url_of(1, 64).encode() in t64["html"][0].as_py()

@@ -141,12 +141,13 @@ def minhash_signatures(docs, num_perm: int = 64, shingle_k: int = 3,
             sig[rows] = mins
         # fixed-width binary (num_perm little-endian int64s): survives
         # every join/shuffle as plain bytes — no list/tensor extension
-        # types in flight
+        # types in flight; built from one contiguous buffer, no
+        # per-row Python bytes
         return pa.table({
             id_col: pa.array(ids, type=pa.int64()),
-            "sig": pa.array(
-                [row.tobytes() for row in np.ascontiguousarray(sig)],
-                type=pa.binary(num_perm * 8)),
+            "sig": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(num_perm * 8), len(sig),
+                [None, pa.py_buffer(np.ascontiguousarray(sig).tobytes())]),
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
@@ -222,14 +223,18 @@ def minhash_lsh_candidates(docs, num_perm: int = 64, bands: int = 16,
             for j in range(rows_per_band):
                 h = splitmix64(h ^ chunk[:, j])
             bh[:, b] = h.view(np.int64)
-        sig_bytes = [row.tobytes() for row in np.ascontiguousarray(sig)]
+        # fixed-width binary column built from ONE contiguous buffer
+        # (each signature row repeated `bands` times) — no per-row
+        # Python bytes objects
+        rep = np.repeat(np.ascontiguousarray(sig), bands, axis=0)
+        sig_col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(num_perm * 8), len(rep),
+            [None, pa.py_buffer(rep.tobytes())])
         return pa.table({
             id_col: pa.array(np.repeat(ids, bands), type=pa.int64()),
             "band": pa.array(np.tile(np.arange(bands), len(ids)), type=pa.int64()),
             "bhash": pa.array(bh.reshape(-1), type=pa.int64()),
-            "sig": pa.array([sig_bytes[i] for i in
-                             np.repeat(np.arange(len(ids)), bands)],
-                            type=pa.binary(num_perm * 8)),
+            "sig": sig_col,
         })
 
     band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")

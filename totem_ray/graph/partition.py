@@ -126,7 +126,6 @@ def partition_stats(edges, partitioner) -> dict:
     engine), whose max/mean ratio is the power-law skew a partitioner
     must tame: the busiest shard bounds every superstep."""
     import pyarrow as pa
-    from ray.data.aggregate import Sum
 
     P = partitioner.num_partitions
 
@@ -140,13 +139,20 @@ def partition_stats(edges, partitioner) -> dict:
                              .astype(np.int64)),
         })
 
-    per = edges.map_batches(fn, batch_format="pyarrow") \
-        .groupby("_pid").aggregate(Sum("_n", alias_name="n"),
-                                   Sum("_rmt", alias_name="rmt")) \
-        .to_pandas()
+    # each batch already reduces to exactly P rows — stream the tiny
+    # partials to the driver and sum there (no groupby shuffle; also
+    # avoids Ray's aggregate emitting empty-schema blocks, the
+    # "_pid/n/rmt vs <empty>" warning recorded in BENCH_r04)
     counts = np.zeros(P, dtype=np.int64)
-    counts[per["_pid"].to_numpy()] = per["n"].to_numpy()
-    rmt = int(per["rmt"].sum())
+    rmts = np.zeros(P, dtype=np.int64)
+    for blk in edges.map_batches(fn, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        if blk.num_rows == 0:
+            continue
+        pid = np.asarray(blk["_pid"])
+        np.add.at(counts, pid, np.asarray(blk["_n"]))
+        np.add.at(rmts, pid, np.asarray(blk["_rmt"]))
+    rmt = int(rmts.sum())
     tot = int(counts.sum())
     mean = tot / P if P else 0.0
     return {"remote_edges": rmt, "total_edges": tot,

@@ -27,8 +27,12 @@ _WORDS = (
 BASE_TS_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00 in microseconds
 
 
-def url_of(v: int) -> str:
-    return f"https://site{v % 17}.example/p/{v}"
+def url_of(v: int, num_hosts: int = 17) -> str:
+    """Fixture url for page v. ``num_hosts`` spreads pages over that
+    many synthetic hosts (default 17 — the long-standing fixture
+    value every byte-identity test pins); the corpus-pipeline bench
+    raises it so the derived host graph has real fan-out."""
+    return f"https://site{v % num_hosts}.example/p/{v}"
 
 
 def _body_text(v: int) -> str:
@@ -39,7 +43,8 @@ def _body_text(v: int) -> str:
 
 
 def render_pages_table(num_vertices: int, edges: np.ndarray,
-                       lang: str = "en") -> pa.Table:
+                       lang: str = "en",
+                       num_hosts: int = 17) -> pa.Table:
     """Render a topology into a pages Arrow table.
 
     ``edges`` is the (m, 2) directed edge array; page v gets one
@@ -59,12 +64,12 @@ def render_pages_table(num_vertices: int, edges: np.ndarray,
     for v in range(num_vertices):
         text = _body_text(v)
         anchors = "".join(
-            f'<a href="{url_of(int(d))}">l</a>'
+            f'<a href="{url_of(int(d), num_hosts)}">l</a>'
             for d in dsts[starts[v]:starts[v + 1]]
         )
         html = (f"<html><head><title>p{v}</title></head>"
                 f"<body>{text}{anchors}</body></html>")
-        urls.append(url_of(v))
+        urls.append(url_of(v, num_hosts))
         htmls.append(html.encode())
         texts.append(text)
 
@@ -80,13 +85,14 @@ def render_pages_table(num_vertices: int, edges: np.ndarray,
 
 
 def write_pages_parquet(path: str, num_vertices: int, edges: np.ndarray,
-                        rows_per_file: int = 200_000) -> str:
+                        rows_per_file: int = 200_000,
+                        num_hosts: int = 17) -> str:
     """Write a pages table as partitioned parquet (one dir, N part files)."""
     import os
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
-    tbl = render_pages_table(num_vertices, edges)
+    tbl = render_pages_table(num_vertices, edges, num_hosts=num_hosts)
     n = tbl.num_rows
     part = 0
     for lo in range(0, max(n, 1), rows_per_file):
