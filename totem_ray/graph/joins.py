@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from totem_ray.hashing import hash_partition, splitmix64, as_u64
+from totem_ray.hashing import splitmix64, as_u64
 from totem_ray.nputil import col_i64, col_np, in_sorted
 
 
