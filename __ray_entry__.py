@@ -783,6 +783,52 @@ def q_doc_simhash_clone_pairs(sf_dir: str):
     return pairs.map_batches(fin, batch_format="pyarrow")
 
 
+def q_doc_dup_shingles(sf_dir: str):
+    """Per-doc duplicated-shingle fraction (repetition /
+    contamination score, functions/dedup.py
+    duplicate_shingle_fraction): fraction of each doc's distinct
+    3-gram shingles appearing in >= 2 docs."""
+    from totem_ray.functions.dedup import duplicate_shingle_fraction
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    out = duplicate_shingle_fraction(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    return _round_col(out, "dup_frac", 6)
+
+
+def _dup_shingles_oracle_sql() -> str:
+    """Full-data oracle for ``doc_dup_shingles``: tabulation token
+    hash -> k=3 shingle fold (the same CTE chain as the minhash
+    oracle) -> distinct (doc, shingle) -> per-shingle doc count ->
+    per-doc duplicated fraction."""
+    tok_frag, _ = _tok_hash_ctes()
+    sA, pA = _sm64_ctes("sh1", [("t0", "sa")], "sac")
+    sB, pB = _sm64_ctes(pA, [(_xor_sql("sa5", "t1"), "sb")], "sbc")
+    shfin = (f"shingles AS (SELECT doc_id, {_xor_sql('sb5', 't2')} AS sh "
+             f"FROM {pB})")
+    return f"""
+        WITH RECURSIVE
+        {tok_frag},
+        sh0 AS (SELECT doc_id, th AS t0,
+                       lead(th, 1) OVER w AS t1, lead(th, 2) OVER w AS t2
+                FROM tokh WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+        sh1 AS (SELECT doc_id, t0, t1, t2 FROM sh0 WHERE t2 IS NOT NULL),
+        {sA},
+        {sB},
+        {shfin},
+        ds AS (SELECT DISTINCT doc_id, sh FROM shingles),
+        freq AS (SELECT sh, COUNT(*) AS ndocs FROM ds GROUP BY sh)
+        SELECT ds.doc_id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_shingles,
+               ROUND(CAST(SUM(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS dup_frac
+        FROM ds JOIN freq ON freq.sh = ds.sh
+        GROUP BY ds.doc_id
+    """
+
+
 def q_doc_ngram_jaccard(sf_dir: str):
     from totem_ray.functions.dedup import ngram_jaccard_pairs
     from totem_ray.pipelines.tpch_graph import read_table
@@ -900,6 +946,18 @@ def q_events_hourly(sf_dir: str):
 
     ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
     out = tumbling_window(ev, width_s=3600)
+    out = out.drop_columns(["avg_value"])
+    return _round_col(out, "sum_value", 6)
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (1 h window, 15 min hop — each event
+    in 4 overlapping windows; functions/windows.py hopping_window)."""
+    from totem_ray.functions.windows import hopping_window
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = hopping_window(ev, width_s=3600, hop_s=900)
     out = out.drop_columns(["avg_value"])
     return _round_col(out, "sum_value", 6)
 
@@ -1404,8 +1462,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_tree_dirop_copurchase": q_bfs_tree_dirop_copurchase,
         "sssp_copurchase": q_sssp_copurchase,
         "graph_summary_pairs": q_graph_summary,
-        "pcore_copurchase": q_pcore_copurchase,
-        "closeness_copurchase": q_closeness_copurchase,
         "betweenness_copurchase": q_betweenness_copurchase,
         "bfs_dirop_copurchase": q_bfs_dirop_copurchase,
         "maxflow_chain": q_maxflow_chain,
@@ -1415,9 +1471,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_simhash_clone_pairs": q_doc_simhash_clone_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_dup_shingles": q_doc_dup_shingles,   # NEW in r5 -> prefix
         "emb_near_dup": q_emb_near_dup,
         "knn_ivf_indexed": q_knn_ivf_indexed,
         "events_hourly": q_events_hourly,
+        "events_hopping": q_events_hopping,   # NEW in r5 -> prefix
         "events_sessions": q_events_sessions,
         # --- tail: untouched this round, green in r3-local + r4-driver
         "doc_token_stats": q_doc_token_stats,
@@ -1435,6 +1493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "component_set_orders": q_component_set_orders,
         "stress_copurchase": q_stress_copurchase,
+        "closeness_copurchase": q_closeness_copurchase,
+        "pcore_copurchase": q_pcore_copurchase,
     }
 
 
@@ -2408,6 +2468,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "doc_minhash_dedup": _minhash_dedup_oracle_sql(),
+        "doc_dup_shingles": _dup_shingles_oracle_sql(),
         "doc_simhash_pairs": _simhash_pairs_oracle_sql(),
         "doc_minhash_clone_dedup": """
             SELECT doc_id, TRUE AS same_group FROM documents
@@ -2428,6 +2489,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 6) AS sum_value
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_hopping": """
+            WITH ev AS (SELECT user_id,
+                               CAST(epoch_us(ts) AS BIGINT) AS tus,
+                               value
+                        FROM events),
+            exploded AS (
+              SELECT user_id,
+                     (tus // 900000000) * 900000000
+                       - j * 900000000 AS ws,
+                     value
+              FROM ev CROSS JOIN (SELECT unnest(range(4)) AS j) hops)
+            SELECT user_id,
+                   make_timestamp(ws) AS window_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM exploded GROUP BY user_id, ws
         """,
         "events_sessions": """
             WITH flagged AS (

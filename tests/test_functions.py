@@ -788,3 +788,80 @@ def test_minhash_clone_family_collapses_to_star():
     g1 = minhash_dedup_groups(docs, tau=0.8).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert (g1["dup_group"] == 0).all()
+
+
+def test_duplicate_shingle_fraction_closed_form():
+    """3-doc corpus with known 3-gram overlap: docs 1/2 share exactly
+    one of their two shingles (frac 0.5), doc 3 shares none, and a
+    2-token doc has no shingle identity (absent from output)."""
+    from totem_ray.functions.dedup import duplicate_shingle_fraction
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["a b c d", "a b c x", "q r s t", "a b"],
+                         type=pa.string())}))
+    out = duplicate_shingle_fraction(docs).to_pandas() \
+        .sort_values("doc_id").set_index("doc_id")
+    assert out.index.tolist() == [1, 2, 3]
+    assert out.loc[1, "n_shingles"] == 2 and out.loc[1, "n_dup_shingles"] == 1
+    assert out.loc[2, "dup_frac"] == 0.5
+    assert out.loc[3, "n_dup_shingles"] == 0 and out.loc[3, "dup_frac"] == 0.0
+
+
+def test_duplicate_shingle_fraction_matches_brute_force():
+    """Fixture docs vs a pure-Python recomputation of the same
+    definition (distinct k-grams per doc; duplicated = in >= 2 docs)."""
+    from totem_ray.functions.dedup import duplicate_shingle_fraction
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    docs = read_table("/root/testdata/sf0.001", "documents",
+                      columns=["doc_id", "text"])
+    out = duplicate_shingle_fraction(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pdf = docs.to_pandas()
+    import collections
+    per_doc = {}
+    for _, r in pdf.iterrows():
+        toks = [t for t in r["text"].lower().split() if t]
+        grams = {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        if grams:
+            per_doc[int(r["doc_id"])] = grams
+    df_count = collections.Counter(g for gs in per_doc.values() for g in gs)
+    for _, r in out.iterrows():
+        grams = per_doc[int(r["doc_id"])]
+        nd = sum(1 for g in grams if df_count[g] >= 2)
+        assert int(r["n_shingles"]) == len(grams)
+        assert int(r["n_dup_shingles"]) == nd
+    assert set(out["doc_id"]) == set(per_doc)
+
+
+def test_hopping_window_overlap():
+    """width 1h, hop 15min: each event appears in exactly 4 windows;
+    the window aligned at the event's hop boundary and the 3 before."""
+    from totem_ray.functions.windows import hopping_window, tumbling_window
+
+    out = hopping_window(_events(), width_s=3600, hop_s=900).to_pandas()
+    out["w"] = out["window_start"].astype("datetime64[s]").astype("int64")
+    # event at t=0 (user 1) is in windows starting -2700,-1800,-900,0
+    u1 = out[out["user_id"] == 1]
+    for ws in (-2700, -1800, -900, 0):
+        assert (u1["w"] == ws).any(), ws
+    # window [0, 3600) for user 1 contains events at 0 and 10 only
+    k = out.set_index(["user_id", "w"])
+    assert k.loc[(1, 0), "n_events"] == 2
+    assert k.loc[(1, 0), "sum_value"] == 3.0
+    # degenerate case hop == width equals tumbling
+    hp = hopping_window(_events(), width_s=3600, hop_s=3600).to_pandas() \
+        .sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    tw = tumbling_window(_events(), width_s=3600).to_pandas() \
+        .sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(hp, tw)
+
+
+def test_hopping_window_rejects_bad_hop():
+    import pytest
+
+    from totem_ray.functions.windows import hopping_window
+
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_window(_events(), width_s=3600, hop_s=1000)

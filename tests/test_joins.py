@@ -127,3 +127,25 @@ def test_grouped_reduce_string_key_raises():
         "v": pa.array([1, 2], pa.int64())}))
     with pytest.raises(Exception, match="integer-typed"):
         grouped_reduce(ds, ["k"], ["v"], how="sum").to_pandas()
+
+
+def test_hash_anti_join():
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                                "lv": pa.array([10, 20, 30], pa.int64())}))
+    r = rd.from_arrow(pa.table({"k": pa.array([2, 4], pa.int64()),
+                                "rv": pa.array([0, 0], pa.int64())}))
+    out = hash_join(l, r, on="k", how="anti").to_pandas().sort_values("k")
+    assert out.columns.tolist() == ["k", "lv"]
+    assert out["k"].tolist() == [1, 3]
+    # anti vs semi partition the left rows
+    semi = hash_join(l, r, on="k", how="semi").to_pandas()
+    assert sorted(semi["k"].tolist() + out["k"].tolist()) == [1, 2, 3]
+
+
+def test_hash_anti_join_large_ids():
+    l = rd.from_arrow(pa.table({"k": pa.array([BIG, BIG + 1], pa.int64()),
+                                "lv": pa.array([1, 2], pa.int64())}))
+    r = rd.from_arrow(pa.table({"k": pa.array([BIG], pa.int64())}))
+    out = hash_join(l, r, on="k", how="anti",
+                    right_cols=["k"]).to_pandas()
+    assert out["k"].tolist() == [BIG + 1]

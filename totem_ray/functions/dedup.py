@@ -536,6 +536,75 @@ def ngram_jaccard_pairs(docs, tau: float = 0.5, shingle_k: int = 3,
     return j2.map_batches(finish, batch_format="pyarrow")
 
 
+def duplicate_shingle_fraction(docs, shingle_k: int = 3,
+                               id_col: str = "doc_id",
+                               num_buckets: int = 64):
+    """Per-doc repetition / contamination score: the fraction of a
+    document's DISTINCT word-k-gram shingles that also appear in at
+    least one OTHER document — the standard boilerplate /
+    cross-document-repetition signal web-corpus curation filters on
+    (the C4 / RefinedWeb-family "duplicated n-gram fraction"). The
+    reference has no text operators; this extends the training-data
+    dedup family with the scoring (rather than pairing) view of the
+    same shingle table.
+
+    Dataset (doc_id, n_shingles, n_dup_shingles, dup_frac), one row
+    per doc with >= shingle_k tokens (shorter docs have no k-gram
+    identity — same exclusion as minhash). Scale shape: shuffles
+    16 B (doc, shingle-hash) rows, never text; per-shingle doc counts
+    come from one grouped_reduce; the join back is the bucketed
+    hash_join. Shingle hashing is tabulation-based
+    (hashing.tab_hash_strings), so the whole pipeline is
+    SQL-transcribable for the value oracle."""
+    from totem_ray.graph.joins import grouped_reduce
+
+    def shingle_table(t: pa.Table) -> pa.Table:
+        doc, sh = _shingle_rows(t, shingle_k, id_col)
+        if len(doc):
+            u = np.unique(np.stack([doc, sh], axis=1), axis=0)
+            doc, sh = u[:, 0], u[:, 1]
+        one = np.ones(len(doc), dtype=np.int64)
+        return pa.table({"doc": pa.array(doc, type=pa.int64()),
+                         "sh": pa.array(sh, type=pa.int64()),
+                         "one": pa.array(one)})
+
+    rows = docs.map_batches(shingle_table,
+                            batch_format="pyarrow").materialize()
+    # docs per shingle (rows are distinct per (doc, sh))
+    freq = grouped_reduce(rows, ["sh"], ["one"], how="sum",
+                          out_names=["ndocs"], num_buckets=num_buckets)
+    joined = hash_join(rows.select_columns(["doc", "sh"]), freq, on="sh",
+                       left_cols=["doc", "sh"],
+                       right_cols=["sh", "ndocs"],
+                       num_buckets=num_buckets)
+
+    def flag(t: pa.Table) -> pa.Table:
+        nd = np.asarray(t["ndocs"])
+        return pa.table({
+            "doc": t["doc"].combine_chunks().cast(pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "dup": pa.array((nd >= 2).astype(np.int64)),
+        })
+
+    per_doc = grouped_reduce(
+        joined.map_batches(flag, batch_format="pyarrow"),
+        ["doc"], ["one", "dup"], how="sum",
+        out_names=["n_shingles", "n_dup_shingles"],
+        num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_shingles"], dtype=np.float64)
+        d = np.asarray(t["n_dup_shingles"], dtype=np.float64)
+        return pa.table({
+            id_col: t["doc"].combine_chunks().cast(pa.int64()),
+            "n_shingles": t["n_shingles"],
+            "n_dup_shingles": t["n_dup_shingles"],
+            "dup_frac": pa.array(d / n, type=pa.float64()),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 def _count_renamed(doc_counts, new_id, new_n):
     def fn(t: pa.Table) -> pa.Table:
         return pa.table({new_id: t["doc"], new_n: t["nsh"]})

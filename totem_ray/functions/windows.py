@@ -86,6 +86,79 @@ def tumbling_window(events, width_s: int = 3600, key: str = "user_id",
         .groupby("_g").map_groups(combine, batch_format="pyarrow")
 
 
+def hopping_window(events, width_s: int = 3600, hop_s: int = 900,
+                   key: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value", num_buckets: int = 64):
+    """Hopping (sliding) window aggregate: per (key, window-start)
+    count + sum + mean over windows of ``width_s`` starting every
+    ``hop_s`` (width must be a multiple of hop). Each event lands in
+    width/hop overlapping windows; window starts are epoch-aligned
+    (the width_s == hop_s case degenerates to tumbling_window).
+
+    Same combiner shape as tumbling_window — the per-batch explode to
+    (key, window) rows pre-aggregates before the ONE hash(key, window)
+    shuffle, so shuffle volume is bounded by touched (key, window,
+    batch) triples, not events x windows. ``key`` must be an integer
+    column (hash strings first)."""
+    if width_s % hop_s != 0:
+        raise ValueError(f"width_s ({width_s}) must be a multiple of "
+                         f"hop_s ({hop_s})")
+    k_h = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], type=pa.int64()),
+                             "_w": pa.array([], type=pa.int64()),
+                             "_n": pa.array([], type=pa.int64()),
+                             "_s": pa.array([], type=pa.float64())})
+        k = col_i64(t, key, "hopping_window key")
+        ts = np.asarray(t[ts_col].combine_chunks().cast(pa.int64()))
+        v = np.asarray(t[value_col], dtype=np.float64)
+        # the k_h windows containing ts start at
+        # floor(ts/hop)*hop - j*hop, j = 0..k_h-1
+        base = (ts // hop_us) * hop_us
+        k = np.repeat(k, k_h)
+        w = np.repeat(base, k_h) - np.tile(
+            np.arange(k_h, dtype=np.int64) * hop_us, len(ts))
+        v = np.repeat(v, k_h)
+        order = np.lexsort((w, k))
+        k, w, v = k[order], w[order], v[order]
+        starts, sizes = composite_group_starts(k, w)
+        return pa.table({key: pa.array(k[starts], type=pa.int64()),
+                         "_w": pa.array(w[starts], type=pa.int64()),
+                         "_n": pa.array(sizes, type=pa.int64()),
+                         "_s": pa.array(np.add.reduceat(v, starts),
+                                        type=pa.float64())})
+
+    def add_g(t: pa.Table) -> pa.Table:
+        g = splitmix64(splitmix64(as_u64(np.asarray(t[key])))
+                       ^ as_u64(np.asarray(t["_w"])))
+        return t.append_column(
+            "_g", pa.array((g % num_buckets).astype(np.int64)))
+
+    def combine(t: pa.Table) -> pa.Table:
+        k = col_np(t, key)
+        w = col_np(t, "_w")
+        n = col_np(t, "_n")
+        s = col_np(t, "_s")
+        order = np.lexsort((w, k))
+        k, w, n, s = k[order], w[order], n[order], s[order]
+        starts, _ = composite_group_starts(k, w)
+        tot_n = np.add.reduceat(n, starts)
+        tot_s = np.add.reduceat(s, starts)
+        return pa.table({
+            key: pa.array(k[starts]),
+            "window_start": pa.array(w[starts].astype("datetime64[us]")),
+            "n_events": pa.array(tot_n),
+            "sum_value": pa.array(tot_s),
+            "avg_value": pa.array(tot_s / tot_n)})
+
+    return events.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(add_g, batch_format="pyarrow") \
+        .groupby("_g").map_groups(combine, batch_format="pyarrow")
+
+
 def session_windows(events, gap_s: int = 1800, key: str = "user_id",
                     ts_col: str = "ts", num_buckets: int = 32):
     """Session windows: a new session starts when the gap to the

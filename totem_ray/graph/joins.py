@@ -88,9 +88,10 @@ def hash_join(left, right, on: list[str] | str, how: str = "inner",
               right_cols: list[str] | None = None):
     """Partitioned hash join of two Datasets on equality of ``on``
     columns (same names both sides). Non-key column names must be
-    disjoint. ``how`` in {'inner', 'left', 'semi'} — 'semi' keeps the
-    LEFT rows whose key exists on the right (exact existence check, no
-    right payload shipped through the merge). Pass
+    disjoint. ``how`` in {'inner', 'left', 'semi', 'anti'} — 'semi'
+    keeps the LEFT rows whose key exists on the right, 'anti' the
+    LEFT rows whose key does NOT (both are exact existence checks; no
+    right payload ships through the merge). Pass
     left_cols/right_cols when a side may be empty (schema
     unavailable)."""
     on = [on] if isinstance(on, str) else list(on)
@@ -102,7 +103,8 @@ def hash_join(left, right, on: list[str] | str, how: str = "inner",
         raise ValueError("empty side with unknown schema: pass "
                          "left_cols/right_cols explicitly")
     lval = [c for c in lcols if c not in on]
-    rval = [] if how == "semi" else [c for c in rcols if c not in on]
+    rval = [] if how in ("semi", "anti") else \
+        [c for c in rcols if c not in on]
     clash = set(lval) & set(rval)
     if clash:
         raise ValueError(f"non-key column clash: {clash}")
@@ -135,7 +137,7 @@ def hash_join(left, right, on: list[str] | str, how: str = "inner",
 
     out_cols = on + lval + rval
     join_type = {"inner": "inner", "left": "left outer",
-                 "semi": "left semi"}[how]
+                 "semi": "left semi", "anti": "left anti"}[how]
     known_types = dict(_arrow_types)
 
     def merge(t: pa.Table) -> pa.Table:
