@@ -865,3 +865,19 @@ def test_hopping_window_rejects_bad_hop():
 
     with pytest.raises(ValueError, match="multiple"):
         hopping_window(_events(), width_s=3600, hop_s=1000)
+
+
+def test_duplicate_shingle_fraction_plans_agree():
+    """Broadcast flag set vs hash-join fallback (forced with a zero
+    broadcast gate) must produce identical rows."""
+    from totem_ray.functions.dedup import duplicate_shingle_fraction
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    docs = read_table("/root/testdata/sf0.001", "documents",
+                      columns=["doc_id", "text"])
+    a = duplicate_shingle_fraction(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = duplicate_shingle_fraction(docs, broadcast_max_shingles=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_dup_shingles"] <= a["n_shingles"]).all()

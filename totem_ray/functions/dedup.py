@@ -28,7 +28,8 @@ from ray.data.aggregate import Count, Min
 from totem_ray.graph.joins import hash_join
 from totem_ray.hashing import as_u64, splitmix64, tab_hash_strings
 from totem_ray.nputil import (col_np, composite_group_starts,
-                              group_starts_sizes, pairs_within_groups)
+                              group_starts_sizes, in_sorted,
+                              pairs_within_groups)
 
 # The Unicode White_Space set written as an EXPLICIT character class
 # (literal code points, resolved by the Python string literal): the
@@ -538,7 +539,8 @@ def ngram_jaccard_pairs(docs, tau: float = 0.5, shingle_k: int = 3,
 
 def duplicate_shingle_fraction(docs, shingle_k: int = 3,
                                id_col: str = "doc_id",
-                               num_buckets: int = 64):
+                               num_buckets: int = 64,
+                               broadcast_max_shingles: int = 20_000_000):
     """Per-doc repetition / contamination score: the fraction of a
     document's DISTINCT word-k-gram shingles that also appear in at
     least one OTHER document — the standard boilerplate /
@@ -552,10 +554,14 @@ def duplicate_shingle_fraction(docs, shingle_k: int = 3,
     per doc with >= shingle_k tokens (shorter docs have no k-gram
     identity — same exclusion as minhash). Scale shape: shuffles
     16 B (doc, shingle-hash) rows, never text; per-shingle doc counts
-    come from one grouped_reduce; the join back is the bucketed
-    hash_join. Shingle hashing is tabulation-based
-    (hashing.tab_hash_strings), so the whole pipeline is
-    SQL-transcribable for the value oracle."""
+    come from one grouped_reduce; the flag-back is dual-plan (the
+    module idiom): when the set of DUPLICATED shingles fits
+    ``broadcast_max_shingles`` (8 B each — boilerplate-heavy corpora
+    have small shared-shingle universes) it broadcasts once and flags
+    with a sorted-membership probe, else the bucketed hash_join runs.
+    Shingle hashing is tabulation-based (hashing.tab_hash_strings),
+    so the whole pipeline is SQL-transcribable for the value
+    oracle."""
     from totem_ray.graph.joins import grouped_reduce
 
     def shingle_table(t: pa.Table) -> pa.Table:
@@ -570,25 +576,56 @@ def duplicate_shingle_fraction(docs, shingle_k: int = 3,
 
     rows = docs.map_batches(shingle_table,
                             batch_format="pyarrow").materialize()
-    # docs per shingle (rows are distinct per (doc, sh))
-    freq = grouped_reduce(rows, ["sh"], ["one"], how="sum",
-                          out_names=["ndocs"], num_buckets=num_buckets)
-    joined = hash_join(rows.select_columns(["doc", "sh"]), freq, on="sh",
-                       left_cols=["doc", "sh"],
-                       right_cols=["sh", "ndocs"],
-                       num_buckets=num_buckets)
+    # docs per shingle (rows are distinct per (doc, sh)), kept to the
+    # duplicated ones only — the flag set
+    dup_sh = grouped_reduce(rows, ["sh"], ["one"], how="sum",
+                            out_names=["ndocs"], num_buckets=num_buckets) \
+        .filter(expr="ndocs >= 2").materialize()
 
-    def flag(t: pa.Table) -> pa.Table:
-        nd = np.asarray(t["ndocs"])
-        return pa.table({
-            "doc": t["doc"].combine_chunks().cast(pa.int64()),
-            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-            "dup": pa.array((nd >= 2).astype(np.int64)),
-        })
+    if dup_sh.count() <= broadcast_max_shingles:
+        import ray as _ray
+
+        parts = [np.asarray(b["sh"]) for b in
+                 dup_sh.select_columns(["sh"])
+                 .iter_batches(batch_format="pyarrow") if b.num_rows]
+        dup_sorted = np.sort(np.concatenate(parts)) if parts \
+            else np.empty(0, np.int64)
+        ref = _ray.put(dup_sorted)
+
+        class Flag:
+            def __init__(self):
+                self.dup = _ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                hit = in_sorted(self.dup, np.asarray(t["sh"]))
+                return pa.table({
+                    "doc": t["doc"].combine_chunks().cast(pa.int64()),
+                    "one": t["one"],
+                    "dup": pa.array(hit.astype(np.int64)),
+                })
+
+        flagged = rows.map_batches(Flag, batch_format="pyarrow",
+                                   concurrency=(1, 8))
+    else:
+        joined = hash_join(rows.select_columns(["doc", "sh"]), dup_sh,
+                           on="sh", how="left",
+                           left_cols=["doc", "sh"],
+                           right_cols=["sh", "ndocs"],
+                           num_buckets=num_buckets)
+
+        def flag(t: pa.Table) -> pa.Table:
+            nd = t["ndocs"].combine_chunks()
+            return pa.table({
+                "doc": t["doc"].combine_chunks().cast(pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "dup": pa.array(np.asarray(nd.is_valid())
+                                .astype(np.int64)),
+            })
+
+        flagged = joined.map_batches(flag, batch_format="pyarrow")
 
     per_doc = grouped_reduce(
-        joined.map_batches(flag, batch_format="pyarrow"),
-        ["doc"], ["one", "dup"], how="sum",
+        flagged, ["doc"], ["one", "dup"], how="sum",
         out_names=["n_shingles", "n_dup_shingles"],
         num_buckets=num_buckets)
 
