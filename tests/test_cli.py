@@ -136,3 +136,24 @@ def test_cli_hyperball(tmp_path, capsys):
                  "--rounds", "2"]) == 0
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row["alg"] == "hyperball" and row["rows"] == 15
+
+
+def test_registry_consistency():
+    """Every oracle_sql() key must name a queries() entry, and the
+    driver-verified 50-entry prefix must stay exactly 50 wide (the
+    rotation policy's invariant)."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_for_test", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ray_entry_for_test"] = mod
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+    assert len(qs) >= 50
+    # only knn_ivf (RNG fit) is allowed to lack an oracle by design
+    missing = set(qs) - set(oracles)
+    assert missing <= {"knn_ivf"}, missing

@@ -275,3 +275,50 @@ def test_grouped_reduce_matches_pandas(rows, nblocks):
         .agg(si=("vi", "sum"), mf=("vf", "min")) \
         .sort_values(["a", "b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(st.lists(st.tuples(st.integers(0, 4),
+                          st.integers(0, 20_000),
+                          st.floats(-5, 5, allow_nan=False)),
+                min_size=1, max_size=80),
+       st.sampled_from([(3600, 900), (3600, 1800), (60, 20)]),
+       st.integers(1, 4))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hopping_window_matches_pandas(rows, wh, nblocks):
+    """hopping_window (explode + pre-aggregate + one shuffle) must
+    equal the brute-force pandas recomputation — every event in
+    exactly width/hop windows — for any key/ts/value set, any
+    width/hop pair, any block layout."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from totem_ray.functions.windows import hopping_window
+
+    width_s, hop_s = wh
+    k = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] for r in rows], dtype=np.int64) * 1_000_000
+    v = np.array([r[2] for r in rows], dtype=np.float64)
+    t = pa.table({"user_id": pa.array(k),
+                  "ts": pa.array(ts.astype("datetime64[us]")),
+                  "value": pa.array(v)})
+    step = max(1, len(rows) // nblocks)
+    ds = rd.from_arrow([t.slice(i, step)
+                        for i in range(0, len(rows), step)])
+    got = hopping_window(ds, width_s=width_s, hop_s=hop_s).to_pandas()
+    got["w"] = got["window_start"].astype("int64")
+    got = got[["user_id", "w", "n_events", "sum_value"]] \
+        .sort_values(["user_id", "w"]).reset_index(drop=True)
+
+    k_h = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+    base = (ts // hop_us) * hop_us
+    kk = np.repeat(k, k_h)
+    ww = np.repeat(base, k_h) - np.tile(
+        np.arange(k_h, dtype=np.int64) * hop_us, len(ts))
+    vv = np.repeat(v, k_h)
+    want = pd.DataFrame({"user_id": kk, "w": ww, "value": vv}) \
+        .groupby(["user_id", "w"], as_index=False) \
+        .agg(n_events=("value", "size"), sum_value=("value", "sum")) \
+        .sort_values(["user_id", "w"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
