@@ -208,3 +208,43 @@ def test_wave_limited_join_agrees():
                               wedge_wave_bytes=200_000).to_pandas() \
         .sort_values(["lo", "hi"]).reset_index(drop=True)
     assert sup_fast.equals(sup_waved)
+
+
+def test_wave_limited_join_resumes(tmp_path):
+    """With checkpoint_dir, each finished wave's reduced partial
+    persists atomically; a re-run loads every finished wave (markers
+    untouched), and clearing one wave's marker recomputes only that
+    wave — final counts identical throughout."""
+    import os
+
+    from totem_ray.algs.triangles import triangle_counts
+    from totem_ray.graph.edges import edges_from_arrays
+    from totem_ray.sources.fixtures import topology_edges
+
+    n, e = topology_edges("rmat_s8_ef8")
+    ck = str(tmp_path / "ck")
+    kw = dict(num_buckets=4, num_join_partitions=4,
+              broadcast_max_edges=0, wedge_wave_bytes=100_000,
+              checkpoint_dir=ck)
+    first = triangle_counts(edges_from_arrays(e), **kw).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    base = os.path.join(ck, os.listdir(ck)[0])
+    waves = sorted(d for d in os.listdir(base) if d.startswith("wave-"))
+    assert len(waves) >= 2
+    mtimes = {w: os.path.getmtime(os.path.join(base, w, "_DONE"))
+              for w in waves}
+    again = triangle_counts(edges_from_arrays(e), **kw).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert first.equals(again)
+    for w in waves:  # loaded, not recomputed
+        assert os.path.getmtime(os.path.join(base, w, "_DONE")) \
+            == mtimes[w]
+    # crash simulation: one wave's completion lost
+    os.remove(os.path.join(base, waves[1], "_DONE"))
+    resumed = triangle_counts(edges_from_arrays(e), **kw).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert first.equals(resumed)
+    assert os.path.getmtime(os.path.join(base, waves[1], "_DONE")) \
+        > mtimes[waves[1]]
+    assert os.path.getmtime(os.path.join(base, waves[0], "_DONE")) \
+        == mtimes[waves[0]]

@@ -651,7 +651,8 @@ def triangle_counts(edges, num_buckets: int = 64,
                     driver_degrees_max: int = 50_000_000,
                     assume_simple: bool = False,
                     emit: str = "vertex",
-                    wedge_wave_bytes: int | None = None):
+                    wedge_wave_bytes: int | None = None,
+                    checkpoint_dir: str | None = None):
     """Dataset (v, triangles) — exact per-vertex triangle counts
     (``emit="edge"``: Dataset (lo, hi, support) per-EDGE counts
     instead — see edge_supports).
@@ -670,8 +671,10 @@ def triangle_counts(edges, num_buckets: int = 64,
     as clustering_coefficient does). Pass ``assume_simple=True`` when
     the input is already a symmetrized simple graph (skips the
     symmetrize pass). ``wedge_wave_bytes`` (join plan only) bounds the
-    in-flight wedge-shuffle spill by running the exchange in waves —
-    see _triangle_counts_join."""
+    in-flight wedge-shuffle spill by running the exchange in waves;
+    ``checkpoint_dir`` makes the wave loop resumable (each wave's
+    reduced partial persists atomically) — see
+    _triangle_counts_join."""
     import ray as _ray
 
     if _bucketed is not None:
@@ -713,7 +716,8 @@ def triangle_counts(edges, num_buckets: int = 64,
     return _triangle_counts_join(oriented, num_join_partitions,
                                  n_edges=n_oriented, emit=emit,
                                  n_wedges=n_wedges,
-                                 wedge_wave_bytes=wedge_wave_bytes)
+                                 wedge_wave_bytes=wedge_wave_bytes,
+                                 checkpoint_dir=checkpoint_dir)
 
 
 def edge_supports(edges, num_buckets: int = 64,
@@ -721,7 +725,8 @@ def edge_supports(edges, num_buckets: int = 64,
                   broadcast_max_edges: int = 100_000_000,
                   driver_degrees_max: int = 50_000_000,
                   assume_simple: bool = False,
-                  wedge_wave_bytes: int | None = None):
+                  wedge_wave_bytes: int | None = None,
+                  checkpoint_dir: str | None = None):
     """Dataset (lo, hi, support) — per-EDGE triangle counts over the
     simple undirected graph, edges canonicalized lo < hi. Edges in no
     triangle are absent (support 0). Exactly triangle_counts'
@@ -734,7 +739,8 @@ def edge_supports(edges, num_buckets: int = 64,
                            broadcast_max_edges=broadcast_max_edges,
                            driver_degrees_max=driver_degrees_max,
                            assume_simple=assume_simple, emit="edge",
-                           wedge_wave_bytes=wedge_wave_bytes)
+                           wedge_wave_bytes=wedge_wave_bytes,
+                           checkpoint_dir=checkpoint_dir)
 
 
 def _bloom_alloc(n_edges: int, bits_per_edge: int = 16):
@@ -857,7 +863,8 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
                           n_edges: int | None = None,
                           emit: str = "vertex",
                           n_wedges: int | None = None,
-                          wedge_wave_bytes: int | None = None):
+                          wedge_wave_bytes: int | None = None,
+                          checkpoint_dir: str | None = None):
     """Distributed path: wedges generated IN PLACE from the
     src-grouped oriented blocks (both producers — ``orient_b`` over
     the src-bucketed layout and ``_oriented_edges`` ending on its src
@@ -1032,15 +1039,62 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
     # collapse to <= one row per touched key (grouped_reduce), and the
     # materialize() barrier lets Ray free the wave's shuffle spill
     # before the next wave shuffles — the disk high-water mark is one
-    # wave's exchange, not the whole wedge volume
+    # wave's exchange, not the whole wedge volume. With
+    # ``checkpoint_dir`` each wave's reduced partial lands atomically
+    # in a lineage-keyed subdirectory (parquet first, then a durable
+    # _DONE — the sweep discipline), so a preempted multi-hour
+    # exchange resumes at the first unfinished wave instead of wave 0;
+    # the lineage key pins graph identity + wave plan, so a checkpoint
+    # from a different graph or wave count can never silently mix in.
+    import os
+    import shutil
+
+    import ray.data as _rd
+
     from totem_ray.graph.joins import grouped_reduce
 
     keys = ["lo", "hi"] if emit == "edge" else ["v"]
+    base = None
+    if checkpoint_dir:
+        from totem_ray.algs.sweep import _write_done
+        from totem_ray.hashing import lineage_hash
+
+        lineage = lineage_hash("triangle_waves", n_edges, n_wedges,
+                               waves, emit, num_join_partitions)
+        base = os.path.join(checkpoint_dir, lineage)
+        os.makedirs(base, exist_ok=True)
     wave_sums = []
     for w in range(waves):
-        wave_sums.append(
-            grouped_reduce(wave_partials(w), keys, ["_t"],
-                           how="sum").materialize())
+        if base is None:
+            wave_sums.append(
+                grouped_reduce(wave_partials(w), keys, ["_t"],
+                               how="sum").materialize())
+            continue
+        d = os.path.join(base, f"wave-{w:05d}")
+        marker = os.path.join(d, "_DONE")
+        if os.path.exists(marker):
+            wave_sums.append(_rd.read_parquet(d))
+            continue
+        if os.path.isdir(d):
+            # incomplete partial from a crashed run
+            shutil.rmtree(d)
+        reduced = grouped_reduce(wave_partials(w), keys, ["_t"],
+                                 how="sum").materialize()
+        if reduced.count() == 0:
+            # a zero-credit wave still needs a readable file, or the
+            # resume read_parquet would fail on an empty directory
+            import pyarrow.parquet as _pq
+            os.makedirs(d, exist_ok=True)
+            cols = {k: pa.array([], type=pa.int64()) for k in keys}
+            cols["_t"] = pa.array([], type=pa.int64())
+            _pq.write_table(pa.table(cols),
+                            os.path.join(d, "empty.parquet"))
+        else:
+            reduced.write_parquet(d)
+        _write_done(marker, f"wave {w}")
+        # consume the SAME bytes a resumed run would (no live/restored
+        # skew), and free the wave's shuffle state either way
+        wave_sums.append(_rd.read_parquet(d))
     acc = wave_sums[0]
     for part in wave_sums[1:]:
         acc = acc.union(part)
