@@ -962,6 +962,19 @@ def q_events_hopping(sf_dir: str):
     return _round_col(out, "sum_value", 6)
 
 
+def q_events_top3_per_user(sf_dir: str):
+    """Per-key quota cap (functions/sketch.py top_k_per_key): the 3
+    highest-value events per user, ties by event_id ascending."""
+    from totem_ray.functions.sketch import top_k_per_key
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "value"])
+    out = top_k_per_key(ev, "user_id", "value", k=3,
+                        tie_col="event_id")
+    return _round_col(out, "value", 6)
+
+
 def q_events_sessions(sf_dir: str):
     from totem_ray.functions.windows import session_windows
     from totem_ray.pipelines.tpch_graph import read_table
@@ -1462,7 +1475,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_tree_dirop_copurchase": q_bfs_tree_dirop_copurchase,
         "sssp_copurchase": q_sssp_copurchase,
         "graph_summary_pairs": q_graph_summary,
-        "betweenness_copurchase": q_betweenness_copurchase,
         "bfs_dirop_copurchase": q_bfs_dirop_copurchase,
         "maxflow_chain": q_maxflow_chain,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -1476,6 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_indexed": q_knn_ivf_indexed,
         "events_hourly": q_events_hourly,
         "events_hopping": q_events_hopping,   # NEW in r5 -> prefix
+        "events_top3_per_user": q_events_top3_per_user,  # NEW in r5
         "events_sessions": q_events_sessions,
         # --- tail: untouched this round, green in r3-local + r4-driver
         "doc_token_stats": q_doc_token_stats,
@@ -1495,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stress_copurchase": q_stress_copurchase,
         "closeness_copurchase": q_closeness_copurchase,
         "pcore_copurchase": q_pcore_copurchase,
+        "betweenness_copurchase": q_betweenness_copurchase,
     }
 
 
@@ -2489,6 +2503,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 6) AS sum_value
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_top3_per_user": """
+            SELECT event_id, user_id, ROUND(value, 6) AS value
+            FROM (SELECT event_id, user_id, value,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY value DESC,
+                                                     event_id ASC) AS rn
+                  FROM events)
+            WHERE rn <= 3
         """,
         "events_hopping": """
             WITH ev AS (SELECT user_id,

@@ -6,6 +6,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 import ray.data
+import ray.data as rd
 
 from totem_ray.functions.sketch import (_bit_length_u64, hash_sample,
                                         hll_estimate, hll_token_registers)
@@ -105,3 +106,52 @@ def test_top_tokens_tie_break_token_asc():
     texts = ["z y x", "x y z"]
     df = top_tokens(_docs_ds(texts), k=2).to_pandas()
     assert list(df["tok"]) == ["x", "y"]
+
+
+def test_top_k_per_key_closed_form():
+    """Per-key cap: top-2 by value desc, ties by id asc; keys with
+    fewer rows keep them all; payload columns ride through."""
+    from totem_ray.functions.sketch import top_k_per_key
+
+    ds = rd.from_arrow(pa.table({
+        "host": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+        "doc": pa.array([10, 11, 12, 20, 21, 30], type=pa.int64()),
+        "score": pa.array([5.0, 9.0, 9.0, 1.0, 2.0, 7.0]),
+        "text": pa.array(list("abcdef"), type=pa.string())}))
+    out = top_k_per_key(ds, "host", "score", k=2, tie_col="doc") \
+        .to_pandas().sort_values(["host", "doc"]).reset_index(drop=True)
+    # host 1: scores 9,9,5 -> docs 11,12 (tie id asc); host 2: both;
+    # host 3: its single row
+    assert out["doc"].tolist() == [11, 12, 20, 21, 30]
+    assert out.columns.tolist() == ["host", "doc", "score", "text"]
+    assert out[out["doc"] == 11]["text"].iloc[0] == "b"
+
+
+def test_top_k_per_key_int64_exact_order():
+    """int64 order columns must sort exactly (sign-bit-flip key, no
+    float64 round-trip): values beyond 2^53 differing by 1 pick the
+    true maximum."""
+    from totem_ray.functions.sketch import top_k_per_key
+
+    big = (1 << 60) + 10
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1], type=pa.int64()),
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "v": pa.array([big, big + 1, -big], type=pa.int64())}))
+    out = top_k_per_key(ds, "k", "v", k=1, tie_col="id").to_pandas()
+    assert out["id"].tolist() == [2]
+    asc = top_k_per_key(ds, "k", "v", k=1, tie_col="id",
+                        descending=False).to_pandas()
+    assert asc["id"].tolist() == [3]
+
+
+def test_top_k_per_key_rejects_nan():
+    import pytest
+
+    from totem_ray.functions.sketch import top_k_per_key
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], type=pa.int64()),
+        "v": pa.array([1.0, float("nan")])}))
+    with pytest.raises(Exception, match="NaN"):
+        top_k_per_key(ds, "k", "v", k=1).to_pandas()

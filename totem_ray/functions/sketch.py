@@ -106,3 +106,53 @@ def hash_sample(ds, key_col: str, rate: float, seed: int = SAMPLE_SEED):
         return t.filter(pa.array(v < threshold))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def top_k_per_key(ds, key_col: str, order_col: str, k: int,
+                  descending: bool = True, tie_col: str | None = None,
+                  num_buckets: int = 64):
+    """Keep the top ``k`` rows per key by ``order_col`` — the per-key
+    quota / cap of corpus curation (e.g. at most N documents per host,
+    ranked by quality, so one spam domain cannot dominate a shard).
+    The reference has no relational operators; this is the
+    training-data extension of its per-vertex top-degree selections
+    (partition_by_sorted_degree's alpha walk, totem_partition.cu).
+
+    Deterministic: rows order by (order_col DESC|ASC, tie_col ASC,
+    input order); ``tie_col`` defaults to ``key_col`` (pass a unique
+    id column for full determinism under equal order values). All
+    original columns ride through. One hash(key) shuffle; the
+    per-bucket pick is a vectorized lexsort + per-group ordinal cut.
+    int64 order columns sort EXACTLY (sign-bit-flip descending key,
+    no float round-trip); float columns must be NaN-free."""
+    from totem_ray.hashing import hash_partition
+    from totem_ray.nputil import col_i64, col_np, group_starts_sizes
+
+    tie_col = tie_col or key_col
+
+    def sort_key(o: np.ndarray) -> np.ndarray:
+        if np.issubdtype(o.dtype, np.integer):
+            u = as_u64(o.astype(np.int64)) ^ np.uint64(1 << 63)
+            return ~u if descending else u
+        o = o.astype(np.float64)
+        if np.isnan(o).any():
+            raise ValueError(f"top_k_per_key: {order_col!r} contains "
+                             "NaN; drop or fill first")
+        return -o if descending else o
+
+    def add_g(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(hash_partition(
+            col_i64(t, key_col, "top_k_per_key key"), num_buckets)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        kv = col_np(t, key_col)
+        order = np.lexsort((col_np(t, tie_col),
+                            sort_key(col_np(t, order_col)), kv))
+        kv_s = kv[order]
+        starts, sizes = group_starts_sizes(kv_s)
+        ords = np.arange(len(kv_s)) - np.repeat(starts, sizes)
+        keep = order[ords < k]
+        return t.take(pa.array(np.sort(keep))).drop_columns(["_g"])
+
+    return ds.map_batches(add_g, batch_format="pyarrow") \
+        .groupby("_g").map_groups(pick, batch_format="pyarrow")
