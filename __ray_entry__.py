@@ -829,6 +829,57 @@ def _dup_shingles_oracle_sql() -> str:
     """
 
 
+def q_doc_contamination(sf_dir: str):
+    """Test-set decontamination score (functions/dedup.py
+    contamination_fraction): fraction of each doc's distinct 3-gram
+    shingles appearing in the deterministic reference subset
+    doc_id % 17 == 0 (the stand-in benchmark set)."""
+    from totem_ray.functions.dedup import contamination_fraction
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ref_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(np.asarray(t["doc_id"]) % 17 == 0))
+
+    ref = docs.map_batches(ref_filter, batch_format="pyarrow")
+    out = contamination_fraction(docs, ref)
+    return _round_col(out, "contamination_frac", 6)
+
+
+def _contamination_oracle_sql() -> str:
+    """Full-data oracle for ``doc_contamination``: the shingle CTE
+    chain over ALL documents, the reference shingle set = shingles of
+    docs with doc_id % 17 == 0, membership + per-doc fraction."""
+    tok_frag, _ = _tok_hash_ctes()
+    sA, pA = _sm64_ctes("sh1", [("t0", "sa")], "sac")
+    sB, pB = _sm64_ctes(pA, [(_xor_sql("sa5", "t1"), "sb")], "sbc")
+    shfin = (f"shingles AS (SELECT doc_id, {_xor_sql('sb5', 't2')} AS sh "
+             f"FROM {pB})")
+    return f"""
+        WITH RECURSIVE
+        {tok_frag},
+        sh0 AS (SELECT doc_id, th AS t0,
+                       lead(th, 1) OVER w AS t1, lead(th, 2) OVER w AS t2
+                FROM tokh WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+        sh1 AS (SELECT doc_id, t0, t1, t2 FROM sh0 WHERE t2 IS NOT NULL),
+        {sA},
+        {sB},
+        {shfin},
+        ds AS (SELECT DISTINCT doc_id, sh FROM shingles),
+        refsh AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 17 = 0)
+        SELECT ds.doc_id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN refsh.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               ROUND(CAST(SUM(CASE WHEN refsh.sh IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS contamination_frac
+        FROM ds LEFT JOIN refsh ON refsh.sh = ds.sh
+        GROUP BY ds.doc_id
+    """
+
+
 def q_doc_ngram_jaccard(sf_dir: str):
     from totem_ray.functions.dedup import ngram_jaccard_pairs
     from totem_ray.pipelines.tpch_graph import read_table
@@ -1473,7 +1524,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_copurchase": q_bfs_copurchase,
         "bfs_tree_copurchase": q_bfs_tree_copurchase,
         "bfs_tree_dirop_copurchase": q_bfs_tree_dirop_copurchase,
-        "sssp_copurchase": q_sssp_copurchase,
         "graph_summary_pairs": q_graph_summary,
         "bfs_dirop_copurchase": q_bfs_dirop_copurchase,
         "maxflow_chain": q_maxflow_chain,
@@ -1484,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_clone_pairs": q_doc_simhash_clone_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dup_shingles": q_doc_dup_shingles,   # NEW in r5 -> prefix
+        "doc_contamination": q_doc_contamination,  # NEW in r5
         "emb_near_dup": q_emb_near_dup,
         "knn_ivf_indexed": q_knn_ivf_indexed,
         "events_hourly": q_events_hourly,
@@ -1509,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_copurchase": q_closeness_copurchase,
         "pcore_copurchase": q_pcore_copurchase,
         "betweenness_copurchase": q_betweenness_copurchase,
+        "sssp_copurchase": q_sssp_copurchase,
     }
 
 
@@ -2483,6 +2535,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_minhash_dedup": _minhash_dedup_oracle_sql(),
         "doc_dup_shingles": _dup_shingles_oracle_sql(),
+        "doc_contamination": _contamination_oracle_sql(),
         "doc_simhash_pairs": _simhash_pairs_oracle_sql(),
         "doc_minhash_clone_dedup": """
             SELECT doc_id, TRUE AS same_group FROM documents

@@ -881,3 +881,41 @@ def test_duplicate_shingle_fraction_plans_agree():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert (a["n_dup_shingles"] <= a["n_shingles"]).all()
+
+
+def test_contamination_fraction_closed_form():
+    """Reference = doc 0; doc 1 shares half its shingles with it, doc
+    2 none; the reference doc itself scores 1.0 (self-overlap,
+    documented)."""
+    from totem_ray.functions.dedup import contamination_fraction
+
+    docs = _docs(["a b c d", "a b c x", "q r s t"])
+    ref = _docs(["a b c d"], ids=[0])
+    out = contamination_fraction(docs, ref).to_pandas() \
+        .sort_values("doc_id").set_index("doc_id")
+    assert out.loc[0, "contamination_frac"] == 1.0
+    assert out.loc[1, "contamination_frac"] == 0.5
+    assert out.loc[2, "contamination_frac"] == 0.0
+    assert out.loc[1, "n_shingles"] == 2
+    assert out.loc[1, "n_contaminated"] == 1
+
+
+def test_contamination_fraction_plans_agree():
+    from totem_ray.functions.dedup import contamination_fraction
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    docs = read_table("/root/testdata/sf0.001", "documents",
+                      columns=["doc_id", "text"])
+
+    def ref_filter(t):
+        return t.filter(pa.array(np.asarray(t["doc_id"]) % 17 == 0))
+
+    ref = docs.map_batches(ref_filter, batch_format="pyarrow")
+    a = contamination_fraction(docs, ref).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = contamination_fraction(docs, ref, broadcast_max_shingles=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # every ref doc fully overlaps itself
+    refs = a[a["doc_id"] % 17 == 0]
+    assert (refs["contamination_frac"] == 1.0).all()

@@ -642,6 +642,105 @@ def duplicate_shingle_fraction(docs, shingle_k: int = 3,
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
+def contamination_fraction(docs, ref_docs, shingle_k: int = 3,
+                           id_col: str = "doc_id",
+                           num_buckets: int = 64,
+                           broadcast_max_shingles: int = 20_000_000):
+    """Test-set decontamination score: for each document, the fraction
+    of its DISTINCT word-k-gram shingles that appear ANYWHERE in the
+    ``ref_docs`` corpus (a benchmark / evaluation set) — the standard
+    n-gram-overlap signal used to drop training documents that leak
+    evaluation data. A document present in both sets overlaps itself
+    (fraction 1.0) — filter the ref ids out of ``docs`` first if that
+    is not wanted.
+
+    Dataset (doc_id, n_shingles, n_contaminated, contamination_frac),
+    one row per doc with >= shingle_k tokens. Dual-plan flag-back like
+    duplicate_shingle_fraction: the reference shingle set (benchmarks
+    are small — usually thousands of docs) broadcasts once and flags
+    with a sorted membership probe when it fits
+    ``broadcast_max_shingles``; past the gate a bucketed left
+    hash_join runs. Same tabulation shingle hashing, so the pipeline
+    is SQL-transcribable."""
+    from totem_ray.graph.joins import grouped_reduce
+
+    def shingle_table(t: pa.Table) -> pa.Table:
+        doc, sh = _shingle_rows(t, shingle_k, id_col)
+        if len(doc):
+            u = np.unique(np.stack([doc, sh], axis=1), axis=0)
+            doc, sh = u[:, 0], u[:, 1]
+        one = np.ones(len(doc), dtype=np.int64)
+        return pa.table({"doc": pa.array(doc, type=pa.int64()),
+                         "sh": pa.array(sh, type=pa.int64()),
+                         "one": pa.array(one)})
+
+    rows = docs.map_batches(shingle_table, batch_format="pyarrow")
+    # distinct reference shingles (dedup across ref docs)
+    ref_sh = grouped_reduce(
+        ref_docs.map_batches(shingle_table, batch_format="pyarrow"),
+        ["sh"], ["one"], how="min", out_names=["one"],
+        num_buckets=num_buckets).materialize()
+
+    if ref_sh.count() <= broadcast_max_shingles:
+        import ray as _ray
+
+        parts = [np.asarray(b["sh"]) for b in
+                 ref_sh.select_columns(["sh"])
+                 .iter_batches(batch_format="pyarrow") if b.num_rows]
+        ref_sorted = np.sort(np.concatenate(parts)) if parts \
+            else np.empty(0, np.int64)
+        ref = _ray.put(ref_sorted)
+
+        class Flag:
+            def __init__(self):
+                self.ref = _ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                hit = in_sorted(self.ref, np.asarray(t["sh"]))
+                return pa.table({
+                    "doc": t["doc"].combine_chunks().cast(pa.int64()),
+                    "one": t["one"],
+                    "hit": pa.array(hit.astype(np.int64)),
+                })
+
+        flagged = rows.map_batches(Flag, batch_format="pyarrow",
+                                   concurrency=(1, 8))
+    else:
+        joined = hash_join(rows.select_columns(["doc", "sh"]), ref_sh,
+                           on="sh", how="left",
+                           left_cols=["doc", "sh"],
+                           right_cols=["sh", "one"],
+                           num_buckets=num_buckets)
+
+        def flag(t: pa.Table) -> pa.Table:
+            matched = t["one"].combine_chunks()
+            return pa.table({
+                "doc": t["doc"].combine_chunks().cast(pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "hit": pa.array(np.asarray(matched.is_valid())
+                                .astype(np.int64)),
+            })
+
+        flagged = joined.map_batches(flag, batch_format="pyarrow")
+
+    per_doc = grouped_reduce(
+        flagged, ["doc"], ["one", "hit"], how="sum",
+        out_names=["n_shingles", "n_contaminated"],
+        num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_shingles"], dtype=np.float64)
+        d = np.asarray(t["n_contaminated"], dtype=np.float64)
+        return pa.table({
+            id_col: t["doc"].combine_chunks().cast(pa.int64()),
+            "n_shingles": t["n_shingles"],
+            "n_contaminated": t["n_contaminated"],
+            "contamination_frac": pa.array(d / n, type=pa.float64()),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 def _count_renamed(doc_counts, new_id, new_n):
     def fn(t: pa.Table) -> pa.Table:
         return pa.table({new_id: t["doc"], new_n: t["nsh"]})
