@@ -1523,7 +1523,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient_copurchase": q_clustering_coefficient,
         "bfs_copurchase": q_bfs_copurchase,
         "bfs_tree_copurchase": q_bfs_tree_copurchase,
-        "bfs_tree_dirop_copurchase": q_bfs_tree_dirop_copurchase,
         "graph_summary_pairs": q_graph_summary,
         "bfs_dirop_copurchase": q_bfs_dirop_copurchase,
         "maxflow_chain": q_maxflow_chain,
@@ -1540,6 +1539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_hopping": q_events_hopping,   # NEW in r5 -> prefix
         "events_top3_per_user": q_events_top3_per_user,  # NEW in r5
+        "doc_hash_split": q_doc_hash_split,   # NEW in r5
         "events_sessions": q_events_sessions,
         # --- tail: untouched this round, green in r3-local + r4-driver
         "doc_token_stats": q_doc_token_stats,
@@ -1561,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pcore_copurchase": q_pcore_copurchase,
         "betweenness_copurchase": q_betweenness_copurchase,
         "sssp_copurchase": q_sssp_copurchase,
+        "bfs_tree_dirop_copurchase": q_bfs_tree_dirop_copurchase,
     }
 
 
@@ -1798,6 +1799,43 @@ def _hash_sample_sql(rate: float = 0.1, seed: int = 7) -> str:
         {ctes}
         SELECT doc_id, source, n_chars FROM {last}
         WHERE sv5 < {threshold}
+    """
+
+
+def q_doc_hash_split(sf_dir: str):
+    """Deterministic train/val/test split (functions/sketch.py
+    hash_split): 80/10/10 by doc_id hash, seed 7."""
+    from totem_ray.functions.sketch import hash_split
+    from totem_ray.pipelines.tpch_graph import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return hash_split(docs, "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def _hash_split_sql(seed: int = 7) -> str:
+    """Transcription of hash_split's 80/10/10 doc split: the same
+    splitmix64 value against the same integer interval bounds."""
+    from totem_ray.hashing import splitmix64 as _sm
+
+    seed_c = int(_sm(np.array([seed & 0xFFFFFFFFFFFFFFFF],
+                              dtype=np.uint64))[0])
+    bounds = []
+    cum = 0.0
+    for f in (0.8, 0.1, 0.1):
+        cum += f
+        bounds.append(min(int(cum * (1 << 64)), (1 << 64) - 1))
+    ctes, last = _sm64_ctes("x", [("h0", "sv")], "sc")
+    return f"""
+        WITH b AS (SELECT doc_id, {_u64_sql('doc_id')} AS du
+                   FROM documents),
+        x AS (SELECT *, {_xor_sql('du', str(seed_c))} AS h0 FROM b),
+        {ctes}
+        SELECT doc_id,
+               CASE WHEN sv5 < {bounds[0]} THEN 'train'
+                    WHEN sv5 < {bounds[1]} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM {last}
     """
 
 
@@ -2522,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_indexed": _KNN_IVF_SEEDED_SQL,
         "doc_token_hll": _hll_sql(p=10),
         "doc_hash_sample": _hash_sample_sql(rate=0.1, seed=7),
+        "doc_hash_split": _hash_split_sql(seed=7),
         "doc_top_tokens": _top_tokens_sql(k=20),
         "doc_token_stats": r"""
             SELECT doc_id,

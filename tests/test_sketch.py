@@ -155,3 +155,42 @@ def test_top_k_per_key_rejects_nan():
         "v": pa.array([1.0, float("nan")])}))
     with pytest.raises(Exception, match="NaN"):
         top_k_per_key(ds, "k", "v", k=1).to_pandas()
+
+
+def test_hash_split_deterministic_partition():
+    """Every row gets exactly one label; labels are a pure function
+    of (key, seed) — stable across block layouts; fractions
+    approximately honored; disjoint with hash_sample semantics."""
+    from totem_ray.functions.sketch import hash_split
+
+    ids = np.arange(5000, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    outs = []
+    for nb in (1, 7):
+        ds = rd.from_arrow([t.slice(i, max(1, len(ids) // nb))
+                            for i in range(0, len(ids),
+                                           max(1, len(ids) // nb))])
+        out = hash_split(ds, "doc_id", fr).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    out = outs[0]
+    assert len(out) == len(ids)                      # fractions sum to 1
+    counts = out["split"].value_counts()
+    assert abs(counts["train"] / len(ids) - 0.8) < 0.03
+    assert abs(counts["val"] / len(ids) - 0.1) < 0.02
+    assert abs(counts["test"] / len(ids) - 0.1) < 0.02
+
+
+def test_hash_split_partial_fractions_drop_remainder():
+    from totem_ray.functions.sketch import hash_split
+
+    ids = np.arange(2000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    out = hash_split(ds, "doc_id", {"sample": 0.25}).to_pandas()
+    assert 0 < len(out) < len(ids)
+    assert (out["split"] == "sample").all()
+    import pytest
+    with pytest.raises(ValueError, match="more than 1"):
+        hash_split(ds, "doc_id", {"a": 0.9, "b": 0.2})

@@ -156,3 +156,39 @@ def top_k_per_key(ds, key_col: str, order_col: str, k: int,
 
     return ds.map_batches(add_g, batch_format="pyarrow") \
         .groupby("_g").map_groups(pick, batch_format="pyarrow")
+
+
+def hash_split(ds, key_col: str, fractions: dict[str, float],
+               seed: int = SAMPLE_SEED, label_col: str = "split"):
+    """Deterministic dataset split (train/val/test): each row gets the
+    label whose cumulative-fraction interval contains
+    splitmix64(as_u64(key) ^ splitmix64(seed)) / 2^64. A row's split
+    depends only on (key, seed) — stable across runs, partitionings
+    and even machines — and fractions need not sum to 1 (the
+    remainder gets no label and is dropped; pass fractions summing to
+    1.0 to keep every row). Label assignment follows ``fractions``'
+    insertion order."""
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    if sum(fractions.values()) > 1.0 + 1e-12:
+        raise ValueError("fractions sum to more than 1")
+    labels = list(fractions)
+    cum, edges_hi = 0.0, []
+    for name in labels:
+        cum += fractions[name]
+        edges_hi.append(np.uint64(min(int(cum * (1 << 64)),
+                                      (1 << 64) - 1)))
+    bounds = np.array(edges_hi, dtype=np.uint64)
+    seed_c = splitmix64(np.array([seed & 0xFFFFFFFFFFFFFFFF],
+                                 dtype=np.uint64))[0]
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = splitmix64(as_u64(np.asarray(t[key_col])) ^ seed_c)
+        idx = np.searchsorted(bounds, v, side="right")
+        keep = idx < len(labels)
+        t = t.filter(pa.array(keep))
+        lab = pa.array(np.asarray(labels, dtype=object)[idx[keep]],
+                       type=pa.string())
+        return t.append_column(label_col, lab)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
