@@ -194,3 +194,17 @@ def test_hash_split_partial_fractions_drop_remainder():
     import pytest
     with pytest.raises(ValueError, match="more than 1"):
         hash_split(ds, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_top_k_per_key_uint64_order():
+    """uint64 order columns take the unsigned branch: values >= 2^63
+    must rank above small values (the int64 sign-bit flip would
+    invert them)."""
+    from totem_ray.functions.sketch import top_k_per_key
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], type=pa.int64()),
+        "id": pa.array([1, 2], type=pa.int64()),
+        "v": pa.array([1, 1 << 63], type=pa.uint64())}))
+    out = top_k_per_key(ds, "k", "v", k=1, tie_col="id").to_pandas()
+    assert out["id"].tolist() == [2]

@@ -1059,8 +1059,29 @@ def _triangle_counts_join(oriented, num_join_partitions: int,
         from totem_ray.algs.sweep import _write_done
         from totem_ray.hashing import lineage_hash
 
+        # counts alone cannot key the checkpoint: a vertex-permuted
+        # copy of the graph preserves BOTH the edge count and the
+        # wedge count, and would silently reuse the first graph's
+        # wave partials. One narrow xor-fingerprint pass over the
+        # oriented edge content (order-independent, so block layout
+        # doesn't change it) pins graph identity — the same
+        # discipline as sweep.py's graph_fp.
+        def _fp(t: pa.Table) -> pa.Table:
+            from totem_ray.hashing import as_u64, splitmix64
+            h = splitmix64(as_u64(np.asarray(t["a"]))
+                           ^ splitmix64(as_u64(np.asarray(t["b"]))))
+            x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+            return pa.table({"x": pa.array([int(x)], type=pa.uint64())})
+
+        acc_fp = np.uint64(0)
+        for blk in oriented.map_batches(
+                _fp, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            for v in np.asarray(blk["x"]):
+                acc_fp ^= np.uint64(v)
         lineage = lineage_hash("triangle_waves", n_edges, n_wedges,
-                               waves, emit, num_join_partitions)
+                               waves, emit, num_join_partitions,
+                               int(acc_fp))
         base = os.path.join(checkpoint_dir, lineage)
         os.makedirs(base, exist_ok=True)
     wave_sums = []

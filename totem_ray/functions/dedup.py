@@ -478,15 +478,7 @@ def ngram_jaccard_pairs(docs, tau: float = 0.5, shingle_k: int = 3,
     least one shingle. Shingles appearing in more than ``max_df`` docs
     are dropped (stop-shingle cut — the standard df guard; exact for
     corpora under the cap)."""
-    def shingle_table(t: pa.Table) -> pa.Table:
-        doc, sh = _shingle_rows(t, shingle_k, id_col)
-        if len(doc):
-            u = np.unique(np.stack([doc, sh], axis=1), axis=0)
-            doc, sh = u[:, 0], u[:, 1]
-        return pa.table({"doc": pa.array(doc, type=pa.int64()),
-                         "sh": pa.array(sh, type=pa.int64())})
-
-    rows = docs.map_batches(shingle_table, batch_format="pyarrow")
+    rows = _distinct_shingle_rows(docs, shingle_k, id_col)
     # per-doc distinct shingle counts
     doc_counts = rows.groupby("doc").aggregate(Count(alias_name="nsh"))
 
@@ -537,6 +529,107 @@ def ngram_jaccard_pairs(docs, tau: float = 0.5, shingle_k: int = 3,
     return j2.map_batches(finish, batch_format="pyarrow")
 
 
+def _distinct_shingle_rows(docs, shingle_k: int, id_col: str):
+    """Dataset (doc, sh): one row per DISTINCT (doc, word-k-gram-hash)
+    — the shared shingle front-end of ngram_jaccard_pairs /
+    duplicate_shingle_fraction / contamination_fraction. Per-batch
+    distinctness is global because each doc's text is one row (its
+    shingles cannot span batches)."""
+    def fn(t: pa.Table) -> pa.Table:
+        doc, sh = _shingle_rows(t, shingle_k, id_col)
+        if len(doc):
+            u = np.unique(np.stack([doc, sh], axis=1), axis=0)
+            doc, sh = u[:, 0], u[:, 1]
+        return pa.table({"doc": pa.array(doc, type=pa.int64()),
+                         "sh": pa.array(sh, type=pa.int64())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _add_one(name: str = "one"):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            name, pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    return fn
+
+
+def _flag_shingle_membership(rows, flag_sh, flag_name: str,
+                             broadcast_max: int, num_buckets: int):
+    """Dataset (doc, one, <flag_name>): flag=1 iff the row's shingle
+    is in ``flag_sh`` (a Dataset with a distinct ``sh`` column) — the
+    dual-plan flag-back shared by duplicate_shingle_fraction and
+    contamination_fraction. When the flag set fits ``broadcast_max``
+    (8 B per shingle) it broadcasts once (ray.put) and flags with a
+    sorted membership probe; past the gate a bucketed LEFT hash_join
+    runs — scales to any flag-set size, just with a shuffle."""
+    flag_ds = flag_sh.select_columns(["sh"]).materialize()
+    if flag_ds.count() <= broadcast_max:
+        parts = [np.asarray(b["sh"]) for b in
+                 flag_ds.iter_batches(batch_format="pyarrow")
+                 if b.num_rows]
+        flag_sorted = np.sort(np.concatenate(parts)) if parts \
+            else np.empty(0, np.int64)
+        ref = ray.put(flag_sorted)
+
+        class Flag:
+            def __init__(self):
+                self.sh = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                hit = in_sorted(self.sh, np.asarray(t["sh"]))
+                return pa.table({
+                    "doc": t["doc"].combine_chunks().cast(pa.int64()),
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    flag_name: pa.array(hit.astype(np.int64)),
+                })
+
+        return rows.map_batches(Flag, batch_format="pyarrow",
+                                concurrency=(1, 8))
+    joined = hash_join(
+        rows.select_columns(["doc", "sh"]),
+        flag_ds.map_batches(_add_one("_m"), batch_format="pyarrow"),
+        on="sh", how="left", left_cols=["doc", "sh"],
+        right_cols=["sh", "_m"], num_buckets=num_buckets)
+
+    def flag(t: pa.Table) -> pa.Table:
+        m = t["_m"].combine_chunks()
+        return pa.table({
+            "doc": t["doc"].combine_chunks().cast(pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            flag_name: pa.array(np.asarray(m.is_valid())
+                                .astype(np.int64)),
+        })
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
+def _per_doc_flag_fraction(flagged, id_col: str, flag_name: str,
+                           count_name: str, frac_name: str,
+                           num_buckets: int):
+    """(doc, one, <flag>) rows -> Dataset (id_col, n_shingles,
+    <count_name>, <frac_name>) via one grouped_reduce per doc."""
+    from totem_ray.graph.joins import grouped_reduce
+
+    per_doc = grouped_reduce(flagged, ["doc"], ["one", flag_name],
+                             how="sum",
+                             out_names=["n_shingles", count_name],
+                             num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_shingles"], dtype=np.float64)
+        d = np.asarray(t[count_name], dtype=np.float64)
+        return pa.table({
+            id_col: t["doc"].combine_chunks().cast(pa.int64()),
+            "n_shingles": t["n_shingles"],
+            count_name: t[count_name],
+            frac_name: pa.array(d / n, type=pa.float64()),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+
 def duplicate_shingle_fraction(docs, shingle_k: int = 3,
                                id_col: str = "doc_id",
                                num_buckets: int = 64,
@@ -554,92 +647,27 @@ def duplicate_shingle_fraction(docs, shingle_k: int = 3,
     per doc with >= shingle_k tokens (shorter docs have no k-gram
     identity — same exclusion as minhash). Scale shape: shuffles
     16 B (doc, shingle-hash) rows, never text; per-shingle doc counts
-    come from one grouped_reduce; the flag-back is dual-plan (the
-    module idiom): when the set of DUPLICATED shingles fits
-    ``broadcast_max_shingles`` (8 B each — boilerplate-heavy corpora
-    have small shared-shingle universes) it broadcasts once and flags
-    with a sorted-membership probe, else the bucketed hash_join runs.
-    Shingle hashing is tabulation-based (hashing.tab_hash_strings),
-    so the whole pipeline is SQL-transcribable for the value
-    oracle."""
+    come from one grouped_reduce; the flag-back is the shared
+    dual-plan ``_flag_shingle_membership`` (broadcast probe when the
+    duplicated-shingle set fits ``broadcast_max_shingles``, bucketed
+    left hash_join past the gate). Shingle hashing is
+    tabulation-based (hashing.tab_hash_strings), so the whole
+    pipeline is SQL-transcribable for the value oracle."""
     from totem_ray.graph.joins import grouped_reduce
 
-    def shingle_table(t: pa.Table) -> pa.Table:
-        doc, sh = _shingle_rows(t, shingle_k, id_col)
-        if len(doc):
-            u = np.unique(np.stack([doc, sh], axis=1), axis=0)
-            doc, sh = u[:, 0], u[:, 1]
-        one = np.ones(len(doc), dtype=np.int64)
-        return pa.table({"doc": pa.array(doc, type=pa.int64()),
-                         "sh": pa.array(sh, type=pa.int64()),
-                         "one": pa.array(one)})
-
-    rows = docs.map_batches(shingle_table,
-                            batch_format="pyarrow").materialize()
+    rows = _distinct_shingle_rows(docs, shingle_k, id_col).materialize()
     # docs per shingle (rows are distinct per (doc, sh)), kept to the
     # duplicated ones only — the flag set
-    dup_sh = grouped_reduce(rows, ["sh"], ["one"], how="sum",
-                            out_names=["ndocs"], num_buckets=num_buckets) \
-        .filter(expr="ndocs >= 2").materialize()
-
-    if dup_sh.count() <= broadcast_max_shingles:
-        import ray as _ray
-
-        parts = [np.asarray(b["sh"]) for b in
-                 dup_sh.select_columns(["sh"])
-                 .iter_batches(batch_format="pyarrow") if b.num_rows]
-        dup_sorted = np.sort(np.concatenate(parts)) if parts \
-            else np.empty(0, np.int64)
-        ref = _ray.put(dup_sorted)
-
-        class Flag:
-            def __init__(self):
-                self.dup = _ray.get(ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                hit = in_sorted(self.dup, np.asarray(t["sh"]))
-                return pa.table({
-                    "doc": t["doc"].combine_chunks().cast(pa.int64()),
-                    "one": t["one"],
-                    "dup": pa.array(hit.astype(np.int64)),
-                })
-
-        flagged = rows.map_batches(Flag, batch_format="pyarrow",
-                                   concurrency=(1, 8))
-    else:
-        joined = hash_join(rows.select_columns(["doc", "sh"]), dup_sh,
-                           on="sh", how="left",
-                           left_cols=["doc", "sh"],
-                           right_cols=["sh", "ndocs"],
-                           num_buckets=num_buckets)
-
-        def flag(t: pa.Table) -> pa.Table:
-            nd = t["ndocs"].combine_chunks()
-            return pa.table({
-                "doc": t["doc"].combine_chunks().cast(pa.int64()),
-                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-                "dup": pa.array(np.asarray(nd.is_valid())
-                                .astype(np.int64)),
-            })
-
-        flagged = joined.map_batches(flag, batch_format="pyarrow")
-
-    per_doc = grouped_reduce(
-        flagged, ["doc"], ["one", "dup"], how="sum",
-        out_names=["n_shingles", "n_dup_shingles"],
-        num_buckets=num_buckets)
-
-    def finish(t: pa.Table) -> pa.Table:
-        n = np.asarray(t["n_shingles"], dtype=np.float64)
-        d = np.asarray(t["n_dup_shingles"], dtype=np.float64)
-        return pa.table({
-            id_col: t["doc"].combine_chunks().cast(pa.int64()),
-            "n_shingles": t["n_shingles"],
-            "n_dup_shingles": t["n_dup_shingles"],
-            "dup_frac": pa.array(d / n, type=pa.float64()),
-        })
-
-    return per_doc.map_batches(finish, batch_format="pyarrow")
+    dup_sh = grouped_reduce(
+        rows.map_batches(_add_one(), batch_format="pyarrow"),
+        ["sh"], ["one"], how="sum", out_names=["ndocs"],
+        num_buckets=num_buckets).filter(expr="ndocs >= 2")
+    flagged = _flag_shingle_membership(rows, dup_sh, "dup",
+                                       broadcast_max_shingles,
+                                       num_buckets)
+    return _per_doc_flag_fraction(flagged, id_col, "dup",
+                                  "n_dup_shingles", "dup_frac",
+                                  num_buckets)
 
 
 def contamination_fraction(docs, ref_docs, shingle_k: int = 3,
@@ -655,90 +683,26 @@ def contamination_fraction(docs, ref_docs, shingle_k: int = 3,
     is not wanted.
 
     Dataset (doc_id, n_shingles, n_contaminated, contamination_frac),
-    one row per doc with >= shingle_k tokens. Dual-plan flag-back like
-    duplicate_shingle_fraction: the reference shingle set (benchmarks
-    are small — usually thousands of docs) broadcasts once and flags
-    with a sorted membership probe when it fits
-    ``broadcast_max_shingles``; past the gate a bucketed left
-    hash_join runs. Same tabulation shingle hashing, so the pipeline
-    is SQL-transcribable."""
+    one row per doc with >= shingle_k tokens. Same shared dual-plan
+    flag-back as duplicate_shingle_fraction (benchmark sets are small
+    — usually thousands of docs — so the reference shingle set
+    usually broadcasts once) and the same tabulation shingle hashing,
+    so the pipeline is SQL-transcribable."""
     from totem_ray.graph.joins import grouped_reduce
 
-    def shingle_table(t: pa.Table) -> pa.Table:
-        doc, sh = _shingle_rows(t, shingle_k, id_col)
-        if len(doc):
-            u = np.unique(np.stack([doc, sh], axis=1), axis=0)
-            doc, sh = u[:, 0], u[:, 1]
-        one = np.ones(len(doc), dtype=np.int64)
-        return pa.table({"doc": pa.array(doc, type=pa.int64()),
-                         "sh": pa.array(sh, type=pa.int64()),
-                         "one": pa.array(one)})
-
-    rows = docs.map_batches(shingle_table, batch_format="pyarrow")
+    rows = _distinct_shingle_rows(docs, shingle_k, id_col)
     # distinct reference shingles (dedup across ref docs)
     ref_sh = grouped_reduce(
-        ref_docs.map_batches(shingle_table, batch_format="pyarrow"),
+        _distinct_shingle_rows(ref_docs, shingle_k, id_col)
+        .map_batches(_add_one(), batch_format="pyarrow"),
         ["sh"], ["one"], how="min", out_names=["one"],
-        num_buckets=num_buckets).materialize()
-
-    if ref_sh.count() <= broadcast_max_shingles:
-        import ray as _ray
-
-        parts = [np.asarray(b["sh"]) for b in
-                 ref_sh.select_columns(["sh"])
-                 .iter_batches(batch_format="pyarrow") if b.num_rows]
-        ref_sorted = np.sort(np.concatenate(parts)) if parts \
-            else np.empty(0, np.int64)
-        ref = _ray.put(ref_sorted)
-
-        class Flag:
-            def __init__(self):
-                self.ref = _ray.get(ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                hit = in_sorted(self.ref, np.asarray(t["sh"]))
-                return pa.table({
-                    "doc": t["doc"].combine_chunks().cast(pa.int64()),
-                    "one": t["one"],
-                    "hit": pa.array(hit.astype(np.int64)),
-                })
-
-        flagged = rows.map_batches(Flag, batch_format="pyarrow",
-                                   concurrency=(1, 8))
-    else:
-        joined = hash_join(rows.select_columns(["doc", "sh"]), ref_sh,
-                           on="sh", how="left",
-                           left_cols=["doc", "sh"],
-                           right_cols=["sh", "one"],
-                           num_buckets=num_buckets)
-
-        def flag(t: pa.Table) -> pa.Table:
-            matched = t["one"].combine_chunks()
-            return pa.table({
-                "doc": t["doc"].combine_chunks().cast(pa.int64()),
-                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-                "hit": pa.array(np.asarray(matched.is_valid())
-                                .astype(np.int64)),
-            })
-
-        flagged = joined.map_batches(flag, batch_format="pyarrow")
-
-    per_doc = grouped_reduce(
-        flagged, ["doc"], ["one", "hit"], how="sum",
-        out_names=["n_shingles", "n_contaminated"],
         num_buckets=num_buckets)
-
-    def finish(t: pa.Table) -> pa.Table:
-        n = np.asarray(t["n_shingles"], dtype=np.float64)
-        d = np.asarray(t["n_contaminated"], dtype=np.float64)
-        return pa.table({
-            id_col: t["doc"].combine_chunks().cast(pa.int64()),
-            "n_shingles": t["n_shingles"],
-            "n_contaminated": t["n_contaminated"],
-            "contamination_frac": pa.array(d / n, type=pa.float64()),
-        })
-
-    return per_doc.map_batches(finish, batch_format="pyarrow")
+    flagged = _flag_shingle_membership(rows, ref_sh, "hit",
+                                       broadcast_max_shingles,
+                                       num_buckets)
+    return _per_doc_flag_fraction(flagged, id_col, "hit",
+                                  "n_contaminated",
+                                  "contamination_frac", num_buckets)
 
 
 def _count_renamed(doc_counts, new_id, new_n):

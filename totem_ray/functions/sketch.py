@@ -131,6 +131,11 @@ def top_k_per_key(ds, key_col: str, order_col: str, k: int,
     tie_col = tie_col or key_col
 
     def sort_key(o: np.ndarray) -> np.ndarray:
+        if np.issubdtype(o.dtype, np.unsignedinteger):
+            # already unsigned-ordered: a sign-bit flip here would
+            # invert the order of values >= 2^63 vs < 2^63
+            u = o.astype(np.uint64)
+            return ~u if descending else u
         if np.issubdtype(o.dtype, np.integer):
             u = as_u64(o.astype(np.int64)) ^ np.uint64(1 << 63)
             return ~u if descending else u
@@ -179,12 +184,18 @@ def hash_split(ds, key_col: str, fractions: dict[str, float],
         edges_hi.append(np.uint64(min(int(cum * (1 << 64)),
                                       (1 << 64) - 1)))
     bounds = np.array(edges_hi, dtype=np.uint64)
+    # fractions summing to 1 must keep EVERY row: the last bound is
+    # clamped to 2^64-1, which side="right" would exclude for the one
+    # hash value equal to it — make the last interval closed instead
+    full_cover = cum >= 1.0 - 1e-12
     seed_c = splitmix64(np.array([seed & 0xFFFFFFFFFFFFFFFF],
                                  dtype=np.uint64))[0]
 
     def assign(t: pa.Table) -> pa.Table:
         v = splitmix64(as_u64(np.asarray(t[key_col])) ^ seed_c)
         idx = np.searchsorted(bounds, v, side="right")
+        if full_cover:
+            idx = np.minimum(idx, len(labels) - 1)
         keep = idx < len(labels)
         t = t.filter(pa.array(keep))
         lab = pa.array(np.asarray(labels, dtype=object)[idx[keep]],
