@@ -419,13 +419,15 @@ def bench_corpus_pipeline(scale: int | None = None,
     actually executes, timed per stage in ONE pass (not best-of;
     composition cost IS the metric): pages -> host-level weighted
     link graph (sources/extract.pages_to_host_edges) -> weighted
-    PageRank to convergence -> MinHash near-dup groups over the
-    pages' own extracted text (dup groups via the engine's BSP CC).
-    Every stage consumes the previous stage's Dataset."""
+    PageRank to convergence -> per-doc duplicated-shingle repetition
+    score -> MinHash near-dup groups over the pages' own extracted
+    text (dup groups via the engine's BSP CC). Every stage consumes
+    the previous stage's Dataset."""
     import ray.data
 
     from totem_ray.algs import pagerank_weighted
-    from totem_ray.functions.dedup import minhash_dedup_groups
+    from totem_ray.functions.dedup import (duplicate_shingle_fraction,
+                                           minhash_dedup_groups)
     from totem_ray.hashing import hash_strings_i64
     from totem_ray.sources.extract import (pages_to_host_edges,
                                            pages_to_text)
@@ -458,13 +460,21 @@ def bench_corpus_pipeline(scale: int | None = None,
 
     docs = pages_to_text(pages) \
         .map_batches(add_doc_id, batch_format="pyarrow") \
-        .select_columns(["doc_id", "text"])
+        .select_columns(["doc_id", "text"]).materialize()
+    stages["text_extract_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    n_scored = duplicate_shingle_fraction(docs).count()
+    stages["dup_shingle_score_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
     n_groups = minhash_dedup_groups(docs, tau=0.5).count()
     stages["minhash_dedup_sec"] = round(time.perf_counter() - t0, 3)
 
     stages["total_sec"] = round(time.perf_counter() - t_all, 3)
     return {**stages, "n_pages": 1 << scale, "n_hosts": int(n_hosts),
             "n_host_edges": int(n_host_edges),
+            "n_scored_docs": int(n_scored),
             "n_doc_rows": int(n_groups), "scale": scale,
             "num_hosts_cap": num_hosts}
 
@@ -506,6 +516,8 @@ doc rows), num_cpus={out['num_cpus']}, canary
 |---|---|
 | host graph (extract + aggregate) | {out['host_graph_sec']} |
 | weighted PageRank | {out['weighted_pagerank_sec']} |
+| text extract (+ doc ids) | {out['text_extract_sec']} |
+| duplicated-shingle repetition score | {out['dup_shingle_score_sec']} |
 | minhash dedup (incl. BSP-CC groups) | {out['minhash_dedup_sec']} |
 | **composed total** | **{out['total_sec']}** |
 """)
