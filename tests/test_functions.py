@@ -919,3 +919,14 @@ def test_contamination_fraction_plans_agree():
     # every ref doc fully overlaps itself
     refs = a[a["doc_id"] % 17 == 0]
     assert (refs["contamination_frac"] == 1.0).all()
+
+
+def test_contamination_fraction_empty_ref():
+    """An empty reference corpus contaminates nothing."""
+    from totem_ray.functions.dedup import contamination_fraction
+
+    docs = _docs(["a b c d", "q r s t"])
+    ref = _docs([], ids=[])
+    out = contamination_fraction(docs, ref).to_pandas()
+    assert (out["contamination_frac"] == 0.0).all()
+    assert (out["n_contaminated"] == 0).all()

@@ -322,3 +322,49 @@ def test_hopping_window_matches_pandas(rows, wh, nblocks):
         .agg(n_events=("value", "size"), sum_value=("value", "sum")) \
         .sort_values(["user_id", "w"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(st.lists(st.lists(st.sampled_from("abcdefg"), min_size=0,
+                         max_size=12),
+                min_size=1, max_size=25),
+       st.integers(1, 4))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicate_shingle_fraction_matches_brute(docs_words, nblocks):
+    """Random small corpora vs a pure-Python recomputation of the
+    duplicated-k-gram-fraction definition, any block layout."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from totem_ray.functions.dedup import duplicate_shingle_fraction
+
+    texts = [" ".join(ws) for ws in docs_words]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)),
+                                     type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    step = max(1, len(texts) // nblocks)
+    ds = rd.from_arrow([t.slice(i, step)
+                        for i in range(0, len(texts), step)])
+    out_df = duplicate_shingle_fraction(ds).to_pandas()
+
+    per_doc = {}
+    for i, ws in enumerate(docs_words):
+        toks = [w for w in ws if w]
+        grams = {tuple(toks[j:j + 3]) for j in range(len(toks) - 2)}
+        if grams:
+            per_doc[i] = grams
+    if not per_doc:
+        # no doc has >= 3 tokens: no shingle identity exists and the
+        # output is empty (column-less empty frame is acceptable)
+        assert len(out_df) == 0
+        return
+    out = out_df.sort_values("doc_id").reset_index(drop=True)
+    dfc = collections.Counter(g for gs in per_doc.values() for g in gs)
+    assert set(out["doc_id"]) == set(per_doc)
+    for _, r in out.iterrows():
+        grams = per_doc[int(r["doc_id"])]
+        nd = sum(1 for g in grams if dfc[g] >= 2)
+        assert int(r["n_shingles"]) == len(grams)
+        assert int(r["n_dup_shingles"]) == nd
