@@ -1487,9 +1487,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # last from r3) move in, as do all consumers of this round's
     # changed code (grouped_reduce combine -> degree/dedup/windows/
     # maxflow/triangles; build_ivf_index -> knn_ivf_indexed; hyperball
-    # p column). Rotated out (untouched this round, green in r3-local
-    # AND r4-driver): text/sketch doc queries, the knn scan-path
-    # family, as-of join, multimodal, tpch pricing, component_set.
+    # p column) and the five NEW r5 queries (doc_dup_shingles,
+    # doc_contamination, events_hopping, events_top3_per_user,
+    # doc_hash_split — new code is always driver-verified first).
+    # Rotated out (untouched this round, green in r3-local AND
+    # r4-driver): text/sketch doc queries, the knn scan-path family,
+    # as-of join, multimodal, tpch pricing, component_set, and — to
+    # make room for the new queries — five long-stable kernels
+    # (stress, closeness, pcore, betweenness, sssp tree-dirop), all
+    # re-verified value-exact this round by the full-registry
+    # tools/check_correctness.py run recorded in BASELINE.md.
     return {
         "copurchase_edges": q_copurchase_edges,
         "copurchase_degree": q_copurchase_degree,
